@@ -1,0 +1,624 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Quantity is `Union[int, str]` in the reference
+  * (/root/reference/extractor/models/construction.py:17-20). Spark has no
+  * union type, so it stays a sealed ADT in the core and splits into
+  * (quantity_int, quantity_str) columns at the relational boundary.
+  */
+sealed trait Qty {
+  /** Python truthiness: 0 and "" are falsy. */
+  def truthy: Boolean = this match {
+    case QInt(v) => v != 0L
+    case QStr(s) => s.nonEmpty
+  }
+  def pyStr: String = this match { // str(quantity)
+    case QInt(v) => v.toString
+    case QStr(s) => s
+  }
+}
+final case class QInt(v: Long) extends Qty
+final case class QStr(s: String) extends Qty
+
+/** One raw extracted item — the reference's item dict
+  * (construction.py:184-194 text path, :799-827 table path).
+  */
+final case class RawItem(
+    fixtureType: Option[String],
+    quantity: Option[Qty],
+    modelNumber: Option[String],
+    dimensions: Option[String],
+    mountingType: Option[String],
+    specReference: Option[String],
+    pageNumber: Long,
+    tableNumber: Option[Long],
+    rowNumber: Option[Long],
+    rawText: Option[String],
+    lineNumber: Option[Long]
+)
+
+/** Mutable working state for one item while the fold is open — mirrors the
+  * reference's current_item dict, which `_enrich_item` mutates in place
+  * (construction.py:651-758).
+  */
+final class OpenItem(
+    var fixtureType: Option[String],
+    var quantity: Option[Qty],
+    var modelNumber: Option[String],
+    var dimensions: Option[String],
+    var mountingType: Option[String],
+    var specReference: Option[String],
+    var pageNumber: Long,
+    val rawText: Option[String],
+    val lineNumber: Option[Long]
+) {
+  def toRaw: RawItem = RawItem(fixtureType, quantity, modelNumber, dimensions,
+    mountingType, specReference, pageNumber, None, None, rawText, lineNumber)
+  /** construction.py:180 flush predicate — Python truthiness. */
+  def meaningful: Boolean =
+    fixtureType.exists(_.nonEmpty) || modelNumber.exists(_.nonEmpty) ||
+      quantity.exists(_.truthy)
+}
+
+/** Detection-phase item_data dict (keys type/quantity/model/dimensions/
+  * mounting/spec + the two internal spec-decimal flags,
+  * construction.py:240,327-340,512-513).
+  */
+final class Detected {
+  var tpe: Option[String] = None
+  var quantity: Option[Qty] = None
+  var model: Option[String] = None
+  var dimensions: Option[String] = None
+  var mounting: Option[String] = None
+  var spec: Option[String] = None
+  var hasSpecDecimal: Boolean = false
+  var specDecimalValue: Option[String] = None
+
+  def tpeTruthy = tpe.exists(_.nonEmpty)
+  def qtyTruthy = quantity.exists(_.truthy)
+  def modelTruthy = model.exists(_.nonEmpty)
+  def dimsTruthy = dimensions.exists(_.nonEmpty)
+  def mountTruthy = mounting.exists(_.nonEmpty)
+  def specTruthy = spec.exists(_.nonEmpty)
+}
+
+/** Line-by-line port of the reference's `ConstructionParser`
+  * (/root/reference/extractor/parsers/construction.py). Field evaluation
+  * order (fixture → quantity → model → dimensions → mounting → spec →
+  * final validations) is semantic — the spec-decimal flag written during
+  * quantity extraction (construction.py:322-340) is read by later quantity
+  * pattern iterations, and the post-hoc instruction/drawing filters run
+  * after extraction (:516-559).
+  */
+object Construction {
+  import Semantics._
+
+  private def rxI(p: String) = Rx(p, ignoreCase = true)
+  private def rxS(p: String) = Rx(p, ignoreCase = false)
+
+  private def hasUpperAscii(s: String) = rxS("""[A-Z]""").containsMatch(s)
+  private def hasDigit(s: String) = rxS("""\d""").containsMatch(s)
+
+  // ---------------------------------------------------------------- P2 fold
+  /** extract_items (construction.py:153-214). */
+  def extractItems(text: String, pageNum: Long): List[RawItem] = {
+    val items = ArrayBuffer.empty[RawItem]
+    val lines = PyStr.split(text, '\n')
+    var current: OpenItem = null
+
+    var lineNum = 0
+    while (lineNum < lines.length) {
+      val line = PyStr.strip(lines(lineNum))
+      if (line.nonEmpty) {
+        detectItemLine(line, pageNum, lineNum) match {
+          case Some(d) =>
+            if (current != null && current.meaningful) items += current.toRaw
+            current = new OpenItem(
+              fixtureType = d.tpe,
+              quantity = d.quantity,
+              modelNumber = d.model,
+              dimensions = d.dimensions,
+              mountingType = d.mounting,
+              specReference = d.spec,
+              pageNumber = pageNum,
+              rawText = Some(line),
+              lineNumber = Some(lineNum + 1L)
+            )
+          case None =>
+            if (current != null) {
+              // prev / current / next context window (construction.py:196-208)
+              val ctx = ArrayBuffer.empty[String]
+              if (lineNum > 0) ctx += PyStr.strip(lines(lineNum - 1))
+              ctx += line
+              if (lineNum + 1 < lines.length) ctx += PyStr.strip(lines(lineNum + 1))
+              ctx.foreach { c => if (c.nonEmpty) enrichItem(current, c) }
+            }
+        }
+      }
+      lineNum += 1
+    }
+    if (current != null && current.meaningful) items += current.toRaw
+    items.toList
+  }
+
+  // ------------------------------------------------------ P3 line classifier
+  /** _detect_item_line (construction.py:216-649). */
+  def detectItemLine(line: String, pageNum: Long, lineNum: Long): Option[Detected] = {
+    // exclusion regexes (:222-224)
+    if (excludePatterns.exists(p => rxI(p).containsMatch(line))) return None
+
+    // instruction-phrase prefixes (:227-230)
+    val lineUpper = PyStr.strip(PyStr.upper(line))
+    if (instructionPhrases.exists(ph => lineUpper.startsWith(PyStr.upper(ph)))) return None
+
+    // action-verb starts (:233-234)
+    if (rxI("""^\s*(up\s+to|see|refer|use|install|mount|connect|note|notice|warning)\s+""").matchesAt(line))
+      return None
+
+    // very short lines (:237-238)
+    if (PyStr.len(PyStr.strip(line)) < 3) return None
+
+    val d = new Detected
+    // fixture types — longest match across all patterns (:243-254)
+    var bestMatch: String = null
+    var bestLen = 0
+    fixturePatterns.foreach { pat =>
+      rxI(pat).finditer(line).foreach { m =>
+        val t = PyStr.strip(m.group0)
+        if (PyStr.len(t) > bestLen) { bestMatch = t; bestLen = PyStr.len(t) }
+      }
+    }
+
+    if (bestMatch != null) {
+      // capitalized phrase before the match (:258-273)
+      val fullPat = """\b([A-Z][A-Za-z\s]+?)\s*(?:""" + Rx.escape(bestMatch) +
+        """|package|equipment|fixture|station|connection)"""
+      rxI(fullPat).search(line) match {
+        case Some(fm) =>
+          val fixtureType = PyStr.strip(fm.group(1)) + " " + bestMatch
+          d.tpe = Some(PyStr.title(dedupConsecutiveWords(fixtureType)))
+        case None =>
+          d.tpe = Some(PyStr.title(bestMatch))
+      }
+    } else {
+      // inferred capitalized multi-word phrase (:276-291); no IGNORECASE
+      rxS("""\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)+)""").search(line).foreach { cp =>
+        val potential = PyStr.strip(cp.group(1))
+        val isDimensionPattern = rxS("\\d+\\s*[\"\\']\\s*[-–]?\\s*\\d+").containsMatch(potential)
+        val isNumericOnly = rxS("^[\\d\\s\\'\\\"\\-\\/\\.]+$").matchesAt(PyStr.strip(potential))
+        if (PyStr.splitWs(potential).length >= 2 && PyStr.len(potential) > 10 &&
+            !isDimensionPattern && !isNumericOnly) {
+          d.tpe = Some(potential)
+        }
+      }
+    }
+
+    // quantities (:294-351)
+    var qtyBreak = false
+    val qtyIt = quantityPatterns.iterator
+    while (!qtyBreak && qtyIt.hasNext) {
+      val pat = qtyIt.next()
+      rxI(pat).search(line).foreach { m =>
+        try {
+          val qtyStr = m.group(1)
+          if (qtyStr == null) throw new NumberFormatException("no group") // ≙ IndexError-ish guard
+          if (!qtyStr.contains('.')) PyInt.parse(qtyStr) // ≙ qty_num probe; ValueError → except
+
+          // part-of-model veto (:303-317)
+          var isPartOfModel = modelPatternsInLine.exists { mp =>
+            rxI(mp).search(line).exists(mm => mm.group0.contains(qtyStr))
+          }
+          // instruction-context veto (:318-321)
+          val contextBefore = PyStr.upper(PyStr.strip(line.substring(0, m.start)))
+          if (List("UP TO", "SEE", "REFER TO", "USE").exists(ph => contextBefore.endsWith(ph)))
+            isPartOfModel = true
+
+          // decimal-is-spec heuristic (:322-340)
+          var isSpecReference = false
+          if (d.hasSpecDecimal) {
+            if (d.specDecimalValue.contains(qtyStr) || qtyStr == d.spec.getOrElse(""))
+              isSpecReference = true
+          } else if (qtyStr.contains('.')) {
+            if (!rxI("""\b(qty|quantity)[:\s]*\d+\.\d+""").containsMatch(line)) {
+              if (rxI("\\d+\\s*[\"\\']|OM-|MAU-|CH\\d+|model|part\\s*#").containsMatch(line)) {
+                isSpecReference = true
+                if (!d.specTruthy) {
+                  d.spec = Some(qtyStr)
+                  d.hasSpecDecimal = true
+                  d.specDecimalValue = Some(qtyStr)
+                }
+              }
+            }
+          }
+
+          if (!isPartOfModel && !isSpecReference) {
+            d.quantity = Some(
+              if (qtyStr.contains('.')) QStr(qtyStr) else QInt(PyInt.parse(qtyStr)))
+            qtyBreak = true
+          }
+        } catch { case _: NumberFormatException => () } // ≙ except (ValueError, IndexError): pass
+      }
+    }
+
+    // model numbers (:353-405)
+    val allModels = ArrayBuffer.empty[String]
+    modelPatterns.foreach { pat =>
+      rxI(pat).finditer(line).foreach { m =>
+        val groups = m.groups
+        if (groups.nonEmpty) {
+          var gi = groups.length - 1
+          var broke = false
+          while (gi >= 0 && !broke) {
+            val g = groups(gi)
+            if (g != null && PyStr.strip(g).nonEmpty) {
+              val model = PyStr.strip(g)
+              if (!rxS("""^\d+$""").matchesAt(model) && PyStr.len(model) > 1 && PyStr.len(model) < 50) {
+                if (PyStr.len(model) >= 2) {
+                  var skipGroup = false
+                  if (PyStr.len(model) <= 4 && rxS("""^[A-Z]\d+$""").matchesAt(model)) {
+                    if (legalWords.exists(w => PyStr.upper(line).contains(w))) skipGroup = true
+                    else if (!rxI("""\b(model|part|pn|sku|cat|item\s*#)""").containsMatch(line)) skipGroup = true
+                    else if (PyStr.splitWs(PyStr.strip(line)).length <= 2 &&
+                             PyStr.upper(line).contains(PyStr.upper(model))) skipGroup = true
+                    else if (hasUpperAscii(model) && hasDigit(model)) {
+                      if (!allModels.contains(model)) allModels += model
+                    }
+                  }
+                  if (!skipGroup) broke = true // break at construction.py:387
+                }
+              }
+            }
+            gi -= 1
+          }
+        } else {
+          // no-group path (:388-400) — unreachable with the shipped patterns
+          val model = PyStr.strip(m.group0)
+          if (PyStr.len(model) >= 3 && PyStr.len(model) < 30) {
+            var skip = false
+            if (PyStr.len(model) <= 4 && rxS("""^[A-Z]\d+$""").matchesAt(model)) {
+              if (legalWords.exists(w => PyStr.upper(line).contains(w))) skip = true
+            }
+            if (!skip && ((hasUpperAscii(model) && hasDigit(model)) ||
+                rxS("""^[A-Z]{2,}-\d+""").matchesAt(model))) {
+              if (!allModels.contains(model)) allModels += model
+            }
+          }
+        }
+      }
+    }
+    if (allModels.nonEmpty) {
+      d.model = Some(allModels.take(2).mkString(", "))
+    }
+
+    // dimensions (:407-486)
+    var dimBreak = false
+    val dimIt = dimensionPatterns.iterator
+    while (!dimBreak && dimIt.hasNext) {
+      val pat = dimIt.next()
+      rxI(pat).search(line).foreach { m =>
+        val dimParts = m.groups.filter(g => g != null && g.nonEmpty)
+        if (dimParts.nonEmpty) {
+          val filtered = dimParts.filter { dim =>
+            if (dim.contains('/') && PyStr.len(dim) <= 4) {
+              val hasModel = rxI("""[A-Z]{2,}-\d+|[A-Z]{1,3}\d{2,}""").containsMatch(line)
+              val hasInstruction =
+                List("UP TO", "SEE", "REFER TO").exists(ph => PyStr.upper(line).contains(ph))
+              val dimCtx =
+                rxI("""(diameter|dia|OD|ID|size|dimension|inch|inches|x\s*\d)""").containsMatch(line)
+              !((hasModel || hasInstruction) && !dimCtx)
+            } else true
+          }
+          if (filtered.nonEmpty) {
+            val fullDimFound = fullDimPatterns.iterator
+              .flatMap(fp => rxI(fp).search(line).map(fm => PyStr.strip(fm.group(1))))
+              .nextOption()
+            fullDimFound match {
+              case Some(fd) =>
+                d.dimensions = Some(fd); dimBreak = true
+              case None if filtered.length >= 2 =>
+                d.dimensions = Some(filtered.mkString(" x ")); dimBreak = true
+              case None =>
+                val singleDim = filtered.head
+                val isStandaloneNumber = rxS("""^\d+$""").matchesAt(PyStr.strip(singleDim))
+                val hasDimensionContext = rxI(
+                  "[\"\\']|inch|inches|in|feet|ft|cm|mm|diameter|dia|ø|\"|\\'|x\\s*\\d"
+                ).containsMatch(line)
+                val hasUnitsInDim =
+                  rxI("[\"\\']|ø|inch|in|ft|cm|mm").containsMatch(singleDim)
+                if (hasUnitsInDim || (hasDimensionContext && !isStandaloneNumber)) {
+                  d.dimensions = Some(singleDim); dimBreak = true
+                } // else: continue to next pattern (:484)
+            }
+          }
+        }
+      }
+    }
+
+    // mounting (:489-494)
+    var mountBreak = false
+    val mountIt = mountingPatterns.iterator
+    while (!mountBreak && mountIt.hasNext) {
+      rxI(mountIt.next()).search(line).foreach { m =>
+        d.mounting = Some(PyStr.strip(m.group0))
+        mountBreak = true
+      }
+    }
+
+    // specs (:496-514)
+    var specBreak = false
+    val specIt = specPatterns.iterator
+    while (!specBreak && specIt.hasNext) {
+      rxI(specIt.next()).search(line).foreach { m =>
+        val groups = m.groups
+        val specStr =
+          if (groups.nonEmpty) PyStr.strip(groups.filter(g => g != null && g.nonEmpty).mkString(" "))
+          else PyStr.strip(m.group0)
+        if (specStr.nonEmpty) {
+          d.spec = Some(specStr)
+          if (specStr.contains('.') && rxS("""^\d+\.\d+$""").matchesAt(specStr)) {
+            d.hasSpecDecimal = true
+            d.specDecimalValue = Some(specStr)
+          }
+          specBreak = true
+        }
+      }
+    }
+
+    // final instruction re-validation (:516-533)
+    val lineStripped = PyStr.upper(PyStr.strip(line))
+    val instructionIndicators =
+      lineStripped.startsWith("UP TO") || lineStripped.startsWith("SEE ") ||
+        lineStripped.startsWith("REFER ") || lineStripped.startsWith("USE ") ||
+        lineStripped.startsWith("INSTALL ") || lineStripped.startsWith("MOUNT ") ||
+        lineStripped.startsWith("CONNECT ") || lineStripped.contains("SEE PAGE") ||
+        lineStripped.contains("SEE DRAWING") || lineStripped.contains("SEE SPEC") ||
+        lineStripped.contains("REFER TO")
+    if (instructionIndicators) return None
+
+    // drawing/line reference filter (:535-559)
+    if (drawingReferencePatterns.exists(p => rxS(p).matchesAt(lineStripped))) {
+      // line_stripped == line.strip().upper() always holds (:546) — whole-line branch
+      if (!d.specTruthy) d.spec = Some(PyStr.strip(line))
+      if (d.tpe.contains(PyStr.strip(line))) d.tpe = None
+      if (!(d.modelTruthy || d.qtyTruthy || d.dimsTruthy)) return None
+    }
+
+    // strong indicators (:561-593)
+    var hasStrong = false
+    if (d.tpeTruthy && bestMatch != null) hasStrong = true
+    if (d.qtyTruthy && d.modelTruthy) hasStrong = true
+    if (d.modelTruthy) {
+      if (d.mountTruthy || d.specTruthy || d.tpeTruthy) hasStrong = true
+      else if (d.qtyTruthy) hasStrong = true
+    }
+    if (d.qtyTruthy) {
+      if (rxI("""\b(\d+)\s*(ea|each|pcs|pieces|qty|quantity)""").containsMatch(line))
+        hasStrong = true
+    }
+
+    if (!hasStrong) return None
+
+    // inferred type from first words (:598-622)
+    if (!d.tpeTruthy && (d.qtyTruthy || d.modelTruthy)) {
+      val words = PyStr.splitWs(line)
+      if (words.nonEmpty) {
+        val potential = PyStr.strip(words.take(3).mkString(" "))
+        val isDimension = rxS("\\d+\\s*[\"\\']\\s*[-–]?\\s*\\d+").containsMatch(potential)
+        val isNumeric = rxS("^[\\d\\s\\'\\\"\\-\\/\\.]+$").matchesAt(PyStr.strip(potential))
+        val excluded = inferredTypeExcludePhrases.exists(ph => PyStr.upper(potential).contains(ph))
+        if (!(excluded || isDimension || isNumeric) && PyStr.len(potential) < 40)
+          d.tpe = Some(potential)
+      }
+    }
+
+    // the quantity-vs-spec_reference cleanup at construction.py:628-633 reads
+    // key 'spec_reference', which is never set in item_data (the key is
+    // 'spec') — provably dead; kept out.
+
+    // duplicate-word fix (:636-644) — no .title() this time
+    if (d.tpeTruthy) d.tpe = d.tpe.map(dedupConsecutiveWords)
+
+    Some(d)
+  }
+
+  /** Consecutive-duplicate-word removal (construction.py:263-273, 636-644). */
+  def dedupConsecutiveWords(s: String): String = {
+    val words = PyStr.splitWs(s)
+    val out = ArrayBuffer.empty[String]
+    var prev: String = null
+    words.foreach { w =>
+      if (PyStr.upper(w) != prev) {
+        out += w
+        prev = PyStr.upper(w)
+      }
+    }
+    out.mkString(" ")
+  }
+
+  // ---------------------------------------------------------- P4 enrichment
+  /** _enrich_item (construction.py:651-758) — mutates the open item.
+    * Enrichment is deliberately looser than detection (no vetoes): a context
+    * line "SEE PAGE 5" contributes quantity 5.
+    */
+  def enrichItem(item: OpenItem, line: String): Unit = {
+    // quantity (:654-667)
+    if (!item.quantity.exists(_.truthy)) {
+      var brk = false
+      val it = quantityPatterns.iterator
+      while (!brk && it.hasNext) {
+        rxI(it.next()).search(line).foreach { m =>
+          try {
+            val qtyStr = m.group(1)
+            if (qtyStr == null) throw new NumberFormatException("no group")
+            item.quantity = Some(
+              if (qtyStr.contains('.')) QStr(qtyStr) else QInt(PyInt.parse(qtyStr)))
+          } catch { case _: NumberFormatException => () }
+          brk = true // break sits outside the try (construction.py:667)
+        }
+      }
+    }
+
+    // model (:670-685)
+    if (!item.modelNumber.exists(_.nonEmpty)) {
+      var brk = false
+      val it = modelPatterns.iterator
+      while (!brk && it.hasNext) {
+        rxI(it.next()).search(line).foreach { m =>
+          val groups = m.groups
+          if (groups.nonEmpty) {
+            var gi = groups.length - 1
+            var inner = false
+            while (gi >= 0 && !inner) {
+              val g = groups(gi)
+              if (g != null && PyStr.strip(g).nonEmpty) {
+                item.modelNumber = Some(PyStr.strip(g))
+                inner = true
+              }
+              gi -= 1
+            }
+          } else item.modelNumber = Some(PyStr.strip(m.group0))
+          brk = true
+        }
+      }
+    }
+
+    // dimensions (:689-717)
+    if (!item.dimensions.exists(_.nonEmpty)) {
+      var brk = false
+      val it = dimensionPatterns.iterator
+      while (!brk && it.hasNext) {
+        rxI(it.next()).search(line).foreach { m =>
+          val dimParts = m.groups.filter(g => g != null)
+            .map(PyStr.strip).filter(_.nonEmpty)
+          if (dimParts.nonEmpty) {
+            if (dimParts.length > 1) item.dimensions = Some(dimParts.mkString(" x "))
+            else {
+              val singleDim = dimParts.head
+              val isStandaloneNumber = rxS("""^\d+$""").matchesAt(PyStr.strip(singleDim))
+              val hasUnits = rxI(
+                "[\"\\']|ø|inch|inches|in|ft|feet|cm|mm|diameter|dia").containsMatch(singleDim)
+              val hasContext = rxI(
+                "(diameter|dia|OD|ID|inch|in|\"|\\'|ø|x\\s*\\d)").containsMatch(line)
+              if (hasUnits || (hasContext && !isStandaloneNumber))
+                item.dimensions = Some(singleDim)
+            }
+          }
+          brk = true
+        }
+      }
+    }
+
+    // mounting (:720-730)
+    if (!item.mountingType.exists(_.nonEmpty)) {
+      var brk = false
+      val it = mountingPatterns.iterator
+      while (!brk && it.hasNext) {
+        rxI(it.next()).search(line).foreach { m =>
+          val mounting0 = PyStr.strip(m.group0)
+          if (mounting0.nonEmpty) {
+            var mounting = rxS("""[-\s]+""").p.matcher(PyStr.lower(mounting0)).replaceAll("-")
+            mounting = mounting.replace("mounting", "mount").replace("hung", "mount")
+            item.mountingType = Some(PyStr.title(mounting))
+          }
+          brk = true
+        }
+      }
+    }
+
+    // spec (:733-758) — may overwrite page_number from a page reference
+    if (!item.specReference.exists(_.nonEmpty)) {
+      var brk = false
+      val it = specPatterns.iterator
+      while (!brk && it.hasNext) {
+        val pat = it.next()
+        rxI(pat).search(line).foreach { m =>
+          val groups = m.groups
+          val specStr =
+            if (groups.nonEmpty) PyStr.strip(groups.filter(g => g != null && g.nonEmpty).mkString(" "))
+            else PyStr.strip(m.group0)
+          if (specStr.nonEmpty) item.specReference = Some(specStr)
+          val patLower = PyStr.lower(pat)
+          if (patLower.contains("page") || patLower.contains("pg")) {
+            rxS("""\d+""").search(specStr).foreach { pm =>
+              try item.pageNumber = PyInt.parse(pm.group0)
+              catch { case _: NumberFormatException => () }
+            }
+          }
+          brk = true
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- P5 tables
+  /** parse_tables (construction.py:760-829). Cells are Option[String]
+    * (pdfplumber emits None for empty cells).
+    */
+  def parseTables(tables: Seq[Seq[Seq[Option[String]]]], pageNum: Long): List[RawItem] = {
+    val items = ArrayBuffer.empty[RawItem]
+    tables.zipWithIndex.foreach { case (table, tableIdx) =>
+      if (table != null && table.length >= 2) {
+        val headers = table.head.map {
+          case Some(cell) if cell.nonEmpty => PyStr.lower(PyStr.strip(cell))
+          case _                           => ""
+        }
+        // header → field map: first matching field wins per column (:789-795)
+        val headerMap = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+        headers.zipWithIndex.foreach { case (header, colIdx) =>
+          columnMapping.iterator
+            .find { case (_, keywords) => keywords.exists(header.contains) }
+            .foreach { case (field, _) => headerMap(colIdx) = field }
+        }
+
+        table.tail.zipWithIndex.foreach { case (row, rowIdx0) =>
+          val rowIdx = rowIdx0 + 1
+          var fixtureType: Option[String] = None
+          var quantity: Option[Qty] = None
+          var quantitySet = false
+          var model: Option[String] = None; var modelSet = false
+          var dims: Option[String] = None; var dimsSet = false
+          var mounting: Option[String] = None; var mountingSet = false
+          var spec: Option[String] = None; var specSet = false
+          var fixtureSet = false
+
+          row.zipWithIndex.foreach { case (cellOpt, colIdx) =>
+            headerMap.get(colIdx).foreach { field =>
+              val value = cellOpt.map(PyStr.strip).getOrElse("")
+              if (field == "quantity" && value.nonEmpty) {
+                // first \d+ in the cell (:812-815); no digits → key not set
+                rxS("""\d+""").search(value).foreach { qm =>
+                  quantity = Some(QInt(PyInt.parse(qm.group0))); quantitySet = true
+                }
+              } else {
+                val v = if (value.nonEmpty) Some(value) else None
+                field match {
+                  case "fixture_type"   => fixtureType = v; fixtureSet = true
+                  case "quantity"       => quantity = None; quantitySet = true // empty cell → explicit None
+                  case "model_number"   => model = v; modelSet = true
+                  case "dimensions"     => dims = v; dimsSet = true
+                  case "mounting_type"  => mounting = v; mountingSet = true
+                  case "spec_reference" => spec = v; specSet = true
+                  case _                => ()
+                }
+              }
+            }
+          }
+          val _ = (quantitySet, modelSet, dimsSet, mountingSet, specSet, fixtureSet)
+
+          val mk = (ft: Option[String]) => RawItem(ft, quantity, model, dims, mounting,
+            spec, pageNum, Some(tableIdx + 1L), Some(rowIdx.toLong), None, None)
+          // :819-827 — accept predicate uses Python truthiness
+          if (fixtureType.exists(_.nonEmpty) || quantity.exists(_.truthy) || model.exists(_.nonEmpty)) {
+            items += mk(fixtureType)
+          } else if (dims.exists(_.nonEmpty) || mounting.exists(_.nonEmpty) || spec.exists(_.nonEmpty)) {
+            if (row.nonEmpty && row.head.exists(_.nonEmpty)) {
+              items += mk(Some(PyStr.strip(row.head.get)))
+            }
+          }
+        }
+      }
+    }
+    items.toList
+  }
+}
