@@ -207,7 +207,7 @@ TABLE_POOL = [
     [
         ["Product", "Count", "Catalog #", "Length", "Location", "Class"],
         ["Copper Pipe", "40", "CU-12", "20'", "riser 2", "type L"],
-        ["Hanger Rod", "", "HR-38", "6'", "", "class 1"],
+        ["Hanger Rod", None, "HR-38", "6'", None, "class 1"],
     ],
     [
         ["Notes", "Misc"],

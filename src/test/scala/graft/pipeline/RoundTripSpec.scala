@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import graft.core.Assemble
+import graft.fixtures.{CorpusIO, PayloadGen}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The payload encoders and the engine's decoders must round-trip every
+  * corpus document: decode(encode(doc)) == doc.pages (texts, tables,
+  * width/height), hence extraction output stays byte-golden.
+  */
+class RoundTripSpec extends AnyFunSuite {
+
+  private lazy val docs = CorpusIO.load()
+
+  test("payload decode reproduces corpus pages byte-identically") {
+    var checked = 0
+    docs.foreach { d =>
+      val (_, _, html, text, _) = PayloadGen.row(d)
+      val dec = Decode.decode(html, text)
+      assert(dec.error.isEmpty, s"${d.url}: ${dec.error}")
+      assert(dec.pages.length == d.pages.length, s"${d.url}: page count ${dec.pages.length} != ${d.pages.length}")
+      dec.pages.zip(d.pages).foreach { case (got, want) =>
+        assert(got.text == want.text,
+          s"${d.url} [${d.payload}] page ${want.pageNum} text mismatch:\nwant: ${want.text.take(200)}\ngot:  ${got.text.take(200)}")
+        assert(got.tables == want.tables, s"${d.url} page ${want.pageNum} tables mismatch")
+        assert(got.width == want.width && got.height == want.height, s"${d.url} dims mismatch")
+      }
+      checked += 1
+    }
+    assert(checked == docs.length)
+  }
+
+  test("decoded pages reproduce golden JSON byte-identically") {
+    val goldenDir = java.nio.file.Paths.get(
+      Seq("src/test/resources/golden", "/root/repo/src/test/resources/golden")
+        .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))).get)
+    docs.foreach { d =>
+      val (_, _, html, text, _) = PayloadGen.row(d)
+      val dec = Decode.decode(html, text)
+      val actual = Assemble.renderDocument(dec.pages, d.mode)
+      val expected = new String(java.nio.file.Files.readAllBytes(
+        goldenDir.resolve(CorpusIO.docId(d.url) + ".json")), java.nio.charset.StandardCharsets.UTF_8)
+      assert(actual == expected, s"${d.url} [${d.payload}/${d.mode}] golden mismatch")
+    }
+  }
+
+  test("html spans address the emitted text") {
+    docs.filter(_.payload == "html").foreach { d =>
+      val (_, _, html, _, _) = PayloadGen.row(d)
+      val dec = Decode.decode(html, null)
+      val t = dec.pages.head.text
+      var prevEnd = -1L
+      dec.spans.foreach { s =>
+        assert(s.start >= 0 && s.end <= t.length && s.start <= s.end, s"${d.url} bad span $s")
+        assert(s.start > prevEnd || prevEnd == -1L, s"${d.url} overlapping span $s")
+        prevEnd = s.end
+      }
+      // spans cover every line block: reassembling span texts equals the text
+      val reassembled = dec.spans.map(s => t.substring(s.start.toInt, s.end.toInt)).mkString("\n")
+      assert(reassembled == t, s"${d.url} span reassembly mismatch")
+    }
+  }
+}
