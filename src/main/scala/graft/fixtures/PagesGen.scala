@@ -1,0 +1,40 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize the `pages` table (BASELINE.json input_hint schema:
+  * url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+  * from the deterministic corpus, written as Parquet partitioned by
+  * `bucket = pmod(xxhash64(url), B)` so the resumable per-bucket jobs get
+  * partition-pruned scans. `replicate` scales the corpus for benchmarks
+  * (urls suffixed ?r=N, payloads re-encoded per-url so variants differ);
+  * replicate=1 keeps the golden urls intact. Host-skew is embedded by the
+  * corpus generator (host-0 owns ~30% of urls).
+  */
+object PagesGen {
+
+  final case class PageRowOut(url: String, warc_ts: java.sql.Timestamp,
+                              html: Array[Byte], text: String, lang: String)
+
+  def rows(replicate: Int): Seq[PageRowOut] = {
+    val docs = CorpusIO.load()
+    (0 until replicate).flatMap { r =>
+      docs.map { d0 =>
+        val d = if (r == 0) d0 else d0.copy(url = s"${d0.url}?r=$r", warcTs = d0.warcTs + r)
+        val (url, ts, html, text, lang) = PayloadGen.row(d)
+        PageRowOut(url, new java.sql.Timestamp(ts * 1000L), html, text, lang)
+      }
+    }
+  }
+
+  def write(spark: SparkSession, path: String, replicate: Int, buckets: Int): Long = {
+    import spark.implicits._
+    val df = spark.createDataset(rows(replicate)).toDF()
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+    df.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    df.count()
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}
