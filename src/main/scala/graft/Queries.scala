@@ -1,0 +1,646 @@
+package graft
+
+import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
+import graft.html.Boilerplate
+import graft.ops.{TextDedup, TextStats, VectorSim}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-contract query catalog: every SQL-expressible operator from
+  * SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity
+  * search, text analysis) over /root/testdata tables, each with a DuckDB
+  * oracle that recomputes the identical arithmetic.
+  *
+  * Cross-engine determinism rules used throughout (so Spark parquet output
+  * hash-matches DuckDB):
+  *   - shared 60-bit portable hash: first 15 hex digits of md5 as BIGINT;
+  *   - all similarity scores from QUANTIZED integer vectors (exact integer
+  *     dot products; the only float ops are single divisions/sqrt on
+  *     identical integers);
+  *   - floor() rather than casts when leaving double (DuckDB casts round,
+  *     Spark casts truncate);
+  *   - every aggregate aliased identically in both dialects; every result
+  *     deterministically ordered.
+  */
+object Queries {
+
+  private val P = TextDedup.P // 1000000007
+  private def pg(dir: String, t: String) = s"$dir/$t.parquet"
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(pg(dir, "documents"))
+  private def embs(s: SparkSession, dir: String) = s.read.parquet(pg(dir, "embeddings"))
+
+  private val ph: Column => Column = TextDedup.portableHash
+
+  // ---------------------------------------------------------------- A1 stats
+  // Reference: get_statistics helpers.py:67-86 (per-document totals/avgs),
+  // lifted per-source. Words = whitespace-run split dropping empties
+  // (Python str.split() semantics).
+  private def qStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).as("total_chars"),
+      sum(TextStats.wordCountWs(col("text")).cast("long")).as("total_words"),
+      (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_chars")
+    ).orderBy("source")
+
+  private val oStats =
+    """SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_words,
+       CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+       FROM documents GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------------------- A2 summary
+  // Reference: _create_summary extraction_service.py:176-191 — conditional
+  // counts sum(when(...)), per lang.
+  private def qSummary(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("text").rlike("[0-9]"), 1L).otherwise(0L)).as("n_with_digit"),
+      sum(when(length(col("text")) < 100, 1L).otherwise(0L)).as("n_short"),
+      sum(when(col("text").contains("spark"), 1L).otherwise(0L)).as("n_with_kw")
+    ).orderBy("lang")
+
+  private val oSummary =
+    """SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_digit,
+       CAST(sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(sum(CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_kw
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  // ------------------------------------------------------------ O2 needs_ocr
+  // Reference: image-based-PDF detector pdf_text_extractor.py:114-125
+  // (first-page text < 50 chars).
+  private def qNeedsOcr(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(length(trim(col("text"))) < 50, 1L).otherwise(0L)).as("n_needs_ocr")
+    ).orderBy("lang")
+
+  private val oNeedsOcr =
+    """SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN length(trim(text)) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_needs_ocr
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  // ------------------------------------------------------------ O3 table gate
+  // Reference: table-indicator predicate pdf_text_extractor.py:167-182
+  // ('\t' present, or >15 '|', or >8 '│') gating the expensive branch.
+  private def qTableGate(s: SparkSession, dir: String): DataFrame = {
+    val nPipes = length(col("text")) - length(regexp_replace(col("text"), "\\|", ""))
+    docs(s, dir).select(
+      col("doc_id"),
+      nPipes.cast("long").as("n_pipes"),
+      (col("text").contains("\t") || nPipes > 15).as("gate")
+    ).orderBy("doc_id")
+  }
+
+  private val oTableGate =
+    """SELECT doc_id,
+       CAST(length(text) - length(replace(text, '|', '')) AS BIGINT) AS n_pipes,
+       (contains(text, chr(9)) OR (length(text) - length(replace(text, '|', ''))) > 15) AS gate
+       FROM documents ORDER BY doc_id"""
+
+  // ------------------------------------------------------------- F15 preview
+  // Reference: text_preview truncation extraction_service.py:197-200
+  // (first 200 chars + '...' only when longer than 200).
+  private def qPreview(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      when(length(col("text")) > 200, concat(substring(col("text"), 1, 200), lit("...")))
+        .otherwise(col("text")).as("preview")
+    ).orderBy("doc_id")
+
+  private val oPreview =
+    """SELECT doc_id,
+       CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...' ELSE text END AS preview
+       FROM documents ORDER BY doc_id"""
+
+  // ------------------------------------------------------------- P6 combine
+  // Reference: combine_pages_text helpers.py:53-64 ('\n\n'.join in order).
+  private def qCombine(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("source")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n\n").as("combined"))
+      .select(col("source"), md5(col("combined")).as("combined_md5"),
+        length(col("combined")).cast("long").as("combined_chars"))
+      .orderBy("source")
+
+  private val oCombine =
+    """SELECT source,
+       md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS combined_md5,
+       CAST(length(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS BIGINT) AS combined_chars
+       FROM documents GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------- F7-F12 entity extraction
+  // Reference patterns standard.py:13-18, full-match (group 0) variant; the
+  // Python findall-group quirk lives in the golden-tested core
+  // (graft.core.Entities). Entity-bearing text is constructed
+  // deterministically from the orders table — identical construction in both
+  // engines, so the regex engines are what is under test.
+  private def entityText: Column = concat(
+    lit("Contact user"), col("o_orderkey").cast("string"),
+    lit("@mail"), pmod(col("o_orderkey"), lit(5)).cast("string"), lit(".com on "),
+    date_format(col("o_orderdate"), "MM/dd/yyyy"),
+    lit(" pay $"), pmod(col("o_orderkey"), lit(100000)).cast("string"),
+    lit(" site https://ex"), pmod(col("o_custkey"), lit(7)).cast("string"), lit(".org/a b"))
+
+  private def qEntities(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(pg(dir, "orders"))
+      .withColumn("s", entityText)
+      .select(
+        col("o_orderkey"),
+        regexp_extract(col("s"), "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b", 0).as("email"),
+        regexp_extract(col("s"), "\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}", 0).as("dt"),
+        regexp_extract(col("s"), "\\$[\\d,]+\\.?\\d*", 0).as("cur"),
+        regexp_extract(col("s"), "https?://[^\\s]+", 0).as("url"),
+        size(regexp_extract_all(col("s"), lit("\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b"), lit(0)))
+          .cast("long").as("n_emails"))
+      .orderBy("o_orderkey").limit(2000)
+
+  private val oEntities =
+    """SELECT o_orderkey,
+       regexp_extract(s, '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b', 0) AS email,
+       regexp_extract(s, '\d{1,2}[/-]\d{1,2}[/-]\d{2,4}', 0) AS dt,
+       regexp_extract(s, '\$[\d,]+\.?\d*', 0) AS cur,
+       regexp_extract(s, 'https?://[^\s]+', 0) AS url,
+       CAST(len(regexp_extract_all(s, '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b', 0)) AS BIGINT) AS n_emails
+       FROM (SELECT o_orderkey,
+         'Contact user' || o_orderkey || '@mail' || (o_orderkey % 5) || '.com on ' ||
+         strftime(o_orderdate, '%m/%d/%Y') || ' pay $' || (o_orderkey % 100000) ||
+         ' site https://ex' || (o_custkey % 7) || '.org/a b' AS s
+         FROM orders)
+       ORDER BY o_orderkey LIMIT 2000"""
+
+  // ------------------------------------------------------- P2 context window
+  // Reference: prev/current/next sliding context construction.py:196-208 —
+  // the lag/lead-expressible part of the stateful fold.
+  private def qWindowCtx(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs(s, dir).select(
+      col("doc_id"), col("source"),
+      lag("doc_id", 1).over(w).as("prev_id"),
+      lead(length(col("text")).cast("long"), 1).over(w).as("next_len")
+    ).orderBy("doc_id")
+  }
+
+  private val oWindowCtx =
+    """SELECT doc_id, source,
+       lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev_id,
+       CAST(lead(length(text)) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS next_len
+       FROM documents ORDER BY doc_id"""
+
+  // ------------------------------------------------------ F13 key-value parse
+  // Reference: find_key_value_pairs standard.py:61-84 analog over the
+  // events.props JSON-ish strings.
+  private def qKvEvents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(pg(dir, "events"))
+      .withColumn("k_val", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k_val")).as("sum_k"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  private val oKvEvents =
+    """SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  // --------------------------------------------------------- sessionization
+  // Event-time gap sessionization (30 min) — lag over (user, ts) with
+  // event_id tiebreak; epoch-millis arithmetic is exact in both engines.
+  private def qSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    s.read.parquet(pg(dir, "events"))
+      // ts is TIMESTAMP_NTZ in the parquet; session TZ is UTC so the cast
+      // to instant is identity, and epoch-millis arithmetic is exact.
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        (sum(when(col("gap_ms") > 1800000L, 1L).otherwise(0L)) + 1L).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  private val oSessions =
+    """SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN gap_ms > 1800000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions
+       FROM (SELECT user_id,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+         FROM events)
+       GROUP BY user_id ORDER BY user_id"""
+
+  // --------------------------------------------------------- classic agg/join
+  // Catalyst bread-and-butter on the TPC-H-ish tables. l_quantity carries
+  // integral values, so sum(double) is order-independent-exact.
+  private def qAggLineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(pg(dir, "lineitem"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val oAggLineitem =
+    """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS n
+       FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+  private def qJoinOrders(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(pg(dir, "orders"))
+    val cust = s.read.parquet(pg(dir, "customer"))
+    orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val oJoinOrders =
+    """SELECT c_mktsegment, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_custs
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ------------------------------------------------------------- exact dedup
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique_texts"),
+      countDistinct(md5(array_join(slice(split(col("text"), " "), 1, 3), " ")))
+        .as("n_unique_prefixes")
+    ).orderBy("source")
+
+  private val oDedupExact =
+    """SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique_texts,
+       count(DISTINCT md5(array_to_string(str_split(text, ' ')[1:3], ' '))) AS n_unique_prefixes
+       FROM documents GROUP BY source ORDER BY source"""
+
+  // --------------------------------------------------------- minhash signatures
+  private def qMinhashSig(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashSignatures(
+      docs(s, dir).where(size(split(col("text"), " ")) >= 3),
+      "doc_id", "text", k = 8, shingleN = 3, hash = ph)
+      .orderBy("id")
+
+  private val oMinhashSig =
+    s"""SELECT id, list_transform(generate_series(0, 7),
+       j -> list_aggregate(list_transform(hs, h -> (h * (j*101 + 37) + (j*61 + 11)) % $P), 'min')) AS sig
+       FROM (SELECT doc_id AS id,
+         list_transform(
+           list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $P) AS hs
+         FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3)
+       ORDER BY id"""
+
+  // --------------------------------------------------------- minhash LSH pairs
+  private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashPairs(
+      TextDedup.minhashSignatures(
+        docs(s, dir).where(size(split(col("text"), " ")) >= 3),
+        "doc_id", "text", k = 8, shingleN = 3, hash = ph),
+      rowsPerBand = 2, minEstJaccard = 0.25)
+      .orderBy("id_a", "id_b")
+
+  private val oMinhashPairs =
+    s"""WITH sigs AS (
+         SELECT id, list_transform(generate_series(0, 7),
+           j -> list_aggregate(list_transform(hs, h -> (h * (j*101 + 37) + (j*61 + 11)) % $P), 'min')) AS sig
+         FROM (SELECT doc_id AS id,
+           list_transform(
+             list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+             x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $P) AS hs
+           FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3)),
+       banded AS (
+         SELECT id, sig, b.band, sig[2*b.band + 1] * $P + sig[2*b.band + 2] AS band_key
+         FROM sigs, generate_series(0, 3) b(band)),
+       cand AS (
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+       SELECT id_a, id_b,
+         list_sum(list_transform(generate_series(1, 8),
+           i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE / 8 AS est_jaccard
+       FROM cand JOIN sigs sa ON sa.id = id_a JOIN sigs sb ON sb.id = id_b
+       WHERE list_sum(list_transform(generate_series(1, 8),
+         i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE / 8 >= 0.25
+       ORDER BY id_a, id_b"""
+
+  // ------------------------------------------------------------------ simhash
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhash(docs(s, dir), "doc_id", "text", bits = 32, hash = ph)
+      .orderBy("id")
+
+  private val oSimhash =
+    """SELECT id,
+       list_sum(list_transform(generate_series(0, 31), i ->
+         CASE WHEN list_sum(list_transform(hs, h ->
+           CASE WHEN CAST(floor(h / pow(2, i)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+         THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END))::BIGINT AS simhash
+       FROM (SELECT doc_id AS id,
+         list_transform(str_split(text, ' '), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 4294967296) AS hs
+         FROM documents)
+       ORDER BY id"""
+
+  // ------------------------------------------------------ word-ngram jaccard
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.3)
+      .orderBy("id_a", "id_b")
+
+  private val oNgramJaccard =
+    """WITH sh AS (
+         SELECT doc_id AS id, unnest(list_distinct(
+           list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3),
+       sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       common AS (
+         SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+         FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+       SELECT id_a, id_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+       FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+       WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.3
+       ORDER BY id_a, id_b"""
+
+  // -------------------------------------------------------- cosine top-k ANN
+  private def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    VectorSim.cosineTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("nbr_id"), col("score"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val oCosineTopK =
+    """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor((x::DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+         FROM embeddings),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           (SELECT sum(q.v[g.i] * c.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+           (sqrt((SELECT sum(q.v[g.i] * q.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+            sqrt((SELECT sum(c.v[g.i] * c.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+         FROM qv q, qv c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       ranked AS (SELECT query_id, nbr_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS BIGINT) AS rank
+         FROM scored)
+       SELECT query_id, nbr_id, score, rank FROM ranked WHERE rank <= 5
+       ORDER BY query_id, rank"""
+
+  // ------------------------------------------------------------- LSH buckets
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    VectorSim.lshBuckets(embs(s, dir), "vec_id", "embedding", planes = 16)
+      .orderBy("bucket")
+
+  private val oAnnLsh =
+    """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor((x::DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+         FROM embeddings),
+       dots AS (
+         SELECT vec_id, t.j, sum(v[g.i] * (((t.j*64 + g.i) * 2654435761) % 1000003 % 19 - 9)) AS d
+         FROM qv, generate_series(0, 15) t(j), generate_series(1, 64) g(i)
+         GROUP BY vec_id, t.j),
+       sigs AS (
+         SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+         FROM dots GROUP BY vec_id)
+       SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_id
+       FROM sigs GROUP BY bucket ORDER BY bucket"""
+
+  // ----------------------------------------------------- embedding near-dups
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    VectorSim.nearDupPairs(embs(s, dir), "vec_id", "embedding", minCosine = 0.3)
+      .orderBy("id_a", "id_b")
+
+  private val oEmbedNearDup =
+    """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor((x::DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+         FROM embeddings),
+       scored AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           (SELECT sum(a.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+           (sqrt((SELECT sum(a.v[g.i] * a.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+            sqrt((SELECT sum(b.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+         FROM qv a, qv b WHERE a.vec_id < b.vec_id)
+       SELECT id_a, id_b, score FROM scored WHERE score >= 0.3
+       ORDER BY id_a, id_b"""
+
+  // -------------------------------------------------------------- language ID
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("pred", TextStats.langId(col("text")))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred")
+
+  private val oLangId =
+    """SELECT lang, pred, count(*) AS n_docs FROM (
+         SELECT lang,
+           CASE WHEN len(list_filter(str_split(text, ' '),
+             t -> list_contains(['the','a','an','of','and','to','in','is','it','for'], t)))::DOUBLE /
+             len(str_split(text, ' ')) >= 0.05
+           THEN 'en' ELSE 'unk' END AS pred
+         FROM documents)
+       GROUP BY lang, pred ORDER BY lang, pred"""
+
+  // ------------------------------------------------------------ quality score
+  private def qQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextStats.meanTokenLen(col("text")).as("mean_tok_len"),
+      TextStats.stopwordRatio(col("text")).as("stop_ratio"),
+      TextStats.punctRatio(col("text")).as("punct_ratio"),
+      TextStats.qualityScore(col("text")).as("quality")
+    ).orderBy("doc_id")
+
+  private val oQuality =
+    """SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS mean_tok_len,
+       sr AS stop_ratio, pr AS punct_ratio,
+       least(length(text)::DOUBLE / 400.0, 1.0) * 0.4 + least(sr * 10.0, 1.0) * 0.4 +
+         (1.0 - least(pr * 5.0, 1.0)) * 0.2 AS quality
+       FROM (SELECT doc_id, text, str_split(text, ' ') AS t,
+         len(list_filter(str_split(text, ' '),
+           x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x)))::DOUBLE /
+           len(str_split(text, ' ')) AS sr,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS pr
+         FROM documents)
+       ORDER BY doc_id"""
+
+  // ------------------------------------------------------------ token counts
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy("source").agg(
+      sum(TextStats.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+      sum(TextStats.bpeishCount(col("text")).cast("long")).as("bpeish_tokens")
+    ).orderBy("source")
+
+  private val oTokenCount =
+    """SELECT source,
+       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0))) AS BIGINT) AS bpeish_tokens
+       FROM documents GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------------------- fingerprint
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val fp = TextStats.fingerprint(col("text"), n = 8, hash = ph)
+    docs(s, dir).select(
+      col("doc_id"),
+      fp.getField("fp_min").as("fp_min"),
+      fp.getField("fp_max").as("fp_max"),
+      fp.getField("n_grams").cast("long").as("n_grams")
+    ).orderBy("doc_id")
+  }
+
+  private val oFingerprint =
+    """SELECT doc_id,
+       list_aggregate(g, 'min') AS fp_min,
+       list_aggregate(g, 'max') AS fp_max,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_grams
+       FROM (SELECT doc_id, list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+         i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS g
+         FROM documents)
+       ORDER BY doc_id"""
+
+  // ============================================================ rows-only ===
+  // Non-SQL-expressible operators (stateful fold P2/P3, Python-dialect
+  // regexes, HTML boilerplate strip) — exercised on driver data through the
+  // real parse core; correctness is pinned by the byte-golden suite instead.
+
+  /** P2/P3/F1-F6: the construction-item fold over a deterministic item-ish
+    * line synthesized per document plus the document text as context.
+    */
+  private def qConstructionItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val line = s"QTY: ${id % 9 + 1} EA VALVE PACKAGE MODEL VP-$id wall mounted"
+        val doc = line + "\n" + text
+        Construction.extractItems(doc, pageNum = 1).map { it =>
+          val raw = Assemble.validateItem(it)
+          (id, raw.fixtureType.getOrElse(""), raw.quantity.map(_.pyStr).getOrElse(""),
+            raw.modelNumber.getOrElse(""), raw.mountingType.getOrElse(""),
+            raw.lineNumber.getOrElse(-1L))
+        }
+      }
+      .toDF("doc_id", "fixture_type", "quantity", "model_number", "mounting_type", "line_number")
+      .orderBy("doc_id", "line_number")
+  }
+
+  /** F7-F12 with exact Python findall semantics (incl. the phone group
+    * quirk) through graft.core.Entities.
+    */
+  private def qStandardEntities(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(pg(dir, "orders"))
+      .withColumn("s", concat(entityText,
+        lit(" call (555) 123-4567 ssn 123-45-6789")))
+      .select(col("o_orderkey"), col("s")).as[(Long, String)]
+      .map { case (k, text) =>
+        val ents = Entities.extractEntities(text).toMap
+        (k,
+          ents.getOrElse("email", Nil).length.toLong,
+          ents.getOrElse("phone", Nil).length.toLong,
+          ents.getOrElse("date", Nil).length.toLong,
+          ents.getOrElse("phone", Nil).headOption.getOrElse(""),
+          ents.getOrElse("ssn", Nil).length.toLong)
+      }
+      .toDF("o_orderkey", "n_emails", "n_phones", "n_dates", "first_phone", "n_ssns")
+      .orderBy("o_orderkey").limit(2000)
+  }
+
+  /** HTML boilerplate strip over deterministic HTML wrapped around each
+    * document's text: nav/footer/link-farm must be removed, article kept.
+    */
+  private def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val html =
+          s"""<html><head><title>d$id</title><script>var x=1;</script></head><body>
+             |<nav><a href="/a">home</a> <a href="/b">about</a> <a href="/c">more</a></nav>
+             |<div class="sidebar"><a href="/x">x</a> <a href="/y">y</a></div>
+             |<article><p>$text</p></article>
+             |<footer>copyright</footer></body></html>""".stripMargin
+        val ex = Boilerplate.extract(html)
+        (id, ex.text.length.toLong, ex.spans.length.toLong,
+          ex.text.contains(text.take(40)),
+          1.0 - ex.text.length.toDouble / html.length)
+      }
+      .toDF("doc_id", "extracted_chars", "n_spans", "kept_main", "strip_ratio")
+      .orderBy("doc_id")
+  }
+
+  // ================================================================== catalog
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats" -> qStats _,
+    "q_summary" -> qSummary _,
+    "q_needs_ocr" -> qNeedsOcr _,
+    "q_table_gate" -> qTableGate _,
+    "q_preview" -> qPreview _,
+    "q_combine" -> qCombine _,
+    "q_entities_regex" -> qEntities _,
+    "q_window_ctx" -> qWindowCtx _,
+    "q_kv_events" -> qKvEvents _,
+    "q_sessions" -> qSessions _,
+    "q_agg_lineitem" -> qAggLineitem _,
+    "q_join_orders" -> qJoinOrders _,
+    "q_dedup_exact" -> qDedupExact _,
+    "q_minhash_sig" -> qMinhashSig _,
+    "q_minhash_pairs" -> qMinhashPairs _,
+    "q_simhash" -> qSimhash _,
+    "q_ngram_jaccard" -> qNgramJaccard _,
+    "q_cosine_topk" -> qCosineTopK _,
+    "q_ann_lsh" -> qAnnLsh _,
+    "q_embed_neardup" -> qEmbedNearDup _,
+    "q_lang_id" -> qLangId _,
+    "q_quality" -> qQuality _,
+    "q_token_count" -> qTokenCount _,
+    "q_fingerprint" -> qFingerprint _,
+    "q_construction_items" -> qConstructionItems _,
+    "q_standard_entities" -> qStandardEntities _,
+    "q_html_extract" -> qHtmlExtract _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stats" -> oStats,
+    "q_summary" -> oSummary,
+    "q_needs_ocr" -> oNeedsOcr,
+    "q_table_gate" -> oTableGate,
+    "q_preview" -> oPreview,
+    "q_combine" -> oCombine,
+    "q_entities_regex" -> oEntities,
+    "q_window_ctx" -> oWindowCtx,
+    "q_kv_events" -> oKvEvents,
+    "q_sessions" -> oSessions,
+    "q_agg_lineitem" -> oAggLineitem,
+    "q_join_orders" -> oJoinOrders,
+    "q_dedup_exact" -> oDedupExact,
+    "q_minhash_sig" -> oMinhashSig,
+    "q_minhash_pairs" -> oMinhashPairs,
+    "q_simhash" -> oSimhash,
+    "q_ngram_jaccard" -> oNgramJaccard,
+    "q_cosine_topk" -> oCosineTopK,
+    "q_ann_lsh" -> oAnnLsh,
+    "q_embed_neardup" -> oEmbedNearDup,
+    "q_lang_id" -> oLangId,
+    "q_quality" -> oQuality,
+    "q_token_count" -> oTokenCount,
+    "q_fingerprint" -> oFingerprint
+    // q_construction_items / q_standard_entities / q_html_extract: stateful
+    // fold + Python-dialect regex + HTML DOM — not ANSI-SQL-expressible;
+    // byte-golden tested instead (GoldenParitySpec, RoundTripSpec).
+  )
+
+  /** Flagship: the real extraction core (standard mode: statistics +
+    * entities + canonical JSON) over the documents table, one row per doc.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val pages = Vector(PageData(1L, text, None, None, Nil))
+        val json = graft.json.Canonical.render(Assemble.standardResult(pages))
+        (id, PyStr.countWords(text), json.length.toLong, json)
+      }
+      .toDF("doc_id", "n_words", "json_chars", "extracted_json")
+  }
+}

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale deduplication operators for a documents table
+  * (id, text). All pure Catalyst: shingling/hashing via higher-order
+  * functions, candidate generation via equi-joins on band hashes — no UDFs,
+  * no driver-side collection, so every stage scales horizontally.
+  *
+  * Two hash families are exposed:
+  *   - `fastHash`  : xxhash64 — the production default (codegen'd, cheap);
+  *   - `portableHash` : first 60 bits of md5 as a BIGINT — bit-identical in
+  *     Spark and DuckDB, used by the oracle-checked query variants.
+  *
+  * The greedy fuzzy matcher of the reference
+  * (/root/reference/extractor/services/extraction_service.py:360-411) is a
+  * different beast (order-dependent assignment, see graft.core); these
+  * operators are corpus-level near-dup detection à la MinHash/SimHash from
+  * the published literature (Broder 1997; Charikar 2002).
+  */
+object TextDedup {
+
+  /** Modulus for the universal-hash family: fits a*x+b in a BIGINT. */
+  val P: Long = 1000000007L
+
+  /** 60-bit portable string hash: identical in Spark and DuckDB
+    * (`('0x'||substr(md5(s),1,15))::BIGINT`). Positive, < 2^60.
+    */
+  def portableHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  def fastHash(s: Column): Column = xxhash64(s)
+
+  /** Whitespace tokens (documents corpus is single-spaced). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles of a token array. Guarded: Spark's
+    * sequence(1, stop) DESCENDS when stop < 1, so short docs get an empty
+    * array explicitly rather than a reversed range.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: group by a hash of the full text, keep the first id as
+    * the canonical representative. Scales: one shuffle on the 60-bit key.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String,
+                  hash: Column => Column = fastHash): DataFrame =
+    df.groupBy(hash(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+
+  /** MinHash signatures: k permutations h_j(x) = (a_j*x + b_j) mod P over
+    * the shingle-hash set, minimum per permutation. The permutation
+    * constants are data (deterministic), not randomness at runtime.
+    * Returns (id, sig: array<bigint> length k).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, shingleN: Int = 3,
+                        hash: Column => Column = fastHash): DataFrame = {
+    val sh = shingles(tokens(col(textCol)), shingleN)
+    // base = shingle hash reduced mod P (so a*x+b stays < 2^63)
+    val base = transform(sh, s => pmod(hash(s), lit(P)))
+    val sig = transform(
+      sequence(lit(0), lit(k - 1)),
+      j => {
+        val a = j * 101 + 37
+        val b = j * 61 + 11
+        array_min(transform(base, x => pmod(x * a + b, lit(P))))
+      })
+    df.select(col(idCol).as("id"), sig.as("sig"))
+      .where(col("sig").isNotNull && size(col("sig")) === k &&
+        !exists(col("sig"), _.isNull)) // docs shorter than one shingle drop out
+  }
+
+  /** LSH banding over minhash signatures: bands of `rowsPerBand` signature
+    * slots are combined into one band key; docs sharing any band key become
+    * candidate pairs; estimated Jaccard = fraction of equal signature slots.
+    * Candidate generation is an equi-join on (band index, band key) — the
+    * classic shuffle-friendly plan; no O(n^2) stage exists anywhere.
+    */
+  def minhashPairs(sigs: DataFrame, rowsPerBand: Int = 2,
+                   minEstJaccard: Double = 0.5): DataFrame = {
+    val k = rowsPerBand
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), (size(col("sig")) / k).cast("int") - 1),
+        b => {
+          // combine k consecutive sig slots into one band key (sig < P)
+          (0 until k).map(r => element_at(col("sig"), b * k + r + 1))
+            .reduce((acc, s) => acc * P + s)
+        })).as(Seq("band", "band_key")))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs.select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** SimHash (Charikar 2002) over token multiset, `bits` ≤ 32: per bit
+    * position, sum +1/-1 votes weighted by token occurrences; bit set if
+    * the vote is positive. Hash reduced below 2^32 so `div pow(2,i)` is
+    * exact in double in every engine.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 32,
+              hash: Column => Column = fastHash): DataFrame = {
+    val hs = transform(tokens(col(textCol)), t => pmod(hash(t), lit(4294967296L)))
+    val sim = aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, i) => {
+        val vote = aggregate(hs, lit(0L),
+          (v, h) => v + when((h.cast("double") / pow(lit(2.0), i.cast("double")))
+            .cast("long") % 2 === 1, 1L).otherwise(-1L))
+        acc + when(vote > 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(0L)
+      })
+    df.select(col(idCol).as("id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance. Candidate generation via
+    * chunk banding (pigeonhole: ≤ maxHamming differing bits spread over
+    * `chunks` chunks forces ≥1 equal chunk when chunks > maxHamming), then
+    * an exact Hamming check on the candidates — the standard
+    * shuffle-parallel plan (equi-join on chunk key, no cross join).
+    */
+  def simhashPairs(sh: DataFrame, bits: Int = 32, chunks: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    require(chunks > maxHamming, "pigeonhole needs chunks > maxHamming")
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    val banded = sh.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("simhash"), c * chunkBits)
+          .bitwiseAND(lit(mask)))).as(Seq("chunk", "chunk_key")))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_key") === col("b.chunk_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Hamming distance between two simhash columns. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Word n-gram Jaccard similarity join: explode distinct shingles,
+    * self-equi-join on shingle, |∩| per pair, |∪| = na + nb - |∩|.
+    * The join is on the shingle value — fully shuffle-parallel; a
+    * follow-up broadcast of per-doc sizes completes the ratio.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(tokens(col(textCol)), n)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val a = sh.alias("a"); val b = sh.alias("b")
+    val common = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+}

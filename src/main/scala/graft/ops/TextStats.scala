@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for a large-scale training-data pipeline:
+  * language ID (stopword heuristic), quality scoring (length / punctuation /
+  * stopword ratios), token counting (whitespace + BPE-ish regex), document
+  * fingerprinting (min/max of char-gram hashes — winnowing-lite).
+  *
+  * Everything here is a pure Column expression — stays inside
+  * WholeStageCodegen on the scan, no shuffle, no UDF. These are the
+  * corpus-statistics analogs of the reference's per-document statistics
+  * (/root/reference/extractor/utils/helpers.py:67-86) lifted to
+  * whole-corpus scale.
+  */
+object TextStats {
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  def toks(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count (Python str.split() analog over single-spaced
+    * text; the general whitespace-run version is `wordCountWs`).
+    */
+  def tokenCount(text: Column): Column = size(toks(text))
+
+  /** Python `len(s.split())` for arbitrary whitespace: split on runs,
+    * dropping empties at the ends.
+    */
+  def wordCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish subword count: alpha runs + digit runs + single punctuation
+    * marks, the shape a byte-pair tokenizer's pre-tokenizer uses.
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def stopwordHits(text: Column, stop: Seq[String] = EnglishStopwords): Column =
+    size(filter(toks(text), t => t.isin(stop: _*)))
+
+  /** Stopword ratio — the classic cheap language/quality signal. */
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text).cast("double") / tokenCount(text)
+
+  /** Heuristic language ID: stopword-hit ratio over an English function-word
+    * list; 'en' above threshold, 'unk' otherwise. (A real system uses
+    * per-language n-gram profiles; the operator shape — scan-side scalar
+    * classification — is identical.)
+    */
+  def langId(text: Column, threshold: Double = 0.05): Column =
+    when(stopwordRatio(text) >= threshold, "en").otherwise("unk")
+
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text)
+
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / length(text)
+
+  def meanTokenLen(text: Column): Column =
+    aggregate(toks(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      tokenCount(text)
+
+  /** Composite quality score in [0,1]-ish: rewards mid-length docs and
+    * function-word presence, penalizes punctuation/digit noise. The exact
+    * arithmetic shape is part of the contract (oracle recomputes it).
+    */
+  def qualityScore(text: Column): Column =
+    least(length(text).cast("double") / 400.0, lit(1.0)) * 0.4 +
+      least(stopwordRatio(text) * 10.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))) * 0.2
+
+  /** Character n-gram hashes of a document (the fingerprint alphabet). */
+  def charGramHashes(text: Column, n: Int = 8,
+                     hash: Column => Column = TextDedup.portableHash): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => hash(text.substr(i, lit(n))))
+
+  /** Rolling-hash document fingerprint: min & max char-8-gram hash plus the
+    * distinct gram count — a winnowing-style signature cheap enough to
+    * compute scan-side and strong enough for shard-level dedup triage.
+    */
+  def fingerprint(text: Column, n: Int = 8,
+                  hash: Column => Column = TextDedup.portableHash): Column = {
+    val grams = charGramHashes(text, n, hash)
+    struct(
+      array_min(grams).as("fp_min"),
+      array_max(grams).as("fp_max"),
+      size(array_distinct(grams)).as("n_grams"))
+  }
+}
