@@ -345,13 +345,15 @@ object Queries {
 
   // ------------------------------------------------------ word-ngram jaccard
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.3)
+    TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.3,
+        hash = ph)
       .orderBy("id_a", "id_b")
 
   private val oNgramJaccard =
     """WITH sh AS (
-         SELECT doc_id AS id, unnest(list_distinct(
-           list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         SELECT doc_id AS id, unnest(list_transform(list_distinct(
+           list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS s
          FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3),
        sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
        common AS (
@@ -477,15 +479,10 @@ object Queries {
        FROM documents GROUP BY source ORDER BY source"""
 
   // ------------------------------------------------------------- fingerprint
-  private def qFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val fp = TextStats.fingerprint(col("text"), n = 8, hash = ph)
-    docs(s, dir).select(
-      col("doc_id"),
-      fp.getField("fp_min").as("fp_min"),
-      fp.getField("fp_max").as("fp_max"),
-      fp.getField("n_grams").cast("long").as("n_grams")
-    ).orderBy("doc_id")
-  }
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextStats.fingerprintAgg(docs(s, dir), "doc_id", "text", n = 8, hash = ph)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
 
   private val oFingerprint =
     """SELECT doc_id,

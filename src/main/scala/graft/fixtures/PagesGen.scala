@@ -17,20 +17,35 @@ object PagesGen {
   final case class PageRowOut(url: String, warc_ts: java.sql.Timestamp,
                               html: Array[Byte], text: String, lang: String)
 
-  def rows(replicate: Int): Seq[PageRowOut] = {
+  /** `fat` multiplies each page's text (bench realism: real Common-Crawl
+    * pages are tens of KB, the golden corpus docs ~1 KB). fat=1 keeps the
+    * golden urls byte-exact.
+    */
+  def docsFor(r: Int, fat: Int): Seq[PageRowOut] = {
     val docs = CorpusIO.load()
-    (0 until replicate).flatMap { r =>
-      docs.map { d0 =>
-        val d = if (r == 0) d0 else d0.copy(url = s"${d0.url}?r=$r", warcTs = d0.warcTs + r)
-        val (url, ts, html, text, lang) = PayloadGen.row(d)
-        PageRowOut(url, new java.sql.Timestamp(ts * 1000L), html, text, lang)
-      }
+    docs.map { d1 =>
+      val d0 = if (fat <= 1) d1
+        else d1.copy(pages = d1.pages.map(p =>
+          p.copy(text = Iterator.fill(fat)(p.text).mkString("\n"))))
+      val d = if (r == 0) d0 else d0.copy(url = s"${d0.url}?r=$r", warcTs = d0.warcTs + r)
+      val (url, ts, html, text, lang) = PayloadGen.row(d)
+      PageRowOut(url, new java.sql.Timestamp(ts * 1000L), html, text, lang)
     }
   }
 
-  def write(spark: SparkSession, path: String, replicate: Int, buckets: Int): Long = {
+  def rows(replicate: Int): Seq[PageRowOut] =
+    (0 until replicate).flatMap(r => docsFor(r, 1))
+
+  /** Payload generation is distributed (one task per replica) — the corpus
+    * synthesis itself must not be a driver-side serial bottleneck at bench
+    * scale.
+    */
+  def write(spark: SparkSession, path: String, replicate: Int, buckets: Int,
+            fat: Int = 1): Long = {
     import spark.implicits._
-    val df = spark.createDataset(rows(replicate)).toDF()
+    val par = math.min(replicate, spark.sparkContext.defaultParallelism)
+    val df = spark.range(0, replicate, 1, par)
+      .as[Long].flatMap(r => docsFor(r.toInt, fat)).toDF()
       .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
     df.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
     df.count()

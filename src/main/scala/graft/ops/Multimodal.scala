@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video payloads ride through the engine as
+  * opaque BINARY columns with typed metadata, exactly like the pipeline's
+  * `html` payload column (BASELINE.json input_hint schema). Decode /
+  * feature-extraction runs batched inside a typed mapPartitions — the same
+  * single-opaque-region discipline as the text parse core, so the Spark-side
+  * plumbing (schema, partitioning, batch shape) is real and tested even
+  * though the codec itself is STUBBED here (no image/audio libraries exist
+  * in this sandbox).
+  *
+  * STUB CONTRACT: `decodeStub` derives deterministic pseudo-features from
+  * payload bytes. A real deployment swaps `decodeStub` for a JNI/codec call
+  * with the identical signature; nothing else changes.
+  */
+object Multimodal {
+
+  final case class MediaRow(id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      id: Long,
+      kind: String,
+      n_bytes: Long,
+      ok: Boolean,
+      features: Array[Float] // fixed-dim embedding per media item
+  )
+
+  /** Deterministic fake decoder standing in for the codec: folds payload
+    * bytes into `dim` accumulators. Total, never throws; a real decoder's
+    * failure path maps to ok=false exactly like the pipeline's error column.
+    */
+  def decodeStub(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (payload == null || payload.isEmpty) None
+    else {
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        acc(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val n = math.max(payload.length / dim, 1)
+      Some(acc.map(_ / n))
+    }
+  }
+
+  /** Batched feature extraction over a media table (id, kind, payload).
+    * Runs per-partition (one decoder init per partition, amortized — the
+    * batch shape a Python `mapInPandas`/vectorized-UDF equivalent uses);
+    * output keeps the input partitioning, no shuffle.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("id"), col("kind"), col("payload")).as[MediaRow]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (codec handle, model, …)
+        it.map { m =>
+          val feats = decodeStub(m.payload, dim)
+          MediaFeatures(m.id, m.kind,
+            if (m.payload == null) 0L else m.payload.length.toLong,
+            feats.isDefined, feats.getOrElse(Array.empty[Float]))
+        }
+      }
+  }
+
+  /** Media features → the similarity-search path: reuse VectorSim over the
+    * stub features (cosine top-k, LSH buckets) — the multimodal dedup story
+    * is the text story with a different front-end decode.
+    */
+  def mediaTopK(spark: SparkSession, media: DataFrame, k: Int = 5, dim: Int = 16): DataFrame = {
+    val feats = extractFeatures(spark, media, dim).toDF()
+      .where(col("ok")).select(col("id"), col("features"))
+    VectorSim.cosineTopK(feats, feats.limit(4), "id", "features", k = k, scale = 1000)
+  }
+}

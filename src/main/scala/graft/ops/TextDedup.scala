@@ -85,9 +85,12 @@ object TextDedup {
     * Candidate generation is an equi-join on (band index, band key) — the
     * classic shuffle-friendly plan; no O(n^2) stage exists anywhere.
     */
-  def minhashPairs(sigs: DataFrame, rowsPerBand: Int = 2,
+  def minhashPairs(sigs0: DataFrame, rowsPerBand: Int = 2,
                    minEstJaccard: Double = 0.5): DataFrame = {
     val k = rowsPerBand
+    // the signature computation feeds both sides of the self-join — persist
+    // so the (md5-heavy) shingle/minhash subtree runs once, not 2×
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(transform(
@@ -117,19 +120,26 @@ object TextDedup {
     * position, sum +1/-1 votes weighted by token occurrences; bit set if
     * the vote is positive. Hash reduced below 2^32 so `div pow(2,i)` is
     * exact in double in every engine.
+    *
+    * Single-pass shape: one aggregate traversal folds the token-hash array
+    * into a 32-slot vote vector, and the `finish` lambda (bound variable —
+    * evaluated once) assembles the bits. The naive per-bit formulation
+    * re-evaluates the token-hash transform `bits` times per row (HOF
+    * subtrees are not CSE'd): measured 8× slower at sf0.1.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 32,
               hash: Column => Column = fastHash): DataFrame = {
     val hs = transform(tokens(col(textCol)), t => pmod(hash(t), lit(4294967296L)))
+    def bitOf(h: Column, i: Column): Column =
+      floor(h.cast("double") / pow(lit(2.0), i.cast("double"))).cast("long") % 2
     val sim = aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, i) => {
-        val vote = aggregate(hs, lit(0L),
-          (v, h) => v + when((h.cast("double") / pow(lit(2.0), i.cast("double")))
-            .cast("long") % 2 === 1, 1L).otherwise(-1L))
-        acc + when(vote > 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(0L)
-      })
+      hs,
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+        (a, i) => a + when(bitOf(h, i) === 1, 1L).otherwise(-1L)),
+      votes => aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+        (a, i) => a + when(element_at(votes, i + 1) > 0,
+          pow(lit(2.0), i.cast("double")).cast("long")).otherwise(0L)))
     df.select(col(idCol).as("id"), sim.as("simhash"))
   }
 
@@ -166,9 +176,13 @@ object TextDedup {
     * follow-up broadcast of per-doc sizes completes the ratio.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+                        n: Int = 3, minJaccard: Double = 0.5,
+                        hash: Column => Column = fastHash): DataFrame = {
+    // join on the 60-bit shingle hash, not the string: the equi-join
+    // compares/shuffles 8-byte keys instead of variable-length text
     val sh = df.select(col(idCol).as("id"),
-        explode(shingles(tokens(col(textCol)), n)).as("s"))
+        explode(shingles(tokens(col(textCol)), n)).as("s0"))
+      .select(col("id"), hash(col("s0")).as("s"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val a = sh.alias("a"); val b = sh.alias("b")
     val common = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -91,4 +91,20 @@ object TextStats {
       array_max(grams).as("fp_max"),
       size(array_distinct(grams)).as("n_grams"))
   }
+
+  /** Corpus fingerprint table (id, fp_min, fp_max, n_grams) via
+    * explode + hash-aggregate: each gram is hashed exactly once (selecting
+    * the three fields of the `fingerprint` struct separately re-evaluates
+    * the gram array per field — HOF subtrees are not CSE'd), and the
+    * aggregation is the standard shuffle-parallel plan.
+    */
+  def fingerprintAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, n: Int = 8,
+                     hash: Column => Column = TextDedup.portableHash): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(charGramHashes(col(textCol), n, hash)).as("g"))
+      .groupBy("id").agg(
+        min(col("g")).as("fp_min"),
+        max(col("g")).as("fp_max"),
+        countDistinct(col("g")).as("n_grams"))
 }

@@ -67,20 +67,48 @@ object Extract {
     )
   }
 
+  /** Per-bucket extraction metrics, filled by accumulators during the write
+    * action itself — no second read-back job per bucket (at 1000 executors
+    * that extra scan per commit is pure scheduling overhead).
+    */
+  final case class Acc(docs: org.apache.spark.util.LongAccumulator,
+                       bytesIn: org.apache.spark.util.LongAccumulator,
+                       charsOut: org.apache.spark.util.LongAccumulator,
+                       errors: org.apache.spark.util.LongAccumulator)
+  def newAcc(spark: SparkSession): Acc = Acc(
+    spark.sparkContext.longAccumulator("docs"),
+    spark.sparkContext.longAccumulator("bytes_in"),
+    spark.sparkContext.longAccumulator("chars_out"),
+    spark.sparkContext.longAccumulator("errors"))
+
   /** Transform one bucket's pages into DocRows. Declarative pre/post ops;
     * the parse core is a typed mapPartitions (Catalyst object op).
     */
-  def extractBucket(spark: SparkSession, pages: DataFrame, cfg: Config, bucket: Int): Dataset[DocRow] = {
+  def extractBucket(spark: SparkSession, pages: DataFrame, cfg: Config, bucket: Int,
+                    acc: Option[Acc] = None): Dataset[DocRow] = {
     import spark.implicits._
     val p = if (cfg.parallelism > 0) cfg.parallelism
             else spark.sessionState.conf.numShufflePartitions
     val valid = pages
       .where(col("html").isNotNull || col("text").isNotNull) // O1 guard
       .select(col("url"), col("html"), col("text"))
-    // salted repartition by url-hash: host-skew cannot gang up on a task
-    val salted = valid.repartition(p, pmod(xxhash64(col("url")) + lit(cfg.salt), lit(p)))
+    // salted repartition by url-hash: host-skew cannot gang up on a task.
+    // The key must be entropy-independent of the table's bucket hash
+    // (bucket = xxhash64(url) % B): partitioning by pmod(xxhash64(url), p)
+    // would leave only p/B distinct key values inside one bucket and
+    // collapse the stage onto a fraction of its tasks — a measured 2×
+    // parallelism loss. Salting the hash input itself decorrelates.
+    val salted = valid.repartition(p,
+      xxhash64(concat(col("url"), lit("#" + cfg.salt))))
     salted.as[(String, Array[Byte], String)].mapPartitions { it =>
-      it.map { case (url, html, text) => parseRow(url, html, text, bucket, cfg.mode) }
+      it.map { case (url, html, text) =>
+        val row = parseRow(url, html, text, bucket, cfg.mode)
+        acc.foreach { a =>
+          a.docs.add(1L); a.bytesIn.add(row.bytes_in); a.charsOut.add(row.chars_out)
+          if (row.error != null) a.errors.add(1L)
+        }
+        row
+      }
     }
   }
 
@@ -112,18 +140,15 @@ object Extract {
         val t0 = System.nanoTime()
         // partition-pruned scan: only this bucket's files are read
         val pages = spark.read.parquet(pagesRoot).where(col("bucket") === b)
-        val out = extractBucket(spark, pages, cfg, b)
+        val acc = newAcc(spark)
+        val out = extractBucket(spark, pages, cfg, b, Some(acc))
         val dir = table.dataDir(snapshotId, b)
         out.write.mode("overwrite").parquet(dir.toString)
-        // metrics from the written files (no recompute of the parse)
-        val row = spark.read.parquet(dir.toString).agg(
-          count(lit(1)), sum("bytes_in"), sum("chars_out"),
-          sum(when(col("error").isNotNull, 1L).otherwise(0L))).head()
+        // metrics come from accumulators filled during the write action —
+        // no read-back job per bucket
         val secs = (System.nanoTime() - t0) / 1e9
-        val bm = BucketMetrics(b, row.getLong(0),
-          if (row.isNullAt(1)) 0L else row.getLong(1),
-          if (row.isNullAt(2)) 0L else row.getLong(2),
-          if (row.isNullAt(3)) 0L else row.getLong(3), secs)
+        val bm = BucketMetrics(b, acc.docs.value, acc.bytesIn.value,
+          acc.charsOut.value, acc.errors.value, secs)
         version += 1
         metrics = metrics :+ bm
         dataDirs = dataDirs :+ s"data/snap-$snapshotId/bucket=$b"

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the training-data-pipeline operators (dedup, similarity,
+  * text analysis, multimodal plumbing) on tiny hand-checkable inputs.
+  * Cross-engine exactness of the same operators is covered separately by
+  * the DuckDB oracle sweep (scripts/check_oracle.py / graft.Verify).
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ops")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ------------------------------------------------------------------ dedup
+
+  test("exactGroups groups identical texts and keeps min id as canonical") {
+    val df = docsDf(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val g = TextDedup.exactGroups(df, "doc_id", "text").collect()
+    assert(g.length == 2)
+    val dup = g.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 1L) // canonical = min(doc_id)
+  }
+
+  test("shingles: distinct 3-grams in order, short docs empty") {
+    val df = docsDf(1L -> "a b c d", 2L -> "a b")
+    val out = df.select(col("doc_id"),
+        TextDedup.shingles(TextDedup.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L).isEmpty)
+  }
+
+  test("minhash: identical docs get identical signatures; est_jaccard 1.0") {
+    val df = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "an utterly different stream of words with no overlap at all")
+    val sigs = TextDedup.minhashSignatures(df, "doc_id", "text")
+    val m = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+    val pairs = TextDedup.minhashPairs(sigs, rowsPerBand = 2, minEstJaccard = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: equal for identical docs, near for near-dups, pairs found") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val df = docsDf(1L -> base, 2L -> base, 3L -> (base + " one extra token"),
+      4L -> "completely other content everywhere nothing shared here at all ok")
+    val sh = TextDedup.simhash(df, "doc_id", "text")
+    val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    val hammingNear = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    val hammingFar = java.lang.Long.bitCount(m(1L) ^ m(4L))
+    assert(hammingNear < hammingFar)
+    val pairs = TextDedup.simhashPairs(sh, chunks = 8,
+        maxHamming = math.min(math.max(hammingNear, 1), 7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs computes the exact ratio") {
+    // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} → jaccard = 1/3
+    val df = docsDf(1L -> "a b c d", 2L -> "a b c e")
+    val p = TextDedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, minJaccard = 0.0)
+      .collect()
+    assert(p.length == 1)
+    assert(math.abs(p.head.getDouble(2) - 1.0 / 3.0) < 1e-15)
+  }
+
+  // ------------------------------------------------------------- similarity
+
+  private def embDf(rows: (Long, Seq[Float])*): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("quantize + cosine: identical vectors score 1.0, orthogonal 0.0") {
+    val df = embDf(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f), 3L -> Seq(0.9f, 0.1f, 0f, 0f))
+    val top = VectorSim.cosineTopK(df, df.where(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L)) // dup, near, orthogonal
+    assert(top(0).getDouble(2) == 1.0)
+    assert(top(2).getDouble(2) == 0.0)
+  }
+
+  test("nearDupPairs finds the planted duplicate only, at 0.99") {
+    val df = embDf(
+      0L -> Seq(0.5f, 0.5f, 0f, 0f), 1L -> Seq(0.5f, 0.5f, 0f, 0f),
+      2L -> Seq(0f, 0f, 0.7f, -0.7f))
+    val p = VectorSim.nearDupPairs(df, "vec_id", "embedding", minCosine = 0.99).collect()
+    assert(p.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+  }
+
+  test("lshBuckets: identical vectors share a bucket; annTopK finds the dup") {
+    val df = embDf(
+      0L -> Seq(0.3f, -0.2f, 0.9f, 0.1f), 1L -> Seq(0.3f, -0.2f, 0.9f, 0.1f),
+      2L -> Seq(-0.8f, 0.1f, -0.3f, 0.5f), 3L -> Seq(-0.8f, 0.2f, -0.3f, 0.5f))
+    val buckets = VectorSim.lshBuckets(df, "vec_id", "embedding", planes = 8)
+    assert(buckets.agg(sum("n_vecs")).head().getLong(0) == 4L)
+    assert(buckets.where(col("n_vecs") >= 2).count() >= 1) // 0,1 collide by construction
+    val ann = VectorSim.annTopK(df, df.where(col("vec_id") === 0), "vec_id", "embedding",
+      k = 2, planes = 8).collect()
+    assert(ann.nonEmpty && ann.head.getLong(1) == 1L && ann.head.getDouble(2) == 1.0)
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = docsDf(1L -> "Hello, world! x2 done")
+    val r = df.select(
+      TextStats.tokenCount(col("text")).as("ws"),
+      TextStats.bpeishCount(col("text")).as("bpe")).head()
+    assert(r.getInt(0) == 4)
+    // Hello , world ! x 2 done → 7
+    assert(r.getInt(1) == 7)
+  }
+
+  test("langId flags stopword-rich text as en") {
+    val df = docsDf(
+      1L -> "the cat sat on the mat and it is a fine day for all of us",
+      2L -> "zork blug quux fizz wibble")
+    val m = df.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en" && m(2L) == "unk")
+  }
+
+  test("qualityScore is in [0,1] and ranks clean text above noise") {
+    val clean = "the quick brown fox jumps over the lazy dog and it is a good day " * 4
+    val noise = "@#$% ^&*! ~~~ ||| 12 )( ** !!"
+    val df = docsDf(1L -> clean, 2L -> noise)
+    val m = df.select(col("doc_id"), TextStats.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(m(1L) > m(2L))
+  }
+
+  test("fingerprint: identical text → identical fp; differing text differs") {
+    val df = docsDf(1L -> ("abcdefgh" * 4), 2L -> ("abcdefgh" * 4), 3L -> ("zyxwvuts" * 4))
+    val fp = df.select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    // "abcdefgh"*4 sliding 8-grams have exactly 8 distinct values
+    assert(fp(1L).getInt(2) == 8)
+  }
+
+  // -------------------------------------------------------------- multimodal
+
+  test("multimodal: stub decode is deterministic, total, schema-stable") {
+    val s = spark; import s.implicits._
+    val media = Seq(
+      (1L, "image", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
+      (2L, "image", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
+      (3L, "audio", Array.empty[Byte]),
+      (4L, "video", null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "kind", "payload").repartition(3)
+    val out = Multimodal.extractFeatures(spark, media, dim = 4)
+    val rows = out.collect().map(r => r.id -> r).toMap
+    assert(rows(1L).ok && rows(2L).ok && !rows(3L).ok && !rows(4L).ok)
+    assert(rows(1L).features.toSeq == rows(2L).features.toSeq) // deterministic
+    assert(rows(1L).features.length == 4)
+    assert(rows(4L).n_bytes == 0L)
+    // feeds the similarity path end-to-end
+    val top = Multimodal.mediaTopK(spark, media, k = 1, dim = 4).collect()
+    assert(top.nonEmpty && top.head.getDouble(2) == 1.0) // 1↔2 are duplicates
+  }
+}
