@@ -23,6 +23,9 @@ object Tokenizer {
     val n = html.length
     var i = 0
     val text = new java.lang.StringBuilder
+    // lowercased once: searching the close tag of every script/style block
+    // on a per-block html.toLowerCase was O(n^2) on script-heavy pages
+    lazy val lower = html.toLowerCase
 
     def flushText(): Unit =
       if (text.length > 0) { out += TText(decodeEntities(text.toString)); text.setLength(0) }
@@ -50,7 +53,7 @@ object Tokenizer {
             case Some(st @ TStart(name, _, false)) if rawTextTags(name) =>
               out += st
               val close = s"</$name"
-              val idx = html.toLowerCase.indexOf(close, i)
+              val idx = lower.indexOf(close, i)
               val stop = if (idx < 0) n else idx
               // raw text content is dropped from the text stream (script/style)
               out += TText("") // placeholder keeps token count stable; ignored downstream
@@ -110,6 +113,9 @@ object Tokenizer {
           }
         }
         if (aName.nonEmpty) attrs(aName) = decodeEntities(aVal)
+        // progress guard: a bare '/' not followed by '>' (e.g. "<a /x>")
+        // yields an empty attr name and would otherwise loop forever
+        else if (aVal.isEmpty && i < n && html.charAt(i) == '/') i += 1
       } else done = true
     }
     val tok = if (isEnd) TEnd(name) else TStart(name, attrs.toMap, selfClosing)
