@@ -44,6 +44,22 @@ object Extract {
       poisonAfterBuckets: Int = -1
   )
 
+  /** Page-boundary spans into the '\n\n'-joined extracted text — the span
+    * contract for payloads whose decoder has no finer block structure
+    * (pdf/text); HTML payloads carry block-level spans from the
+    * boilerplate scorer instead.
+    */
+  private def pageSpans(pages: Seq[graft.core.PageData]): Vector[SpanRow] = {
+    var off = 0L
+    val out = Vector.newBuilder[SpanRow]
+    pages.foreach { p =>
+      val len = p.text.length.toLong
+      out += SpanRow(off, off + len, "page")
+      off += len + 2 // the "\n\n" joiner
+    }
+    out.result()
+  }
+
   /** Pure per-row parse — the single opaque (non-Catalyst) region. */
   def parseRow(url: String, html: Array[Byte], text: String, bucket: Int, mode: String): DocRow = {
     val dec = Decode.decode(html, text)
@@ -59,7 +75,9 @@ object Extract {
       n_pages = dec.pages.length,
       extracted_text = Assemble.combinePagesText(dec.pages),
       extracted_json = json,
-      spans = dec.spans.map(s => SpanRow(s.start, s.end, s.kind)),
+      spans =
+        if (dec.spans.nonEmpty) dec.spans.map(s => SpanRow(s.start, s.end, s.kind))
+        else pageSpans(dec.pages),
       bytes_in = dec.bytesIn,
       chars_out = dec.charsOut,
       needs_ocr = dec.needsOcr,

@@ -44,6 +44,28 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("every payload kind emits spans addressing the extracted text") {
+    docs.foreach { d =>
+      val (_, _, html, text, _) = PayloadGen.row(d)
+      val row = Extract.parseRow(d.url, html, text, 0, d.mode)
+      val t = row.extracted_text
+      assert(row.spans.nonEmpty == t.nonEmpty || row.n_pages > 0, s"${d.url}: no spans")
+      row.spans.foreach { s =>
+        assert(s.start >= 0 && s.start <= s.end && s.end <= t.length,
+          s"${d.url} [${d.payload}] bad span $s for text of ${t.length}")
+      }
+      if (d.payload != "html") {
+        // page spans: substring at each span equals that page's text
+        assert(row.spans.length == d.pages.length)
+        row.spans.zip(d.pages).foreach { case (s, p) =>
+          assert(t.substring(s.start.toInt, s.end.toInt) == p.text,
+            s"${d.url} page-span text mismatch")
+          assert(s.kind == "page")
+        }
+      }
+    }
+  }
+
   test("html spans address the emitted text") {
     docs.filter(_.payload == "html").foreach { d =>
       val (_, _, html, _, _) = PayloadGen.row(d)
