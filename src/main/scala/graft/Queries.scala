@@ -543,6 +543,23 @@ object Queries {
       .orderBy("o_orderkey").limit(2000)
   }
 
+  /** The custom Catalyst Expression py_findall (Python findall semantics,
+    * graft.functions.PyFindAll) driven through SQL — entity counts with the
+    * group quirk intact. Python-dialect semantics → no DuckDB oracle;
+    * agreement with the golden-tested core is PyFindAllSpec.
+    */
+  private def qPyFindall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.PyFindAll.register(s)
+    s.read.parquet(pg(dir, "orders"))
+      .withColumn("s", concat(entityText, lit(" tel (555) 123-4567")))
+      .selectExpr(
+        "o_orderkey",
+        raw"size(py_findall(s, '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b')) AS n_emails",
+        raw"py_findall(s, '(\\+?\\d{1,3}[-.\\s]?)?\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}') AS phones",
+        raw"size(py_findall(s, '\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}')) AS n_dates")
+      .orderBy("o_orderkey").limit(1000)
+  }
+
   /** HTML boilerplate strip over deterministic HTML wrapped around each
     * document's text: nav/footer/link-farm must be removed, article kept.
     */
@@ -593,7 +610,8 @@ object Queries {
     "q_fingerprint" -> qFingerprint _,
     "q_construction_items" -> qConstructionItems _,
     "q_standard_entities" -> qStandardEntities _,
-    "q_html_extract" -> qHtmlExtract _
+    "q_html_extract" -> qHtmlExtract _,
+    "q_py_findall" -> qPyFindall _
   )
 
   val oracleSql: Map[String, String] = Map(
