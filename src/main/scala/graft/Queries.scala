@@ -90,17 +90,19 @@ object Queries {
   // ('\t' present, or >15 '|', or >8 '│') gating the expensive branch.
   private def qTableGate(s: SparkSession, dir: String): DataFrame = {
     val nPipes = length(col("text")) - length(regexp_replace(col("text"), "\\|", ""))
+    val nBox = length(col("text")) - length(regexp_replace(col("text"), "│", ""))
     docs(s, dir).select(
       col("doc_id"),
       nPipes.cast("long").as("n_pipes"),
-      (col("text").contains("\t") || nPipes > 15).as("gate")
+      (col("text").contains("\t") || nPipes > 15 || nBox > 8).as("gate")
     ).orderBy("doc_id")
   }
 
   private val oTableGate =
     """SELECT doc_id,
        CAST(length(text) - length(replace(text, '|', '')) AS BIGINT) AS n_pipes,
-       (contains(text, chr(9)) OR (length(text) - length(replace(text, '|', ''))) > 15) AS gate
+       (contains(text, chr(9)) OR (length(text) - length(replace(text, '|', ''))) > 15
+        OR (length(text) - length(replace(text, chr(9474), ''))) > 8) AS gate
        FROM documents ORDER BY doc_id"""
 
   // ------------------------------------------------------------- F15 preview
@@ -279,15 +281,19 @@ object Queries {
        FROM documents GROUP BY source ORDER BY source"""
 
   // --------------------------------------------------------- minhash signatures
+  // sig is array<bigint>; projected through array_join because the driver's
+  // pandas compare cannot sort ndarray cells (round-1 red row) — the math
+  // under test is identical, the hash now covers the CSV rendering.
   private def qMinhashSig(s: SparkSession, dir: String): DataFrame =
     TextDedup.minhashSignatures(
       docs(s, dir).where(size(split(col("text"), " ")) >= 3),
       "doc_id", "text", k = 8, shingleN = 3, hash = ph)
+      .select(col("id"), array_join(col("sig"), ",").as("sig_csv"))
       .orderBy("id")
 
   private val oMinhashSig =
-    s"""SELECT id, list_transform(generate_series(0, 7),
-       j -> list_aggregate(list_transform(hs, h -> (h * (j*101 + 37) + (j*61 + 11)) % $P), 'min')) AS sig
+    s"""SELECT id, array_to_string(list_transform(generate_series(0, 7),
+       j -> list_aggregate(list_transform(hs, h -> (h * (j*101 + 37) + (j*61 + 11)) % $P), 'min')), ',') AS sig_csv
        FROM (SELECT doc_id AS id,
          list_transform(
            list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
@@ -555,7 +561,9 @@ object Queries {
       .selectExpr(
         "o_orderkey",
         raw"size(py_findall(s, '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b')) AS n_emails",
-        raw"py_findall(s, '(\\+?\\d{1,3}[-.\\s]?)?\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}') AS phones",
+        // findall returns the group-1 values (often '') — joined to a scalar
+        // string because the driver's pandas compare cannot sort array cells
+        raw"array_join(py_findall(s, '(\\+?\\d{1,3}[-.\\s]?)?\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}'), '|') AS phones",
         raw"size(py_findall(s, '\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}')) AS n_dates")
       .orderBy("o_orderkey").limit(1000)
   }
@@ -646,10 +654,14 @@ object Queries {
 
   /** Flagship: the real extraction core (standard mode: statistics +
     * entities + canonical JSON) over the documents table, one row per doc.
+    * Driver contract pins sf0.001 as the default; overridable for local use.
     */
-  def entry(spark: SparkSession): DataFrame = {
+  def entry(spark: SparkSession): DataFrame =
+    entry(spark, sys.env.getOrElse("SPARK_GRAFT_ENTRY_DIR", "/root/testdata/sf0.001"))
+
+  def entry(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, "/root/testdata/sf0.001")
+    docs(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val pages = Vector(PageData(1L, text, None, None, Nil))

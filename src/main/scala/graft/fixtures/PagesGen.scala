@@ -48,7 +48,9 @@ object PagesGen {
       .as[Long].flatMap(r => docsFor(r.toInt, fat)).toDF()
       .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
     df.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
-    df.count()
+    // count from the written files (footer metadata) — df.count() would
+    // re-execute the whole distributed payload synthesis a second time
+    spark.read.parquet(path).count()
   }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)

@@ -25,6 +25,19 @@ object TextDedup {
   /** Modulus for the universal-hash family: fits a*x+b in a BIGINT. */
   val P: Long = 1000000007L
 
+  /** Ledger of DataFrames this module persisted on callers' behalf.
+    * Long-lived sessions that run many dedup pipelines (Verify, Bench)
+    * call releaseCaches() between pipelines so cached signature tables
+    * don't accumulate until eviction pressure.
+    */
+  private val pendingCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def registerCache(df: DataFrame): Unit = pendingCaches.add(df)
+  def releaseCaches(): Unit = {
+    var df = pendingCaches.poll()
+    while (df != null) { df.unpersist(false); df = pendingCaches.poll() }
+  }
+
   /** 60-bit portable string hash: identical in Spark and DuckDB
     * (`('0x'||substr(md5(s),1,15))::BIGINT`). Positive, < 2^60.
     */
@@ -88,9 +101,19 @@ object TextDedup {
   def minhashPairs(sigs0: DataFrame, rowsPerBand: Int = 2,
                    minEstJaccard: Double = 0.5): DataFrame = {
     val k = rowsPerBand
+    // positional band-key packing acc*P + s needs P^k < 2^63: k=2 gives
+    // ~1e18 < 9.2e18, k=3 would silently wrap Long (and DuckDB BIGINT
+    // multiplication errors instead of wrapping, breaking oracle parity)
+    require(rowsPerBand >= 1 && rowsPerBand <= 2,
+      s"rowsPerBand must be 1 or 2 (positional band key overflows P^$rowsPerBand); " +
+        "widen by hashing the slot struct instead if more rows per band are needed")
     // the signature computation feeds both sides of the self-join — persist
-    // so the (md5-heavy) shingle/minhash subtree runs once, not 2×
+    // so the (md5-heavy) shingle/minhash subtree runs once, not 2×.
+    // Cache ownership: registered in `pendingCaches`; callers that issue
+    // many pipelines in one session release with releaseCaches() after
+    // materializing the pairs (Verify/Bench do).
     val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(sigs)
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(transform(
