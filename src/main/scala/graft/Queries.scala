@@ -349,6 +349,33 @@ object Queries {
          FROM documents)
        ORDER BY id"""
 
+  // --------------------------------------------------------- simhash pairs
+  // The chunk-banded Hamming join (pigeonhole-exact: hamming ≤ 3 over 4
+  // chunks forces ≥1 equal chunk, so candidate gen via equi-join on chunk
+  // key loses nothing). Oracle: brute-force all-pairs Hamming in DuckDB —
+  // identical output by the pigeonhole argument.
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(
+      TextDedup.simhash(docs(s, dir), "doc_id", "text", bits = 32, hash = ph),
+      bits = 32, chunks = 4, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  private val oSimhashPairs =
+    """WITH sh AS (
+         SELECT id,
+           list_sum(list_transform(generate_series(0, 31), i ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+               CASE WHEN CAST(floor(h / pow(2, i)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END))::BIGINT AS simhash
+         FROM (SELECT doc_id AS id,
+           list_transform(str_split(text, ' '), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 4294967296) AS hs
+           FROM documents))
+       SELECT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       FROM sh a JOIN sh b ON a.id < b.id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ORDER BY id_a, id_b"""
+
   // ------------------------------------------------------ word-ngram jaccard
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.3,
@@ -411,9 +438,52 @@ object Queries {
        SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_id
        FROM sigs GROUP BY bucket ORDER BY bucket"""
 
+  // ----------------------------------------------------------- ANN via LSH
+  // The sub-quadratic ANN path: candidates share the query's SRP-LSH bucket
+  // (equi-join), exact quantized-cosine rerank within bucket. The oracle
+  // recomputes the identical signature arithmetic in DuckDB, so the
+  // approximate CONTRACT (bucket-sharing candidates only) is itself what's
+  // verified — both engines agree bit-for-bit on who shares a bucket.
+  private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    VectorSim.annTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, planes = 8)
+      .select(col("query_id"), col("nbr_id"), col("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val oAnnTopK =
+    """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor((x::DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+         FROM embeddings),
+       dots AS (
+         SELECT vec_id, t.j, sum(v[g.i] * (((t.j*64 + g.i) * 2654435761) % 1000003 % 19 - 9)) AS d
+         FROM qv, generate_series(0, 7) t(j), generate_series(1, 64) g(i)
+         GROUP BY vec_id, t.j),
+       sigs AS (
+         SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+         FROM dots GROUP BY vec_id),
+       cand AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           (SELECT sum(a.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+           (sqrt((SELECT sum(a.v[g.i] * a.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+            sqrt((SELECT sum(b.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+         FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         JOIN qv a ON a.vec_id = q.vec_id JOIN qv b ON b.vec_id = c.vec_id
+         WHERE q.vec_id < 10),
+       ranked AS (SELECT query_id, nbr_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS BIGINT) AS rank
+         FROM cand)
+       SELECT query_id, nbr_id, score, rank FROM ranked WHERE rank <= 5
+       ORDER BY query_id, rank"""
+
   // ----------------------------------------------------- embedding near-dups
+  // Spark side: the block-replicated theta join (equi-join on block-pair
+  // keys — no BroadcastNestedLoopJoin; NearDupPlanSpec asserts the plan).
+  // Oracle: the brute-force formulation — identical output by construction.
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
-    VectorSim.nearDupPairs(embs(s, dir), "vec_id", "embedding", minCosine = 0.3)
+    VectorSim.nearDupPairsBlocked(embs(s, dir), "vec_id", "embedding",
+        minCosine = 0.3, blocks = 16)
       .orderBy("id_a", "id_b")
 
   private val oEmbedNearDup =
@@ -608,9 +678,11 @@ object Queries {
     "q_minhash_sig" -> qMinhashSig _,
     "q_minhash_pairs" -> qMinhashPairs _,
     "q_simhash" -> qSimhash _,
+    "q_simhash_pairs" -> qSimhashPairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
+    "q_ann_topk" -> qAnnTopK _,
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
@@ -639,9 +711,11 @@ object Queries {
     "q_minhash_sig" -> oMinhashSig,
     "q_minhash_pairs" -> oMinhashPairs,
     "q_simhash" -> oSimhash,
+    "q_simhash_pairs" -> oSimhashPairs,
     "q_ngram_jaccard" -> oNgramJaccard,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
+    "q_ann_topk" -> oAnnTopK,
     "q_embed_neardup" -> oEmbedNearDup,
     "q_lang_id" -> oLangId,
     "q_quality" -> oQuality,

@@ -102,14 +102,51 @@ object VectorSim {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold. Brute-force
-    * O(n^2) formulation for oracle-checkable small scale; the scale path is
-    * annTopK/lshBuckets (equi-join on bucket). Self-pairs excluded, a < b.
+    * O(n^2) formulation: the join has no equi key, so Catalyst plans a
+    * BroadcastNestedLoopJoin — kept ONLY as the small-scale reference
+    * formulation (it is the DuckDB oracle's shape). Production path:
+    * [[nearDupPairsBlocked]]. Self-pairs excluded, a < b.
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
                    minCosine: Double, scale: Int = 1000): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), quantize(col(embCol), scale).as("v"))
     val a = c.alias("a"); val b = c.alias("b")
     a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("score"))
+      .where(col("score") >= minCosine)
+  }
+
+  /** Exact near-dup pairs via a block-replicated theta join (the 1-Bucket
+    * theta-join of Okcan & Riedewald, SIGMOD 2011): every vector lands in
+    * block g = hash(id) % B; the left role replicates each vector to keys
+    * (g, j) ∀j and the right role to keys (i, g) ∀i, so each unordered pair
+    * meets at exactly one (block_a, block_b) key in exactly one id order.
+    * The join is a plain equi-join on the key — shuffle-partitioned, skew-
+    * free by construction ((n/B)² comparisons per key over B² keys), no
+    * BroadcastNestedLoopJoin, no driver-side anything.
+    *
+    * Same output as [[nearDupPairs]], bit for bit. The pairwise work is
+    * still Θ(n²/p) — inherent to an all-pairs threshold at low cosine
+    * (measured on the test embeddings: qualifying pairs sit at cosine
+    * ≈0.30–0.60, where SRP-LSH bit-agreement is ~0.6/plane, so no LSH
+    * banding can guarantee exact recall). When approximate recall is
+    * acceptable, [[annTopK]]/[[lshBuckets]] are the sub-quadratic path.
+    */
+  def nearDupPairsBlocked(corpus: DataFrame, idCol: String, embCol: String,
+                          minCosine: Double, blocks: Int = 16,
+                          scale: Int = 1000): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), quantize(col(embCol), scale).as("v"),
+      pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("g"))
+    val all = sequence(lit(0), lit(blocks - 1))
+    val left = c.select(col("id"), col("v"),
+      col("g").as("ba"), explode(all).as("bb"))
+    val right = c.select(col("id"), col("v"),
+      explode(all).as("ba"), col("g").as("bb"))
+    val a = left.alias("a"); val b = right.alias("b")
+    a.join(b,
+        col("a.ba") === col("b.ba") && col("a.bb") === col("b.bb") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine(col("a.v"), col("b.v")).as("score"))
       .where(col("score") >= minCosine)

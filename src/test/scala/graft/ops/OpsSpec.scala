@@ -170,6 +170,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp(1L).getInt(2) == 8)
   }
 
+  test("nearDupPairsBlocked: identical output to brute force, equi-join plan") {
+    // pseudo-random but deterministic embeddings — enough pairs to exercise
+    // every block-pair role (diagonal + off-diagonal, both id orders)
+    val rows = (0L until 40L).map { i =>
+      i -> Seq.tabulate(8)(d => (((i * 31 + d * 17 + 7) % 23).toFloat - 11f) / 11f)
+    }
+    val df = embDf(rows: _*)
+    val brute = VectorSim.nearDupPairs(df, "vec_id", "embedding", minCosine = 0.2)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val blocked = VectorSim.nearDupPairsBlocked(df, "vec_id", "embedding",
+        minCosine = 0.2, blocks = 5)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(brute.nonEmpty, "test data must produce qualifying pairs")
+    assert(blocked == brute)
+    // the scale guarantee: candidate generation is an equi-join, never a
+    // nested-loop/cartesian plan
+    val plan = VectorSim.nearDupPairsBlocked(df, "vec_id", "embedding",
+      minCosine = 0.2, blocks = 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("simhashPairs finds near-identical docs via chunk banding") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = docsDf(
+      1L -> base,
+      2L -> (base + " extra"),   // near-identical → small hamming
+      3L -> "completely unrelated gibberish tokens zork blug quux fizz wibble nine ten")
+    val sh = TextDedup.simhash(df, "doc_id", "text")
+    val pairs = TextDedup.simhashPairs(sh, bits = 32, chunks = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   // -------------------------------------------------------------- multimodal
 
   test("multimodal: stub decode is deterministic, total, schema-stable") {
