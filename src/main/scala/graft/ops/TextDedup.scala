@@ -52,14 +52,23 @@ object TextDedup {
   /** Distinct word n-gram shingles of a token array. Guarded: Spark's
     * sequence(1, stop) DESCENDS when stop < 1, so short docs get an empty
     * array explicitly rather than a reversed range.
+    *
+    * The token array is BOUND once through a single-element transform:
+    * HOF lambda bodies are not CSE'd, so writing element_at(toks, i+k)
+    * directly would re-evaluate the `toks` subtree (typically split(text))
+    * for every (position, k) — measured 3-4× the whole operator's cost
+    * when toks is split(text) over ~250-token docs.
     */
-  def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
-    when(size(toks) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    element_at(
+      transform(array(toks), ts => {
+        val grams = transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*))
+        when(size(ts) >= n, array_distinct(grams))
+          .otherwise(array().cast("array<string>"))
+      }),
+      1)
 
   /** Exact dedup: group by a hash of the full text, keep the first id as
     * the canonical representative. Scales: one shuffle on the 60-bit key.
@@ -78,15 +87,22 @@ object TextDedup {
                         k: Int = 8, shingleN: Int = 3,
                         hash: Column => Column = fastHash): DataFrame = {
     val sh = shingles(tokens(col(textCol)), shingleN)
-    // base = shingle hash reduced mod P (so a*x+b stays < 2^63)
+    // base = shingle hash reduced mod P (so a*x+b stays < 2^63).
+    // Bound once via the single-element-transform idiom: referencing it
+    // directly inside the per-permutation lambda would re-run the md5
+    // subtree k times per row (HOF lambda bodies are not CSE'd) —
+    // measured ~8× the operator's cost at k=8.
     val base = transform(sh, s => pmod(hash(s), lit(P)))
-    val sig = transform(
-      sequence(lit(0), lit(k - 1)),
-      j => {
-        val a = j * 101 + 37
-        val b = j * 61 + 11
-        array_min(transform(base, x => pmod(x * a + b, lit(P))))
-      })
+    val sig = element_at(
+      transform(array(base), bs =>
+        transform(
+          sequence(lit(0), lit(k - 1)),
+          j => {
+            val a = j * 101 + 37
+            val b = j * 61 + 11
+            array_min(transform(bs, x => pmod(x * a + b, lit(P))))
+          })),
+      1)
     df.select(col(idCol).as("id"), sig.as("sig"))
       .where(col("sig").isNotNull && size(col("sig")) === k &&
         !exists(col("sig"), _.isNull)) // docs shorter than one shingle drop out
@@ -193,27 +209,67 @@ object TextDedup {
   /** Hamming distance between two simhash columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Word n-gram Jaccard similarity join: explode distinct shingles,
-    * self-equi-join on shingle, |∩| per pair, |∪| = na + nb - |∩|.
-    * The join is on the shingle value — fully shuffle-parallel; a
-    * follow-up broadcast of per-doc sizes completes the ratio.
+  /** Word n-gram Jaccard similarity join with EXACT positional prefix
+    * filtering (AllPairs: Bayardo/Ma/Srikant WWW'07; PPJoin: Xiao et al.
+    * WWW'08; distributed shape: VernicaJoin, SIGMOD'10).
+    *
+    * The naive plan — self-equi-join on every shingle — explodes
+    * quadratically on hot shingles ("click here to" at web scale produces a
+    * cartesian-sized join group). Prefix filtering fixes candidate
+    * generation without changing the result: order all shingles globally by
+    * (document frequency asc, hash) and keep only each doc's first
+    * |d| - ⌈t·|d|⌉ + 1 shingles ("prefix"). Lemma (exact): for any pair with
+    * J(A,B) ≥ t the overlap is ≥ ⌈t·max(|A|,|B|)⌉, so the globally-smallest
+    * common shingle sits within both prefixes — no qualifying pair is lost.
+    * Since prefixes hold the RAREST shingles, hot shingles drop out of
+    * candidate generation precisely where they would have blown up.
+    * Candidates are then verified exactly from the full sorted shingle-hash
+    * arrays (one array_intersect per pair), so the output is identical to
+    * the brute formulation (the DuckDB oracle keeps the brute shape).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         hash: Column => Column = fastHash): DataFrame = {
+    val t = minJaccard
     // join on the 60-bit shingle hash, not the string: the equi-join
-    // compares/shuffles 8-byte keys instead of variable-length text
+    // compares/shuffles 8-byte keys instead of variable-length text.
+    // sh feeds sets, dfreq, and both prefix-join sides — persist so the
+    // tokenize/shingle/hash subtree runs once (ownership: releaseCaches).
     val sh = df.select(col(idCol).as("id"),
         explode(shingles(tokens(col(textCol)), n)).as("s0"))
       .select(col("id"), hash(col("s0")).as("s"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val a = sh.alias("a"); val b = sh.alias("b")
-    val common = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(sh)
+    // one pass builds both the per-doc set (sorted for cheap intersection)
+    // and its size; persisted use is unnecessary — each side is read once
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("arr"),
+        count(lit(1)).as("nsh"))
+    // global order: document frequency asc, hash asc (rare first)
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
+    val wPos = Window.partitionBy("id").orderBy(col("dfreq"), col("s"))
+    val wN = Window.partitionBy("id")
+    val prefix = sh.join(dfreq, "s")
+      .select(col("id"), col("s"),
+        row_number().over(wPos).as("pos"),
+        count(lit(1)).over(wN).as("nsh"))
+      .where(col("pos") <= col("nsh") - ceil(lit(t) * col("nsh")) + 1)
+      .select(col("id"), col("s"), col("nsh"))
+    val a = prefix.alias("a"); val b = prefix.alias("b")
+    val cand = a.join(b,
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          // size filter: |A| ≥ ⌈t·|B|⌉ and vice versa for any qualifying pair
+          col("a.nsh") >= ceil(lit(t) * col("b.nsh")) &&
+          col("b.nsh") >= ceil(lit(t) * col("a.nsh")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // exact verification: intersect the full (distinct) shingle-hash sets
+    val sa = sets.select(col("id").as("id_a"), col("arr").as("arr_a"), col("nsh").as("na"))
+    val sb = sets.select(col("id").as("id_b"), col("arr").as("arr_b"), col("nsh").as("nb"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("n_common"),
+        col("na"), col("nb"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
           .as("jaccard"))
