@@ -288,8 +288,63 @@ def make_doc(i):
     }
 
 
+def make_pdf_table_doc(i, rng2):
+    """PDF docs whose pages carry ruled-grid tables (round 2: S3's PDF path).
+
+    Separate RNG so existing docs 0-71 and their goldens stay byte-stable.
+    Pages with tables always carry a textual O3 indicator, mirroring the
+    html branch (the reference gates table extraction on text indicators,
+    pdf_text_extractor.py:167-182).
+    """
+    host = 0 if rng2.random() < 0.30 else rng2.randint(1, 9)
+    url = f"https://host-{host}.example/pt/{i}"
+    mode = "construction" if rng2.random() < 0.75 else "standard"
+    n_pages = rng2.randint(1, 3)
+    pages = []
+    for p in range(1, n_pages + 1):
+        n = rng2.randint(5, 18)
+        lines = []
+        while len(lines) < n:
+            if rng2.random() < 0.3:
+                lines.extend(rng2.choice(CONTEXT_CLUSTERS))
+            else:
+                lines.append(rng2.choice(rng2.choice(ALL_POOLS)))
+        lines = lines[:n]
+        tables = []
+        if rng2.random() < 0.8:
+            tables = [rng2.choice(TABLE_POOL) for _ in range(rng2.randint(1, 2))]
+            # the indicator must actually fire the reference's gate
+            # (pdf_text_extractor.py:178): '\t', count('|')>15, count('│')>8
+            roll = rng2.random()
+            if roll < 0.4:
+                lines.append("col\tA\tB\tC")
+            elif roll < 0.7:
+                lines.append("| " + " | ".join("abcdefghijklmnop") + " |")
+            else:
+                lines.append("│".join(["c1", "c2", "c3", "c4", "c5",
+                                       "c6", "c7", "c8", "c9", "c10"]))
+        pages.append({
+            "page_num": p,
+            "text": "\n".join(lines),
+            "width": 612.0,
+            "height": 792.0,
+            "tables": tables,
+        })
+    ts = 1704067200 + (i * 41 % 86400) + (i % 30) * 86400
+    return {
+        "url": url,
+        "mode": mode,
+        "payload": "pdf",
+        "lang": rng2.choices(["en", "de", None], weights=[0.85, 0.1, 0.05])[0],
+        "warc_ts": ts,
+        "pages": pages,
+    }
+
+
 def main():
     docs = [make_doc(i) for i in range(72)]
+    rng2 = random.Random(20260817)
+    docs += [make_pdf_table_doc(i, rng2) for i in range(12)]
     OUT.parent.mkdir(parents=True, exist_ok=True)
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump({"docs": docs}, f, indent=1, ensure_ascii=False)

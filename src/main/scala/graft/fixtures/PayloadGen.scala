@@ -75,19 +75,22 @@ object PayloadGen {
   def pdfPayload(doc: CorpusDoc): Array[Byte] = {
     val v = variant(doc.url, 2)
     val flate = variant(doc.url, 3) != 0
-    val placements = doc.pages.map { p =>
+    val pages = doc.pages.map { p =>
       val lines = PyStr.split(p.text, '\n')
-      if (v == 1 && lines.length >= 6) {
-        // two columns: first half left (x=50), second half right (x=330)
-        val h = (lines.length + 1) / 2
-        val left = lines.take(h).zipWithIndex.map { case (l, i) => (50.0, 760.0 - 12.0 * i, l) }
-        val right = lines.drop(h).zipWithIndex.map { case (l, i) => (330.0, 760.0 - 12.0 * i, l) }
-        (left ++ right).toSeq
-      } else {
-        lines.zipWithIndex.map { case (l, i) => (50.0, 760.0 - 12.0 * i, l) }.toSeq
-      }
+      val placements =
+        if (v == 1 && lines.length >= 6) {
+          // two columns: first half left (x=50), second half right (x=330)
+          val h = (lines.length + 1) / 2
+          val left = lines.take(h).zipWithIndex.map { case (l, i) => (50.0, 760.0 - 12.0 * i, l) }
+          val right = lines.drop(h).zipWithIndex.map { case (l, i) => (330.0, 760.0 - 12.0 * i, l) }
+          (left ++ right).toSeq
+        } else {
+          lines.zipWithIndex.map { case (l, i) => (50.0, 760.0 - 12.0 * i, l) }.toSeq
+        }
+      // tables render as ruled grids + cell runs below the text block
+      Pdf.PageSpec(placements, p.tables)
     }
-    Pdf.write(placements, flate,
+    Pdf.writePages(pages, flate,
       width = doc.pages.head.width.getOrElse(612.0),
       height = doc.pages.head.height.getOrElse(792.0))
   }

@@ -17,14 +17,34 @@ import scala.collection.mutable.ArrayBuffer
 object Pdf {
 
   final case class TextRun(x: Double, y: Double, text: String)
-  final case class PdfPage(width: Double, height: Double, runs: Vector[TextRun])
+  /** A straight ruling-line segment from the page's path operators. */
+  final case class Seg(x1: Double, y1: Double, x2: Double, y2: Double)
+  final case class PdfPage(width: Double, height: Double, runs: Vector[TextRun],
+                           segs: Vector[Seg] = Vector.empty)
+
+  /** One page of writer input: text-line placements plus zero or more
+    * tables (rows of Optional cells, the reference's table shape —
+    * pdf_text_extractor.py:184-192). Tables are rendered as a ruled grid
+    * (m/l/S path segments) with one text run per non-empty cell, placed
+    * below the lowest text line — the structure `extract_tables`-style
+    * reconstruction needs ("lines_strict": only existing lines).
+    */
+  final case class PageSpec(placements: Seq[(Double, Double, String)],
+                            tables: Seq[Seq[Seq[Option[String]]]] = Nil)
+
+  private val CellW = 90.0
+  private val RowH = 14.0
 
   // ------------------------------------------------------------------ write
   /** Write a PDF whose page texts round-trip through `parse` + `Layout`.
     * Each input page is a list of (x, y, line) placements.
     */
   def write(pages: Seq[Seq[(Double, Double, String)]], flate: Boolean,
-            width: Double = 612.0, height: Double = 792.0): Array[Byte] = {
+            width: Double = 612.0, height: Double = 792.0): Array[Byte] =
+    writePages(pages.map(p => PageSpec(p)), flate, width, height)
+
+  def writePages(pages: Seq[PageSpec], flate: Boolean,
+                 width: Double = 612.0, height: Double = 792.0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val offsets = ArrayBuffer.empty[Int]
     def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -44,11 +64,37 @@ object Pdf {
         s"/MediaBox [0 0 $width $height] /Contents ${contObjNums(i)} 0 R " +
         "/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n"))
     }
-    pages.zipWithIndex.foreach { case (placements, i) =>
+    pages.zipWithIndex.foreach { case (spec, i) =>
       val content = new java.lang.StringBuilder
-      placements.foreach { case (x, y, line) =>
+      spec.placements.foreach { case (x, y, line) =>
         content.append("BT /F1 10 Tf 1 0 0 1 ").append(fmtNum(x)).append(' ')
           .append(fmtNum(y)).append(" Tm (").append(escapeString(line)).append(") Tj ET\n")
+      }
+      if (spec.tables.nonEmpty) {
+        def seg(x1: Double, y1: Double, x2: Double, y2: Double): Unit =
+          content.append(fmtNum(x1)).append(' ').append(fmtNum(y1)).append(" m ")
+            .append(fmtNum(x2)).append(' ').append(fmtNum(y2)).append(" l S\n")
+        // tables stack below the lowest text line so long (fat) pages can
+        // never push text runs into a grid bbox
+        val minY = if (spec.placements.isEmpty) 760.0 else spec.placements.map(_._2).min
+        var yTop = minY - 30.0
+        spec.tables.foreach { table =>
+          val rows = table.length
+          val cols = table.map(_.length).max
+          val x0 = 50.0
+          (0 to cols).foreach(j => seg(x0 + j * CellW, yTop, x0 + j * CellW, yTop - rows * RowH))
+          (0 to rows).foreach(r => seg(x0, yTop - r * RowH, x0 + cols * CellW, yTop - r * RowH))
+          table.zipWithIndex.foreach { case (row, r) =>
+            row.zipWithIndex.foreach {
+              case (Some(cell), j) if cell.nonEmpty =>
+                content.append("BT /F1 10 Tf 1 0 0 1 ").append(fmtNum(x0 + j * CellW + 3))
+                  .append(' ').append(fmtNum(yTop - (r + 1) * RowH + 4))
+                  .append(" Tm (").append(escapeString(cell)).append(") Tj ET\n")
+              case _ => ()
+            }
+          }
+          yTop -= rows * RowH + 24.0 // gap keeps grid clusters disjoint
+        }
       }
       val raw = bytes(content.toString)
       val data = if (flate) deflate(raw) else raw
@@ -165,8 +211,8 @@ object Pdf {
         throw new java.io.IOException(s"missing content stream $contents"))
       val data =
         if (contentDict.contains("/FlateDecode")) inflate(rawStream) else rawStream
-      val runs = tokenizeContent(new String(data, java.nio.charset.StandardCharsets.UTF_8))
-      PdfPage(mb(2) - mb(0), mb(3) - mb(1), runs)
+      val (runs, segs) = tokenizeContent(new String(data, java.nio.charset.StandardCharsets.UTF_8))
+      PdfPage(mb(2) - mb(0), mb(3) - mb(1), runs, segs)
     }
   }
 
@@ -185,16 +231,20 @@ object Pdf {
   }
 
   /** Content-stream tokenizer: operand stack + the text operators of the
-    * subset (Tf Td TD Tm T* Tj ' TJ BT ET).
+    * subset (Tf Td TD Tm T* Tj ' TJ BT ET) plus the path operators that
+    * carry table ruling lines (m l S).
     */
-  def tokenizeContent(content: String): Vector[TextRun] = {
+  def tokenizeContent(content: String): (Vector[TextRun], Vector[Seg]) = {
     val runs = ArrayBuffer.empty[TextRun]
+    val segs = ArrayBuffer.empty[Seg]
     var i = 0
     val n = content.length
     val operands = ArrayBuffer.empty[Any] // Double | String | Vector[Any]
 
     var curX = 0.0; var curY = 0.0         // text-line origin
     var leading = 0.0
+    var pathX = 0.0; var pathY = 0.0       // current path point (m/l)
+    var hasPoint = false
 
     def popNums(k: Int): Vector[Double] = {
       val vs = operands.takeRight(k).map {
@@ -258,11 +308,87 @@ object Pdf {
           case "TJ" =>
             operands.lastOption.foreach { case s: String => emit(s); case _ => () }
             operands.clear()
+          case "m" =>
+            val v = popNums(2); pathX = v(0); pathY = v(1); hasPoint = true
+            operands.clear()
+          case "l" =>
+            val v = popNums(2)
+            if (hasPoint) segs += Seg(pathX, pathY, v(0), v(1))
+            pathX = v(0); pathY = v(1); hasPoint = true
+            operands.clear()
+          case "S" => hasPoint = false; operands.clear()
           case _ => operands.clear() // unknown operator: subset tolerates and drops
         }
       }
     }
-    runs.toVector
+    (runs.toVector, segs.toVector)
+  }
+
+  // ----------------------------------------------------------------- tables
+  /** Reconstruct ruled-grid tables from a page's path segments and split
+    * the text runs into (tables, non-table runs) — the engine-side analog
+    * of pdfplumber's `extract_tables(vertical/horizontal_strategy =
+    * "lines_strict")` (reference pdf_text_extractor.py:184-192): a table
+    * exists only where actual ruling lines form a grid; cells are the
+    * line-bounded rectangles; a run belongs to the cell containing its
+    * origin. Tables are returned top-to-bottom, left-to-right; cells with
+    * no run are None (the reference's Optional[str] cell shape).
+    */
+  def splitTables(page: PdfPage): (Vector[Seq[Seq[Option[String]]]], Vector[TextRun]) = {
+    if (page.segs.isEmpty) return (Vector.empty, page.runs)
+    val eps = 0.5
+    val segs = page.segs
+    // cluster segments into grids: union-find on (expanded) bbox overlap
+    val n = segs.length
+    val parent = Array.tabulate(n)(identity)
+    def find(a: Int): Int = { var r = a; while (parent(r) != r) r = parent(r); parent(a) = r; r }
+    def union(a: Int, b: Int): Unit = { val ra = find(a); val rb = find(b); if (ra != rb) parent(ra) = rb }
+    def bbox(s: Seg) = (math.min(s.x1, s.x2) - 3, math.min(s.y1, s.y2) - 3,
+      math.max(s.x1, s.x2) + 3, math.max(s.y1, s.y2) + 3)
+    for (a <- 0 until n; b <- a + 1 until n) {
+      val (ax1, ay1, ax2, ay2) = bbox(segs(a)); val (bx1, by1, bx2, by2) = bbox(segs(b))
+      if (ax1 <= bx2 && bx1 <= ax2 && ay1 <= by2 && by1 <= ay2) union(a, b)
+    }
+    val clusters = segs.indices.groupBy(find).values.toVector
+    val grids = clusters.flatMap { idxs =>
+      val cl = idxs.map(segs)
+      val xs = cl.filter(s => math.abs(s.x1 - s.x2) < eps).map(_.x1)
+        .sorted.foldLeft(Vector.empty[Double])((acc, x) =>
+          if (acc.nonEmpty && x - acc.last < eps) acc else acc :+ x)
+      val ys = cl.filter(s => math.abs(s.y1 - s.y2) < eps).map(_.y1)
+        .sorted.foldLeft(Vector.empty[Double])((acc, y) =>
+          if (acc.nonEmpty && y - acc.last < eps) acc else acc :+ y)
+      if (xs.length >= 2 && ys.length >= 2) Some((xs, ys.reverse)) else None
+    }.sortBy { case (xs, ysDesc) => (-ysDesc.head, xs.head) }
+    if (grids.isEmpty) return (Vector.empty, page.runs)
+
+    val used = scala.collection.mutable.BitSet.empty
+    val tables = grids.map { case (xs, ysDesc) =>
+      val cols = xs.length - 1
+      val rows = ysDesc.length - 1
+      val cells = Array.fill(rows, cols)(Vector.empty[TextRun])
+      page.runs.zipWithIndex.foreach { case (r, ri) =>
+        if (!used(ri) &&
+            r.x >= xs.head && r.x < xs.last && r.y > ysDesc.last && r.y <= ysDesc.head) {
+          val j = xs.lastIndexWhere(_ <= r.x) min (cols - 1)
+          val i = ysDesc.indexWhere(_ < r.y) match {
+            case -1 => rows - 1
+            case k  => (k - 1) max 0
+          }
+          cells(i)(j) = cells(i)(j) :+ r
+          used += ri
+        }
+      }
+      (0 until rows).map { i =>
+        (0 until cols).map { j =>
+          val rs = cells(i)(j)
+          if (rs.isEmpty) None
+          else Some(rs.sortBy(r => (-r.y, r.x)).map(_.text).mkString("\n"))
+        }: Seq[Option[String]]
+      }: Seq[Seq[Option[String]]]
+    }
+    val rest = page.runs.zipWithIndex.collect { case (r, ri) if !used(ri) => r }
+    (tables, rest)
   }
 
   private def readString(content: String, start: Int): (String, Int) = {

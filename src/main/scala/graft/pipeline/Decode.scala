@@ -32,7 +32,17 @@ object Decode {
         try {
           val parsed = Pdf.parse(html)
           val ps = parsed.zipWithIndex.map { case (p, i) =>
-            PageData(i + 1L, Layout.pageText(p.runs), Some(p.width), Some(p.height), Nil)
+            // ruled-grid cells are table structure, not page text
+            val (tables, textRuns) = Pdf.splitTables(p)
+            val text = Layout.pageText(textRuns)
+            // O3 gate — table-indicator predicate, mirroring the reference
+            // (pdf_text_extractor.py:167-182): '\t' present, >15 '|', or
+            // >8 '│'. The reference gates because pdfplumber's extraction
+            // is slow; we keep the same *semantics* so gated pages match.
+            val gate = text.contains('\t') ||
+              text.count(_ == '|') > 15 || text.count(_ == '│') > 8
+            PageData(i + 1L, text, Some(p.width), Some(p.height),
+              if (gate) tables else Nil)
           }
           (ps, "pdf", Vector.empty[Span], html.length.toLong, None)
         } catch {

@@ -8,6 +8,30 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PdfLayoutSpec extends AnyFunSuite {
 
+  test("ruled-grid tables round-trip: cells, None holes, text separated") {
+    val t1: Seq[Seq[Option[String]]] = Seq(
+      Seq(Some("Item"), Some("Qty"), Some("Model")),
+      Seq(Some("Gate Valve"), Some("12 ea"), None),
+      Seq(None, Some("3"), Some("GV-200")))
+    val t2: Seq[Seq[Option[String]]] = Seq(
+      Seq(Some("Size"), Some("Mounting")),
+      Seq(Some("3/4\""), Some("wall")))
+    val page = Pdf.PageSpec(
+      Seq((50.0, 760.0, "VALVE PACKAGE"), (50.0, 748.0, "col\tA\tB\tC")),
+      Seq(t1, t2))
+    val parsed = Pdf.parse(Pdf.writePages(Seq(page), flate = true))
+    assert(parsed.length == 1)
+    val (tables, textRuns) = Pdf.splitTables(parsed.head)
+    assert(tables == Vector(t1, t2)) // order: top-to-bottom
+    assert(Layout.pageText(textRuns) == "VALVE PACKAGE\ncol\tA\tB\tC")
+  }
+
+  test("pages without grids split to (no tables, all runs)") {
+    val parsed = Pdf.parse(Pdf.write(Seq(Seq((50.0, 700.0, "just text"))), flate = false))
+    val (tables, runs) = Pdf.splitTables(parsed.head)
+    assert(tables.isEmpty && runs.length == 1)
+  }
+
   test("write/parse round-trip, runs ordered y desc then x asc") {
     val placements = Seq(
       (72.0, 700.0, "first line"),

@@ -40,9 +40,9 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("pipeline output matches goldens byte-identically for both modes") {
     val pagesPath = s"$work/pages"
-    val n = PagesGen.write(spark, pagesPath, replicate = 1, buckets = 4)
-    assert(n == 72)
     val docs = CorpusIO.load()
+    val n = PagesGen.write(spark, pagesPath, replicate = 1, buckets = 4)
+    assert(n == docs.length)
     Seq("construction", "standard").foreach { mode =>
       val outRoot = s"$work/out_$mode"
       Extract.run(spark, pagesPath, outRoot,
@@ -50,7 +50,7 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       val rows = Extract.readSnapshot(spark, outRoot)
         .select("url", "extracted_json", "error")
         .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
-      assert(rows.size == 72, s"expected 72 outputs, got ${rows.size}")
+      assert(rows.size == docs.length, s"expected ${docs.length} outputs, got ${rows.size}")
       val subset = docs.filter(_.mode == mode)
       assert(subset.nonEmpty)
       subset.foreach { d =>
@@ -92,12 +92,12 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val fin = table.currentManifest.get
     assert(fin.completedBuckets.sorted == Vector(0, 1, 2, 3))
     assert(fin.version == mid.version + 2, "resume must add exactly 2 snapshot versions")
-    assert(res.metrics.map(_.docs).sum == 72)
     // outputs complete and correct
     val docs = CorpusIO.load()
+    assert(res.metrics.map(_.docs).sum == docs.length)
     val rows = Extract.readSnapshot(spark, outRoot).select("url", "extracted_json")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(rows.size == 72)
+    assert(rows.size == docs.length)
     docs.filter(_.mode == "construction").take(10).foreach { d =>
       assert(rows(d.url) == golden(d.url))
     }
