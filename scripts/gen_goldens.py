@@ -50,6 +50,83 @@ mstd = importlib.import_module("refmodels.standard")
 parser = cp_mod.ConstructionParser()
 rules = sp_mod.ParserRules()
 
+# ---- reference strategy class, loaded with its package deps stubbed -------
+# extraction_service.py imports `extractor.extractors` (pulls pdfplumber,
+# not installable offline) and `extractor.models`; stub the former, point
+# the latter at the standalone-loaded model modules. This lets the LLM-merge
+# goldens run the reference's OWN ConstructionExtractionStrategy end-to-end.
+_expkg = types.ModuleType("extractor"); _expkg.__path__ = []
+_exex = types.ModuleType("extractor.extractors"); _exex.PDFTextExtractor = object
+_exmod = types.ModuleType("extractor.models")
+for _m in (mbase, mconstr, mstd):
+    for _n in dir(_m):
+        if not _n.startswith("_"):
+            setattr(_exmod, _n, getattr(_m, _n))
+_exparsers = types.ModuleType("extractor.parsers")
+_exparsers.ConstructionParser = cp_mod.ConstructionParser
+_exparsers.ParserRules = sp_mod.ParserRules
+_exutils = types.ModuleType("extractor.utils")
+_exhelpers = types.ModuleType("extractor.utils.helpers")
+for _n in dir(helpers):
+    if not _n.startswith("_"):
+        setattr(_exhelpers, _n, getattr(helpers, _n))
+sys.modules["extractor"] = _expkg
+sys.modules["extractor.extractors"] = _exex
+sys.modules["extractor.models"] = _exmod
+sys.modules["extractor.parsers"] = _exparsers
+sys.modules["extractor.utils"] = _exutils
+sys.modules["extractor.utils.helpers"] = _exhelpers
+es_mod = load_module("ref_extraction_service", REF / "extractor/services/extraction_service.py")
+
+import re as _re
+
+
+class FakeLlm:
+    """Deterministic offline stand-in for the reference's LLM parser —
+    the SAME spec as graft.core.FakeLlmParser (Scala): lines mentioning
+    PACKAGE/PUMP/STATION become items (first digit run = quantity, first
+    AA-12-shaped token = model, title-cased line = fixture), plus one
+    fixed 'discovery' item that exercises the unmatched-residue append.
+    """
+
+    def parse(self, text, schema):
+        items = []
+        for ln in text.split('\n'):
+            s = ln.strip()
+            u = s.upper()
+            if 'PACKAGE' in u or 'PUMP' in u or 'STATION' in u:
+                qm = _re.search(r'[0-9]+', s)
+                mm = _re.search(r'[A-Z]{2,}-[0-9]+', s)
+                items.append({
+                    'fixture_type': s.title(),
+                    'quantity': int(qm.group()) if qm else None,
+                    'model_number': mm.group() if mm else None,
+                    'dimensions': None,
+                    'mounting_type': None,
+                    'spec_reference': None,
+                    'page_number': 1,
+                })
+        items.append({
+            'fixture_type': 'Auxiliary Drain Assembly', 'quantity': 4,
+            'model_number': 'AD-77', 'dimensions': '2 x 2',
+            'mounting_type': 'floor mounted', 'spec_reference': 'ASTM F100',
+            'page_number': 2,
+        })
+        return {'items': items}
+
+
+def construction_result_llm(pages_data, url):
+    """Run the reference's ConstructionExtractionStrategy with the fake
+    second source (extraction_service.py:57-151 + :225-316 merge path),
+    then pop source_pdf and the _llm_* flags exactly as main.py:131-134.
+    """
+    strategy = es_mod.ConstructionExtractionStrategy(parser, llm_parser=FakeLlm())
+    output = strategy.extract(pages_data, str(url))
+    output.pop('source_pdf', None)
+    output.pop('_llm_used', None)
+    output.pop('_llm_requested', None)
+    return output
+
 
 def validate_items(items):
     # extraction_service.py:153-174
@@ -154,7 +231,9 @@ def standard_result(pages_data, url):
 def main():
     corpus = json.load(open(CORPUS, encoding='utf-8'))
     GOLDEN.mkdir(parents=True, exist_ok=True)
+    (GOLDEN / "llm").mkdir(parents=True, exist_ok=True)
     index = []
+    n_llm = 0
     for doc in corpus['docs']:
         url, mode, pages = doc['url'], doc['mode'], doc['pages']
         out = (construction_result(pages, url) if mode == 'construction'
@@ -164,9 +243,15 @@ def main():
         with open(path, 'w', encoding='utf-8') as f:
             json.dump(out, f, indent=2, ensure_ascii=False)
         index.append({"url": url, "id": doc_id, "mode": mode})
+        if mode == 'construction':
+            # second golden set: the same doc with the fake LLM source wired
+            out_llm = construction_result_llm(pages, url)
+            with open(GOLDEN / "llm" / f"{doc_id}.json", 'w', encoding='utf-8') as f:
+                json.dump(out_llm, f, indent=2, ensure_ascii=False)
+            n_llm += 1
     with open(GOLDEN / "index.json", 'w', encoding='utf-8') as f:
         json.dump(index, f, indent=1)
-    print(f"wrote {len(index)} goldens to {GOLDEN}")
+    print(f"wrote {len(index)} goldens to {GOLDEN} (+{n_llm} llm-merge goldens)")
 
 
 if __name__ == "__main__":

@@ -597,6 +597,30 @@ object Queries {
       .orderBy("doc_id", "line_number")
   }
 
+  /** J1-J3: the greedy scored fuzzy merge with the deterministic fake
+    * second source wired through the real construction assembly — the
+    * operator is order-dependent assignment with consumption, not a
+    * relational join, so correctness is pinned by the byte-golden suite
+    * (LlmPipelineSpec vs the reference running the same fake source).
+    */
+  private def qLlmMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val line = s"QTY: ${id % 9 + 1} EA VALVE PACKAGE MODEL VP-$id wall mounted"
+        val pages = Vector(PageData(1L, line + "\n" + text, None, None, Nil))
+        val j = Assemble.constructionResult(pages, Some(graft.core.FakeLlmParser))
+        val jNo = Assemble.constructionResult(pages, None)
+        val render = graft.json.Canonical.render(j)
+        val renderNo = graft.json.Canonical.render(jNo)
+        Seq((id, render.length.toLong, (render != renderNo),
+          graft.core.FakeLlmParser.parseItems(pages.head.text).length.toLong))
+      }
+      .toDF("doc_id", "json_chars", "merge_changed_output", "n_fake_items")
+      .orderBy("doc_id")
+  }
+
   /** F7-F12 with exact Python findall semantics (incl. the phone group
     * quirk) through graft.core.Entities.
     */
@@ -689,6 +713,7 @@ object Queries {
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
     "q_construction_items" -> qConstructionItems _,
+    "q_llm_merge" -> qLlmMerge _,
     "q_standard_entities" -> qStandardEntities _,
     "q_html_extract" -> qHtmlExtract _,
     "q_py_findall" -> qPyFindall _

@@ -88,7 +88,7 @@ object Assemble {
     * and the _llm_* flags already popped, extraction_service.py:143-149 +
     * main.py:131-134).
     */
-  def constructionResult(pages: Seq[PageData]): J = {
+  def constructionResult(pages: Seq[PageData], llm: Option[LlmParser] = None): J = {
     val allItems = scala.collection.mutable.ArrayBuffer.empty[RawItem]
     var tablesFound = 0L
     pages.foreach { p =>
@@ -98,7 +98,24 @@ object Assemble {
         tablesFound += p.tables.length
       }
     }
-    val validated = allItems.map(validateItem).toVector
+    // _enhance_with_llm (extraction_service.py:225-316): second source runs
+    // on the raw items BEFORE validation; failures / empty results / merges
+    // that change nothing all fall back to the regex-only items.
+    val finalItems: Vector[RawItem] = llm match {
+      case Some(parser) =>
+        val regexItems = allItems.toVector
+        try {
+          val textForLlm = PyStr.sliceTo(combinePagesText(pages), 16000) // F19
+          val llmItems = parser.parseItems(textForLlm).toIndexedSeq
+          if (llmItems.isEmpty) regexItems
+          else {
+            val merged = LlmMerge.mergeRegexAndLlmItems(regexItems, llmItems)
+            if (LlmMerge.llmActuallyWorked(regexItems, merged)) merged else regexItems
+          }
+        } catch { case _: Exception => regexItems }
+      case None => allItems.toVector
+    }
+    val validated = finalItems.map(validateItem)
 
     // _create_summary (extraction_service.py:176-191): quantity counts use
     // `is not None`; model/dimensions/mounting use truthiness.
@@ -175,8 +192,9 @@ object Assemble {
   }
 
   /** The per-url output byte payload (≙ save_json, helpers.py:9-21). */
-  def renderDocument(pages: Seq[PageData], mode: String): String = {
-    val j = if (mode == "standard") standardResult(pages) else constructionResult(pages)
+  def renderDocument(pages: Seq[PageData], mode: String,
+                     llm: Option[LlmParser] = None): String = {
+    val j = if (mode == "standard") standardResult(pages) else constructionResult(pages, llm)
     Canonical.render(j)
   }
 }

@@ -40,9 +40,17 @@ object Extract {
       buckets: Int = 8,
       parallelism: Int = 0,          // 0 → spark.sql.shuffle.partitions
       salt: Int = 0,
+      /** second item source for the J1-J3 merge: "none" (reference default
+        * when no API key) or "fake" (the deterministic offline stand-in).
+        * A real LLM source would register here behind the same trait.
+        */
+      secondSource: String = "none",
       /** test hook: throw after committing this many buckets (-1 = never) */
       poisonAfterBuckets: Int = -1
-  )
+  ) {
+    def llmParser: Option[graft.core.LlmParser] =
+      if (secondSource == "fake") Some(graft.core.FakeLlmParser) else None
+  }
 
   /** Page-boundary spans into the '\n\n'-joined extracted text — the span
     * contract for payloads whose decoder has no finer block structure
@@ -61,13 +69,14 @@ object Extract {
   }
 
   /** Pure per-row parse — the single opaque (non-Catalyst) region. */
-  def parseRow(url: String, html: Array[Byte], text: String, bucket: Int, mode: String): DocRow = {
+  def parseRow(url: String, html: Array[Byte], text: String, bucket: Int, mode: String,
+               llm: Option[graft.core.LlmParser] = None): DocRow = {
     val dec = Decode.decode(html, text)
     val json =
       if (dec.pages.isEmpty && dec.error.isDefined) null
       else Canonical.render(
         if (mode == "standard") Assemble.standardResult(dec.pages)
-        else Assemble.constructionResult(dec.pages))
+        else Assemble.constructionResult(dec.pages, llm))
     DocRow(
       url = url,
       bucket = bucket,
@@ -118,9 +127,10 @@ object Extract {
     // parallelism loss. Salting the hash input itself decorrelates.
     val salted = valid.repartition(p,
       xxhash64(concat(col("url"), lit("#" + cfg.salt))))
+    val llm = cfg.llmParser
     salted.as[(String, Array[Byte], String)].mapPartitions { it =>
       it.map { case (url, html, text) =>
-        val row = parseRow(url, html, text, bucket, cfg.mode)
+        val row = parseRow(url, html, text, bucket, cfg.mode, llm)
         acc.foreach { a =>
           a.docs.add(1L); a.bytesIn.add(row.bytes_in); a.charsOut.add(row.chars_out)
           if (row.error != null) a.errors.add(1L)
