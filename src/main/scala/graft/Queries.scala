@@ -498,6 +498,33 @@ object Queries {
        SELECT id_a, id_b, score FROM scored WHERE score >= 0.3
        ORDER BY id_a, id_b"""
 
+  // -------------------------------------------------------------- multimodal
+  // Binary media columns through the batched per-partition decode plumbing
+  // (graft.ops.Multimodal): a media table synthesized from the documents
+  // text (payload = UTF-8 bytes, kind from the id), integer-exact slot-sum
+  // features so DuckDB verifies the identical bytes. The float stub decode
+  // shares this exact batch shape (OpsSpec).
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir).select(
+      col("doc_id").as("id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"))
+    graft.ops.Multimodal.extractSlotFeatures(s, media, dim = 8).toDF()
+      .select(col("id").as("doc_id"), col("kind"), col("n_bytes"), col("slots_csv"))
+      .orderBy("doc_id")
+  }
+
+  private val oMultimodal =
+    """SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       array_to_string(list_transform(generate_series(0, 7), j ->
+         COALESCE(list_sum(list_transform(generate_series(1 + j, length(text), 8),
+           i -> ascii(substr(text, i, 1)))), 0)), ',') AS slots_csv
+       FROM documents ORDER BY doc_id"""
+
   // -------------------------------------------------------------- language ID
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -708,6 +735,7 @@ object Queries {
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_topk" -> qAnnTopK _,
     "q_embed_neardup" -> qEmbedNearDup _,
+    "q_multimodal" -> qMultimodal _,
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
     "q_token_count" -> qTokenCount _,
@@ -742,6 +770,7 @@ object Queries {
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_topk" -> oAnnTopK,
     "q_embed_neardup" -> oEmbedNearDup,
+    "q_multimodal" -> oMultimodal,
     "q_lang_id" -> oLangId,
     "q_quality" -> oQuality,
     "q_token_count" -> oTokenCount,

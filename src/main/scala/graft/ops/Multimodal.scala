@@ -64,6 +64,41 @@ object Multimodal {
       }
   }
 
+  final case class MediaSlotFeatures(id: Long, kind: String, n_bytes: Long,
+                                     slots_csv: String)
+
+  /** Integer-exact slot sums: slot j = Σ (byte & 0xff) over payload
+    * positions ≡ j (mod dim). The oracle-checkable twin of `decodeStub`
+    * (same batch shape, same partitioning, exact integer arithmetic so a
+    * SQL engine can recompute it bit-for-bit over ASCII payloads).
+    */
+  def slotSums(payload: Array[Byte], dim: Int): Array[Long] = {
+    val acc = new Array[Long](dim)
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) { acc(i % dim) += (payload(i) & 0xff); i += 1 }
+    }
+    acc
+  }
+
+  /** Batched integer feature extraction — identical plumbing to
+    * [[extractFeatures]] (typed mapPartitions, no shuffle, partition-
+    * amortized decoder init), emitting the slot sums as a CSV column so
+    * downstream engines without array comparators can verify it.
+    */
+  def extractSlotFeatures(spark: SparkSession, media: DataFrame,
+                          dim: Int = 8): Dataset[MediaSlotFeatures] = {
+    import spark.implicits._
+    media.select(col("id"), col("kind"), col("payload")).as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          MediaSlotFeatures(m.id, m.kind,
+            if (m.payload == null) 0L else m.payload.length.toLong,
+            slotSums(m.payload, dim).mkString(","))
+        }
+      }
+  }
+
   /** Media features → the similarity-search path: reuse VectorSim over the
     * stub features (cosine top-k, LSH buckets) — the multimodal dedup story
     * is the text story with a different front-end decode.

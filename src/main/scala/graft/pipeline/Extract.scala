@@ -45,6 +45,13 @@ object Extract {
         * A real LLM source would register here behind the same trait.
         */
       secondSource: String = "none",
+      /** Committed manifest metrics: true (default) re-aggregates the
+        * just-written bucket files — exact under task retries/speculation
+        * (accumulator updates inside transformations are at-least-once);
+        * the read-back scans only 3 numeric columns of one bucket. false
+        * trusts the accumulators (approximate, zero extra jobs).
+        */
+      exactMetrics: Boolean = true,
       /** test hook: throw after committing this many buckets (-1 = never) */
       poisonAfterBuckets: Int = -1
   ) {
@@ -172,11 +179,22 @@ object Extract {
         val out = extractBucket(spark, pages, cfg, b, Some(acc))
         val dir = table.dataDir(snapshotId, b)
         out.write.mode("overwrite").parquet(dir.toString)
-        // metrics come from accumulators filled during the write action —
-        // no read-back job per bucket
         val secs = (System.nanoTime() - t0) / 1e9
-        val bm = BucketMetrics(b, acc.docs.value, acc.bytesIn.value,
-          acc.charsOut.value, acc.errors.value, secs)
+        // Exact metrics (default): aggregate the committed files themselves —
+        // task retries / speculative execution make in-transformation
+        // accumulator updates at-least-once, so persisted manifests would
+        // overcount. The read-back prunes to 3 numeric columns of this one
+        // bucket (column-pruned vectorized scan, one tiny job per commit).
+        val bm =
+          if (cfg.exactMetrics) {
+            val m = spark.read.parquet(dir.toString).agg(
+              count(lit(1)), coalesce(sum(col("bytes_in")), lit(0L)),
+              coalesce(sum(col("chars_out")), lit(0L)),
+              coalesce(sum(when(col("error").isNotNull, 1L).otherwise(0L)), lit(0L))).head()
+            BucketMetrics(b, m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3), secs)
+          } else
+            BucketMetrics(b, acc.docs.value, acc.bytesIn.value,
+              acc.charsOut.value, acc.errors.value, secs)
         version += 1
         metrics = metrics :+ bm
         dataDirs = dataDirs :+ s"data/snap-$snapshotId/bucket=$b"
