@@ -624,6 +624,29 @@ object Queries {
       .orderBy("doc_id", "line_number")
   }
 
+  /** P2/P3 as a SQL-visible UDTF: the custom Catalyst Generator
+    * `extract_items` (graft.functions.ExtractItemsGenerator) driven through
+    * LATERAL VIEW — one text row fans out to N item rows natively in the
+    * plan (GenerateExec), like explode. Python-dialect semantics → no
+    * DuckDB oracle; agreement with the golden-tested core is
+    * ExtractItemsSpec (every corpus page, field-by-field).
+    */
+  private def qExtractItemsSql(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ExtractItemsGenerator.register(s)
+    docs(s, dir)
+      .withColumn("doc", concat(
+        lit("QTY: "), (pmod(col("doc_id"), lit(9)) + 1).cast("string"),
+        lit(" EA VALVE PACKAGE MODEL VP-"), col("doc_id").cast("string"),
+        lit(" wall mounted\n"), col("text")))
+      .createOrReplaceTempView("docs_for_items")
+    s.sql(
+      """SELECT doc_id, it.fixture_type, it.quantity_int, it.quantity_str,
+                it.model_number, it.mounting_type, it.line_number
+         FROM docs_for_items
+         LATERAL VIEW extract_items(doc, 1L) it
+         ORDER BY doc_id, line_number""")
+  }
+
   /** J1-J3: the greedy scored fuzzy merge with the deterministic fake
     * second source wired through the real construction assembly — the
     * operator is order-dependent assignment with consumption, not a
@@ -741,6 +764,7 @@ object Queries {
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
     "q_construction_items" -> qConstructionItems _,
+    "q_extract_items_sql" -> qExtractItemsSql _,
     "q_llm_merge" -> qLlmMerge _,
     "q_standard_entities" -> qStandardEntities _,
     "q_html_extract" -> qHtmlExtract _,

@@ -5,7 +5,7 @@ import graft.core.Rx
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,14 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * to SQL and the Column API. Built-in `regexp_extract_all` cannot express
   * the group quirk ('' for a non-participating group vs a full match).
   *
-  * Interpreted (CodegenFallback): the regex itself dominates cost and
-  * compiled patterns are cached process-wide (graft.core.Rx), so each row
-  * pays only the match. A `doGenCode` version is a known follow-up; the
-  * expression still composes inside Catalyst plans (filters push around
-  * it, columns prune through it).
+  * Codegen-native: `doGenCode` emits a static call into the cached-pattern
+  * matcher, so the expression lives INSIDE WholeStageCodegen spans rather
+  * than forcing the interpreted fallback path for the whole projection —
+  * surrounding expressions stay fused. Compiled patterns are cached
+  * process-wide (graft.core.Rx), so each row pays only the match.
   */
 case class PyFindAll(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType)
@@ -35,11 +35,12 @@ case class PyFindAll(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "py_findall"
 
-  override protected def nullSafeEval(text: Any, pattern: Any): Any = {
-    val rx = Rx(pattern.asInstanceOf[UTF8String].toString) // cached compile
-    val found = rx.findall(text.asInstanceOf[UTF8String].toString)
-    new GenericArrayData(found.map(UTF8String.fromString).toArray[Any])
-  }
+  override protected def nullSafeEval(text: Any, pattern: Any): Any =
+    PyFindAll.findallData(text.asInstanceOf[UTF8String], pattern.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, p) =>
+      s"${ev.value} = graft.functions.PyFindAll$$.MODULE$$.findallData($t, $p);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PyFindAll =
@@ -47,6 +48,14 @@ case class PyFindAll(left: Expression, right: Expression)
 }
 
 object PyFindAll {
+
+  /** Shared by interpreted eval and generated code (called via the static
+    * module reference from janino-compiled projections).
+    */
+  def findallData(text: UTF8String, pattern: UTF8String): GenericArrayData = {
+    val rx = Rx(pattern.toString) // cached compile
+    new GenericArrayData(rx.findall(text.toString).map(UTF8String.fromString).toArray[Any])
+  }
   /** Register `py_findall` as a session temp function (SQL-callable). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

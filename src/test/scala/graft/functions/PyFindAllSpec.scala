@@ -17,6 +17,10 @@ class PyFindAllSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
+      // fail loudly if the expression's doGenCode emits uncompilable code
+      // instead of silently falling back to interpreted eval
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     PyFindAll.register(spark)
