@@ -157,28 +157,20 @@ object TextDedup {
 
   /** SimHash (Charikar 2002) over token multiset, `bits` ≤ 32: per bit
     * position, sum +1/-1 votes weighted by token occurrences; bit set if
-    * the vote is positive. Hash reduced below 2^32 so `div pow(2,i)` is
-    * exact in double in every engine.
+    * the vote is positive. Hash reduced below 2^32 so bit tests agree with
+    * the oracle's `floor(h / 2^i) % 2` double arithmetic.
     *
-    * Single-pass shape: one aggregate traversal folds the token-hash array
-    * into a 32-slot vote vector, and the `finish` lambda (bound variable —
-    * evaluated once) assembles the bits. The naive per-bit formulation
-    * re-evaluates the token-hash transform `bits` times per row (HOF
-    * subtrees are not CSE'd): measured 8× slower at sf0.1.
+    * The vote fold runs in a codegen-native custom Expression
+    * (graft.functions.SimHashVotes) — the earlier single-pass HOF aggregate
+    * allocated a `bits`-slot array per TOKEN in interpreted eval and
+    * dominated the operator's cost.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 32,
               hash: Column => Column = fastHash): DataFrame = {
     val hs = transform(tokens(col(textCol)), t => pmod(hash(t), lit(4294967296L)))
-    def bitOf(h: Column, i: Column): Column =
-      floor(h.cast("double") / pow(lit(2.0), i.cast("double"))).cast("long") % 2
-    val sim = aggregate(
-      hs,
-      array_repeat(lit(0L), bits),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
-        (a, i) => a + when(bitOf(h, i) === 1, 1L).otherwise(-1L)),
-      votes => aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-        (a, i) => a + when(element_at(votes, i + 1) > 0,
-          pow(lit(2.0), i.cast("double")).cast("long")).otherwise(0L)))
+    val sim = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SimHashVotes(
+        org.apache.spark.sql.GraftBridge.expression(hs), bits))
     df.select(col(idCol).as("id"), sim.as("simhash"))
   }
 
