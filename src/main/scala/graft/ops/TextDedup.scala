@@ -255,12 +255,18 @@ object TextDedup {
           col("b.nsh") >= ceil(lit(t) * col("a.nsh")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact verification: intersect the full (distinct) shingle-hash sets
+    // exact verification: merge-count the sorted (distinct) shingle-hash
+    // sets — codegen-native, no per-pair hash map / output array
+    // (graft.functions.SortedIntersectCount)
+    def intersectCount(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
     val sa = sets.select(col("id").as("id_a"), col("arr").as("arr_a"), col("nsh").as("na"))
     val sb = sets.select(col("id").as("id_b"), col("arr").as("arr_b"), col("nsh").as("nb"))
     cand.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("n_common"),
+        intersectCount(col("arr_a"), col("arr_b")).as("n_common"),
         col("na"), col("nb"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))

@@ -190,8 +190,10 @@ object Extract {
             val m = spark.read.parquet(dir.toString).agg(
               count(lit(1)), coalesce(sum(col("bytes_in")), lit(0L)),
               coalesce(sum(col("chars_out")), lit(0L)),
-              coalesce(sum(when(col("error").isNotNull, 1L).otherwise(0L)), lit(0L))).head()
-            BucketMetrics(b, m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3), secs)
+              coalesce(sum(when(col("error").isNotNull, 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(when(col("needs_ocr"), 1L).otherwise(0L)), lit(0L))).head()
+            BucketMetrics(b, m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
+              secs, m.getLong(4))
           } else
             BucketMetrics(b, acc.docs.value, acc.bytesIn.value,
               acc.charsOut.value, acc.errors.value, secs)

@@ -23,7 +23,11 @@ final case class BucketMetrics(
     bytesIn: Long,
     charsOut: Long,
     errors: Long,
-    seconds: Double
+    seconds: Double,
+    /** image-PDF suspects (first-page text < 50 chars, O2) — distinguishes
+      * "needs OCR, passed through" from "parse error" in the lineage.
+      */
+    needsOcr: Long = 0L
 ) {
   def docsPerSec: Double = if (seconds > 0) docs / seconds else 0.0
 }
@@ -69,7 +73,9 @@ final class SnapshotTable(rootStr: String) {
       metrics = node.get("metrics").elements().asScala.map { m =>
         BucketMetrics(m.get("bucket").asInt(), m.get("docs").asLong(),
           m.get("bytes_in").asLong(), m.get("chars_out").asLong(),
-          m.get("errors").asLong(), m.get("seconds").asDouble())
+          m.get("errors").asLong(), m.get("seconds").asDouble(),
+          // absent in pre-round-2 manifests → 0
+          Option(m.get("needs_ocr")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L))
       }.toVector
     )
   }
@@ -104,6 +110,7 @@ final class SnapshotTable(rootStr: String) {
         "bytes_in" -> J.I(bm.bytesIn),
         "chars_out" -> J.I(bm.charsOut),
         "errors" -> J.I(bm.errors),
+        "needs_ocr" -> J.I(bm.needsOcr),
         "seconds" -> J.F(bm.seconds),
         "docs_per_sec" -> J.F(bm.docsPerSec)
       )))
