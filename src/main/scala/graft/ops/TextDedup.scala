@@ -86,26 +86,21 @@ object TextDedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, shingleN: Int = 3,
                         hash: Column => Column = fastHash): DataFrame = {
-    val sh = shingles(tokens(col(textCol)), shingleN)
-    // base = shingle hash reduced mod P (so a*x+b stays < 2^63).
-    // Bound once via the single-element-transform idiom: referencing it
-    // directly inside the per-permutation lambda would re-run the md5
-    // subtree k times per row (HOF lambda bodies are not CSE'd) —
-    // measured ~8× the operator's cost at k=8.
-    val base = transform(sh, s => pmod(hash(s), lit(P)))
-    val sig = element_at(
-      transform(array(base), bs =>
-        transform(
-          sequence(lit(0), lit(k - 1)),
-          j => {
-            val a = j * 101 + 37
-            val b = j * 61 + 11
-            array_min(transform(bs, x => pmod(x * a + b, lit(P))))
-          })),
-      1)
-    df.select(col(idCol).as("id"), sig.as("sig"))
-      .where(col("sig").isNotNull && size(col("sig")) === k &&
-        !exists(col("sig"), _.isNull)) // docs shorter than one shingle drop out
+    // Exploded shape so the (md5-grade) shingle hash runs as a TOP-LEVEL
+    // projection — codegen'd — rather than interpreted inside a HOF lambda;
+    // the k permutation minima become k min-aggregates in ONE hash
+    // aggregate (fully codegen, map-side partial). Docs shorter than one
+    // shingle produce no rows and drop out, as before.
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(tokens(col(textCol)), shingleN)).as("s0"))
+      .select(col("id"), pmod(hash(col("s0")), lit(P)).as("h"))
+    val mins = (0 until k).map { j =>
+      val a = j * 101 + 37
+      val b = j * 61 + 11
+      min(pmod(col("h") * a + b, lit(P))).as(s"s$j")
+    }
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(j => col(s"s$j")): _*).as("sig"))
   }
 
   /** LSH banding over minhash signatures: bands of `rowsPerBand` signature

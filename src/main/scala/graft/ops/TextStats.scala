@@ -101,8 +101,12 @@ object TextStats {
   def fingerprintAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, n: Int = 8,
                      hash: Column => Column = TextDedup.portableHash): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(charGramHashes(col(textCol), n, hash)).as("g"))
+    // explode the POSITIONS, hash top-level: the md5 runs codegen'd in the
+    // fused explode+project stage instead of interpreted inside the
+    // charGramHashes transform lambda
+    df.select(col(idCol).as("id"), col(textCol).as("t"),
+        explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))).as("i"))
+      .select(col("id"), hash(col("t").substr(col("i"), lit(n))).as("g"))
       .groupBy("id").agg(
         min(col("g")).as("fp_min"),
         max(col("g")).as("fp_max"),
