@@ -232,7 +232,15 @@ object TextDedup {
     val sets = sh.groupBy("id")
       .agg(sort_array(collect_list(col("s"))).as("arr"),
         count(lit(1)).as("nsh"))
-    // global order: document frequency asc, hash asc (rare first)
+    // global order: document frequency asc, hash asc (rare first).
+    // The epsilon makes ceil(t·n) CONSERVATIVE under floating point: if
+    // double(t) > t (e.g. t = 0.35), t·n can round just above an integer
+    // boundary, inflating the ceiling — which would shorten the prefix /
+    // tighten the size filter below the sound bound and silently drop
+    // qualifying pairs. Subtracting 1e-9 (far above double error at any
+    // realistic |d|, far below 1) restores exactness; at worst the prefix
+    // is one element longer than necessary.
+    def ceilT(n: Column): Column = ceil(lit(t) * n - 1e-9)
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
     val wPos = Window.partitionBy("id").orderBy(col("dfreq"), col("s"))
     val wN = Window.partitionBy("id")
@@ -240,14 +248,14 @@ object TextDedup {
       .select(col("id"), col("s"),
         row_number().over(wPos).as("pos"),
         count(lit(1)).over(wN).as("nsh"))
-      .where(col("pos") <= col("nsh") - ceil(lit(t) * col("nsh")) + 1)
+      .where(col("pos") <= col("nsh") - ceilT(col("nsh")) + 1)
       .select(col("id"), col("s"), col("nsh"))
     val a = prefix.alias("a"); val b = prefix.alias("b")
     val cand = a.join(b,
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           // size filter: |A| ≥ ⌈t·|B|⌉ and vice versa for any qualifying pair
-          col("a.nsh") >= ceil(lit(t) * col("b.nsh")) &&
-          col("b.nsh") >= ceil(lit(t) * col("a.nsh")))
+          col("a.nsh") >= ceilT(col("b.nsh")) &&
+          col("b.nsh") >= ceilT(col("a.nsh")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // exact verification: merge-count the sorted (distinct) shingle-hash

@@ -170,6 +170,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp(1L).getInt(2) == 8)
   }
 
+  test("ngramJaccardPairs prefix filter is exact vs brute force, incl. fp-hostile thresholds") {
+    // pseudo-random docs over a small vocabulary → plenty of overlapping
+    // shingle sets near the threshold
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docs = (0L until 30L).map { i =>
+      val words = (0 until (10 + (i % 7).toInt))
+        .map(k => vocab(((i * 13 + k * 7 + k * k) % vocab.length).toInt))
+      i -> words.mkString(" ")
+    }
+    val df = docsDf(docs: _*)
+    def brute(t: Double): Set[(Long, Long, Double)] = {
+      def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        a = sh(ta); b = sh(tb)
+        c = (a intersect b).size
+        j = c.toDouble / (a.size + b.size - c) if j >= t
+      } yield (ia, ib, j)).toSet
+    }
+    // 0.35's double repr is ABOVE 35/100 — the fp-ceil trap threshold
+    Seq(0.3, 0.35, 0.5).foreach { t =>
+      val got = TextDedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, minJaccard = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      TextDedup.releaseCaches()
+      assert(got == brute(t), s"threshold $t diverged from brute force")
+      assert(got.nonEmpty || brute(t).isEmpty)
+    }
+  }
+
   test("nearDupPairsBlocked: identical output to brute force, equi-join plan") {
     // pseudo-random but deterministic embeddings — enough pairs to exercise
     // every block-pair role (diagonal + off-diagonal, both id orders)
