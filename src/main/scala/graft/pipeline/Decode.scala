@@ -16,6 +16,21 @@ import java.nio.charset.StandardCharsets
   */
 object Decode {
 
+  /** UTF-8 byte length without materializing the encoded array — bytesIn
+    * is a metric; `text.length` counted UTF-16 units (chars), skewing
+    * byte-volume metrics for non-ASCII payloads.
+    */
+  private[pipeline] def utf8Len(s: String): Long = {
+    var b = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      b += (if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4)
+      i += Character.charCount(cp)
+    }
+    b
+  }
+
   final case class Decoded(
       pages: Vector[PageData],
       kind: String,                 // pdf | html | text | none
@@ -65,7 +80,7 @@ object Decode {
         val ps = PyStr.split(text, '\f').toVector.zipWithIndex.map { case (t, i) =>
           PageData(i + 1L, t, None, None, Nil)
         }
-        (ps, "text", Vector.empty[Span], text.length.toLong * 1L, None)
+        (ps, "text", Vector.empty[Span], utf8Len(text), None)
       } else {
         (Vector.empty[PageData], "none", Vector.empty[Span], 0L, Some("null payload"))
       }
