@@ -16,10 +16,11 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * Methodology notes:
   *  - the N-core session goes FIRST and is preceded by two warmup passes
   *    over a small warmup corpus, so JIT warmth favors neither level (all
-  *    timed runs execute fully warm; best-of-3 per level to shed noise);
-  *  - the timed corpus is large enough (~26k docs) that per-bucket fixed
-  *    costs (job scheduling, snapshot commit) are amortized — the quantity
-  *    under test is parse throughput, which is what scales with executors;
+  *    timed runs execute fully warm; min-of-3 at N, min-of-4 at 4N — the
+  *    faster level's short wall is the noise-sensitive one);
+  *  - the timed corpus (~10k docs, fat=16) is large enough that per-bucket
+  *    fixed costs (job scheduling, snapshot commit) are amortized — the
+  *    quantity under test is parse throughput, which scales with executors;
   *  - each timed run writes to a fresh snapshot root (resume would
   *    otherwise skip completed buckets);
   *  - queries are forced with a noop-format write (full materialization,

@@ -175,11 +175,15 @@ object TextDedup {
     * an exact Hamming check on the candidates — the standard
     * shuffle-parallel plan (equi-join on chunk key, no cross join).
     */
-  def simhashPairs(sh: DataFrame, bits: Int = 32, chunks: Int = 4,
+  def simhashPairs(sh0: DataFrame, bits: Int = 32, chunks: Int = 4,
                    maxHamming: Int = 3): DataFrame = {
     require(chunks > maxHamming, "pigeonhole needs chunks > maxHamming")
     val chunkBits = bits / chunks
     val mask = (1L << chunkBits) - 1
+    // both self-join sides read the signature subtree (tokenize + hash per
+    // token) — persist so it computes once (ownership: releaseCaches)
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(sh)
     val banded = sh.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("simhash"), c * chunkBits)
