@@ -59,6 +59,16 @@ object TextDedup {
     * for every (position, k) — measured 3-4× the whole operator's cost
     * when toks is split(text) over ~250-token docs.
     */
+  /** Generator form of [[shingles]]: one row per distinct shingle, emitted
+    * by the native graft.functions.WordShinglesGenerator (zero-copy
+    * byte-slice grams, single JVM loop per doc) instead of the interpreted
+    * HOF tree + array_distinct + explode. Same rows, same order.
+    */
+  def shingleRows(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WordShinglesGenerator(
+        org.apache.spark.sql.GraftBridge.expression(text), n))
+
   def shingles(toks: Column, n: Int): Column =
     element_at(
       transform(array(toks), ts => {
@@ -92,7 +102,7 @@ object TextDedup {
     // aggregate (fully codegen, map-side partial). Docs shorter than one
     // shingle produce no rows and drop out, as before.
     val sh = df.select(col(idCol).as("id"),
-        explode(shingles(tokens(col(textCol)), shingleN)).as("s0"))
+        shingleRows(col(textCol), shingleN).as("s0"))
       .select(col("id"), pmod(hash(col("s0")), lit(P)).as("h"))
     val mins = (0 until k).map { j =>
       val a = j * 101 + 37
@@ -227,7 +237,7 @@ object TextDedup {
     // sh feeds sets, dfreq, and both prefix-join sides — persist so the
     // tokenize/shingle/hash subtree runs once (ownership: releaseCaches).
     val sh = df.select(col(idCol).as("id"),
-        explode(shingles(tokens(col(textCol)), n)).as("s0"))
+        shingleRows(col(textCol), n).as("s0"))
       .select(col("id"), hash(col("s0")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     registerCache(sh)

@@ -51,6 +51,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).isEmpty)
   }
 
+  test("shingleRows generator matches the HOF formulation on edge cases") {
+    val df = docsDf(
+      1L -> "a b c d",                       // plain
+      2L -> "a b",                           // shorter than n
+      3L -> "",                              // empty text → one empty token
+      4L -> "a  b c",                        // consecutive spaces → empty token
+      5L -> "a b c a b c a b c",             // duplicates → distinct
+      6L -> "héllo wörld émoji 😀 end", // multi-byte UTF-8
+      7L -> " a b ",                         // leading/trailing separators
+      8L -> "x y z")
+    for (n <- 1 to 4) {
+      val hof = df.select(col("doc_id"),
+          explode(TextDedup.shingles(TextDedup.tokens(col("text")), n)).as("s"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      val gen = df.select(col("doc_id"), TextDedup.shingleRows(col("text"), n).as("s"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(gen == hof, s"n=$n")
+    }
+  }
+
   test("minhash: identical docs get identical signatures; est_jaccard 1.0") {
     val df = docsDf(
       1L -> "the quick brown fox jumps over the lazy dog",
