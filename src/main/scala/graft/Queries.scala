@@ -350,14 +350,14 @@ object Queries {
        ORDER BY id"""
 
   // --------------------------------------------------------- simhash pairs
-  // The chunk-banded Hamming join (pigeonhole-exact: hamming ≤ 3 over 4
-  // chunks forces ≥1 equal chunk, so candidate gen via equi-join on chunk
-  // key loses nothing). Oracle: brute-force all-pairs Hamming in DuckDB —
-  // identical output by the pigeonhole argument.
+  // The combination-banded Hamming join (pigeonhole-exact: hamming ≤ 3 over
+  // 8 blocks leaves ≥5 equal blocks, so candidate gen via equi-join on each
+  // 5-block key loses nothing — Manku WWW'07). Oracle: brute-force
+  // all-pairs Hamming in DuckDB — identical output after exact verification.
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(
       TextDedup.simhash(docs(s, dir), "doc_id", "text", bits = 32, hash = ph),
-      bits = 32, chunks = 4, maxHamming = 3)
+      bits = 32, chunks = 8, maxHamming = 3)
       .orderBy("id_a", "id_b")
 
   private val oSimhashPairs =

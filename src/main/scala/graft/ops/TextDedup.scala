@@ -179,32 +179,60 @@ object TextDedup {
     df.select(col(idCol).as("id"), sim.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance. Candidate generation via
-    * chunk banding (pigeonhole: ≤ maxHamming differing bits spread over
-    * `chunks` chunks forces ≥1 equal chunk when chunks > maxHamming), then
-    * an exact Hamming check on the candidates — the standard
-    * shuffle-parallel plan (equi-join on chunk key, no cross join).
+  /** Near-dup pairs by SimHash Hamming distance, candidate generation via
+    * COMBINATION banding (Manku/Jain/Sarma, WWW'07 §3): split the hash into
+    * `chunks` equal blocks; if hamming(a,b) ≤ d then ≥ chunks−d blocks are
+    * equal (pigeonhole), so keying each of the C(chunks, d) possible
+    * (chunks−d)-block subsets catches every qualifying pair. Candidates are
+    * then verified with an exact Hamming check, so the output is identical
+    * to brute force (the DuckDB oracle keeps the brute shape).
+    *
+    * Why subsets and not single blocks: keying on one block of a b-bit hash
+    * gives (b/chunks)-bit keys — for 32-bit/4-chunk that is 256 distinct
+    * values, so bucket sizes (and spurious candidates) grow as n²/256 — a
+    * quadratic time bomb at corpus scale. A (chunks−d)-block key carries
+    * (chunks−d)·b/chunks bits (e.g. 20 bits for 32/8/3, 40 for 64/8/3),
+    * shrinking buckets geometrically at the price of C(chunks,d)-way row
+    * replication — the classic space-for-selectivity trade the WWW'07 paper
+    * runs at 8B-page scale.
+    *
+    * The band keys are STATICALLY UNROLLED into an array(...) of plain
+    * shift/mask/or columns — whole-stage-codegen arithmetic, no HOF lambda
+    * (HOFs evaluate interpreted; see the round-2 profiling notes).
     */
-  def simhashPairs(sh0: DataFrame, bits: Int = 32, chunks: Int = 4,
+  def simhashPairs(sh0: DataFrame, bits: Int = 32, chunks: Int = 8,
                    maxHamming: Int = 3): DataFrame = {
     require(chunks > maxHamming, "pigeonhole needs chunks > maxHamming")
-    val chunkBits = bits / chunks
-    val mask = (1L << chunkBits) - 1
+    require(bits % chunks == 0, s"chunks must divide bits ($bits/$chunks)")
+    val w = bits / chunks
+    val m = chunks - maxHamming // blocks per band key
+    require(m * w <= 62, s"band key needs $m*$w bits; reduce chunks or bits")
+    val combos = (0 until chunks).combinations(m).toVector
+    require(combos.length <= 256,
+      s"C($chunks,$maxHamming)=${combos.length} band tables; choose smaller chunks")
+    val mask = (1L << w) - 1
+    def block(c: Int): Column =
+      call_function("shiftright", col("simhash"), lit(c * w)).bitwiseAND(lit(mask))
+    // pack the combo's blocks positionally; combos are distinguished by the
+    // posexplode band index, so cross-combo key collisions are impossible
+    val bandKeys = combos.map { combo =>
+      combo.zipWithIndex.map { case (c, i) =>
+        call_function("shiftleft", block(c), lit(i * w))
+      }.reduce(_ bitwiseOR _)
+    }
     // both self-join sides read the signature subtree (tokenize + hash per
     // token) — persist so it computes once (ownership: releaseCaches)
     val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     registerCache(sh)
     val banded = sh.select(col("id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftright", col("simhash"), c * chunkBits)
-          .bitwiseAND(lit(mask)))).as(Seq("chunk", "chunk_key")))
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
     val a = banded.alias("a"); val b = banded.alias("b")
-    a.join(b, col("a.chunk") === col("b.chunk") &&
-        col("a.chunk_key") === col("b.chunk_key") && col("a.id") < col("b.id"))
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Hamming distance between two simhash columns. */
