@@ -97,8 +97,52 @@ object Construction {
   private def rxI(p: String) = Rx(p, ignoreCase = true)
   private def rxS(p: String) = Rx(p, ignoreCase = false)
 
-  private def hasUpperAscii(s: String) = rxS("""[A-Z]""").containsMatch(s)
-  private def hasDigit(s: String) = rxS("""\d""").containsMatch(s)
+  // Precompiled pattern tables + hoisted literal patterns. Rx.apply is a
+  // cache lookup, but at one lookup per (line × pattern) even the
+  // string-keyed fast path showed at ~3% of JFR parse samples; compiling
+  // once into vals removes the per-line lookups entirely while leaving the
+  // Semantics tables (the auditable parity surface) untouched. The
+  // exclusion blocklist folds into ONE alternation — `exists(search)` over
+  // patterns ≡ one search over `(?:p1)|(?:p2)|…` (pure boolean, no group
+  // use), so ten scans per line become one.
+  private val excludeAnyRx = rxI(excludePatterns.map(p => s"(?:$p)").mkString("|"))
+  private val fixtureRx = fixturePatterns.map(rxI).toArray
+  private val quantityRx = quantityPatterns.map(rxI).toArray
+  private val modelRx = modelPatterns.map(rxI).toArray
+  private val dimensionRx = dimensionPatterns.map(rxI).toArray
+  private val fullDimRx = fullDimPatterns.map(rxI).toArray
+  private val mountingRx = mountingPatterns.map(rxI).toArray
+  private val specRx = specPatterns.map(rxI).toArray
+  private val drawingRefRx = drawingReferencePatterns.map(rxS).toArray
+  private val modelInLineRx = modelPatternsInLine.map(rxI).toArray
+
+  private val upperAsciiRx = rxS("""[A-Z]""")
+  private val digitClassRx = rxS("""\d""")
+  private val actionVerbStartRx =
+    rxI("""^\s*(up\s+to|see|refer|use|install|mount|connect|note|notice|warning)\s+""")
+  private val capPhraseRx = rxS("""\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)+)""")
+  private val dimShapeRx = rxS("\\d+\\s*[\"\\']\\s*[-–]?\\s*\\d+")
+  private val numericOnlyRx = rxS("^[\\d\\s\\'\\\"\\-\\/\\.]+$")
+  private val qtyDecimalRx = rxI("""\b(qty|quantity)[:\s]*\d+\.\d+""")
+  private val specCtxRx = rxI("\\d+\\s*[\"\\']|OM-|MAU-|CH\\d+|model|part\\s*#")
+  private val digitsOnlyRx = rxS("""^\d+$""")
+  private val shortModelShapeRx = rxS("""^[A-Z]\d+$""")
+  private val modelKeywordRx = rxI("""\b(model|part|pn|sku|cat|item\s*#)""")
+  private val modelPrefixRx = rxS("""^[A-Z]{2,}-\d+""")
+  private val modelShapeInLineRx = rxI("""[A-Z]{2,}-\d+|[A-Z]{1,3}\d{2,}""")
+  private val dimCtxWordRx = rxI("""(diameter|dia|OD|ID|size|dimension|inch|inches|x\s*\d)""")
+  private val dimCtxLineRx =
+    rxI("[\"\\']|inch|inches|in|feet|ft|cm|mm|diameter|dia|ø|\"|\\'|x\\s*\\d")
+  private val dimUnitsRx = rxI("[\"\\']|ø|inch|in|ft|cm|mm")
+  private val eaQtyRx = rxI("""\b(\d+)\s*(ea|each|pcs|pieces|qty|quantity)""")
+  private val specDecimalShapeRx = rxS("""^\d+\.\d+$""")
+  private val enrichUnitsRx = rxI("[\"\\']|ø|inch|inches|in|ft|feet|cm|mm|diameter|dia")
+  private val enrichCtxRx = rxI("(diameter|dia|OD|ID|inch|in|\"|\\'|ø|x\\s*\\d)")
+  private val hyphenWsRx = rxS("""[-\s]+""")
+  private val digitsRx = rxS("""\d+""")
+
+  private def hasUpperAscii(s: String) = upperAsciiRx.containsMatch(s)
+  private def hasDigit(s: String) = digitClassRx.containsMatch(s)
 
   // ---------------------------------------------------------------- P2 fold
   /** extract_items (construction.py:153-214). */
@@ -145,15 +189,15 @@ object Construction {
   // ------------------------------------------------------ P3 line classifier
   /** _detect_item_line (construction.py:216-649). */
   def detectItemLine(line: String, pageNum: Long, lineNum: Long): Option[Detected] = {
-    // exclusion regexes (:222-224)
-    if (excludePatterns.exists(p => rxI(p).containsMatch(line))) return None
+    // exclusion regexes (:222-224) — folded into one alternation scan
+    if (excludeAnyRx.containsMatch(line)) return None
 
     // instruction-phrase prefixes (:227-230)
     val lineUpper = PyStr.strip(PyStr.upper(line))
     if (instructionPhrases.exists(ph => lineUpper.startsWith(PyStr.upper(ph)))) return None
 
     // action-verb starts (:233-234)
-    if (rxI("""^\s*(up\s+to|see|refer|use|install|mount|connect|note|notice|warning)\s+""").matchesAt(line))
+    if (actionVerbStartRx.matchesAt(line))
       return None
 
     // very short lines (:237-238)
@@ -163,8 +207,8 @@ object Construction {
     // fixture types — longest match across all patterns (:243-254)
     var bestMatch: String = null
     var bestLen = 0
-    fixturePatterns.foreach { pat =>
-      rxI(pat).finditer(line).foreach { m =>
+    fixtureRx.foreach { rx =>
+      rx.finditer(line).foreach { m =>
         val t = PyStr.strip(m.group0)
         if (PyStr.len(t) > bestLen) { bestMatch = t; bestLen = PyStr.len(t) }
       }
@@ -183,10 +227,10 @@ object Construction {
       }
     } else {
       // inferred capitalized multi-word phrase (:276-291); no IGNORECASE
-      rxS("""\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)+)""").search(line).foreach { cp =>
+      capPhraseRx.search(line).foreach { cp =>
         val potential = PyStr.strip(cp.group(1))
-        val isDimensionPattern = rxS("\\d+\\s*[\"\\']\\s*[-–]?\\s*\\d+").containsMatch(potential)
-        val isNumericOnly = rxS("^[\\d\\s\\'\\\"\\-\\/\\.]+$").matchesAt(PyStr.strip(potential))
+        val isDimensionPattern = dimShapeRx.containsMatch(potential)
+        val isNumericOnly = numericOnlyRx.matchesAt(PyStr.strip(potential))
         if (PyStr.splitWs(potential).length >= 2 && PyStr.len(potential) > 10 &&
             !isDimensionPattern && !isNumericOnly) {
           d.tpe = Some(potential)
@@ -194,20 +238,25 @@ object Construction {
       }
     }
 
+    // Digit prescreen: every quantity / dimension / full-dim pattern
+    // requires `\d` to participate in any match, so a digit-free line
+    // cannot match any of them — skipping the 8+19(+12) regex scans is
+    // semantics-free (the loops below would fall through unmatched).
+    val lineHasDigit = hasDigit(line)
+
     // quantities (:294-351)
-    var qtyBreak = false
-    val qtyIt = quantityPatterns.iterator
+    var qtyBreak = !lineHasDigit
+    val qtyIt = quantityRx.iterator
     while (!qtyBreak && qtyIt.hasNext) {
-      val pat = qtyIt.next()
-      rxI(pat).search(line).foreach { m =>
+      qtyIt.next().search(line).foreach { m =>
         try {
           val qtyStr = m.group(1)
           if (qtyStr == null) throw new NumberFormatException("no group") // ≙ IndexError-ish guard
           if (!qtyStr.contains('.')) PyInt.parse(qtyStr) // ≙ qty_num probe; ValueError → except
 
           // part-of-model veto (:303-317)
-          var isPartOfModel = modelPatternsInLine.exists { mp =>
-            rxI(mp).search(line).exists(mm => mm.group0.contains(qtyStr))
+          var isPartOfModel = modelInLineRx.exists { mp =>
+            mp.search(line).exists(mm => mm.group0.contains(qtyStr))
           }
           // instruction-context veto (:318-321)
           val contextBefore = PyStr.upper(PyStr.strip(line.substring(0, m.start)))
@@ -220,8 +269,8 @@ object Construction {
             if (d.specDecimalValue.contains(qtyStr) || qtyStr == d.spec.getOrElse(""))
               isSpecReference = true
           } else if (qtyStr.contains('.')) {
-            if (!rxI("""\b(qty|quantity)[:\s]*\d+\.\d+""").containsMatch(line)) {
-              if (rxI("\\d+\\s*[\"\\']|OM-|MAU-|CH\\d+|model|part\\s*#").containsMatch(line)) {
+            if (!qtyDecimalRx.containsMatch(line)) {
+              if (specCtxRx.containsMatch(line)) {
                 isSpecReference = true
                 if (!d.specTruthy) {
                   d.spec = Some(qtyStr)
@@ -243,8 +292,8 @@ object Construction {
 
     // model numbers (:353-405)
     val allModels = ArrayBuffer.empty[String]
-    modelPatterns.foreach { pat =>
-      rxI(pat).finditer(line).foreach { m =>
+    modelRx.foreach { rx =>
+      rx.finditer(line).foreach { m =>
         val groups = m.groups
         if (groups.nonEmpty) {
           var gi = groups.length - 1
@@ -253,12 +302,12 @@ object Construction {
             val g = groups(gi)
             if (g != null && PyStr.strip(g).nonEmpty) {
               val model = PyStr.strip(g)
-              if (!rxS("""^\d+$""").matchesAt(model) && PyStr.len(model) > 1 && PyStr.len(model) < 50) {
+              if (!digitsOnlyRx.matchesAt(model) && PyStr.len(model) > 1 && PyStr.len(model) < 50) {
                 if (PyStr.len(model) >= 2) {
                   var skipGroup = false
-                  if (PyStr.len(model) <= 4 && rxS("""^[A-Z]\d+$""").matchesAt(model)) {
+                  if (PyStr.len(model) <= 4 && shortModelShapeRx.matchesAt(model)) {
                     if (legalWords.exists(w => PyStr.upper(line).contains(w))) skipGroup = true
-                    else if (!rxI("""\b(model|part|pn|sku|cat|item\s*#)""").containsMatch(line)) skipGroup = true
+                    else if (!modelKeywordRx.containsMatch(line)) skipGroup = true
                     else if (PyStr.splitWs(PyStr.strip(line)).length <= 2 &&
                              PyStr.upper(line).contains(PyStr.upper(model))) skipGroup = true
                     else if (hasUpperAscii(model) && hasDigit(model)) {
@@ -276,11 +325,11 @@ object Construction {
           val model = PyStr.strip(m.group0)
           if (PyStr.len(model) >= 3 && PyStr.len(model) < 30) {
             var skip = false
-            if (PyStr.len(model) <= 4 && rxS("""^[A-Z]\d+$""").matchesAt(model)) {
+            if (PyStr.len(model) <= 4 && shortModelShapeRx.matchesAt(model)) {
               if (legalWords.exists(w => PyStr.upper(line).contains(w))) skip = true
             }
             if (!skip && ((hasUpperAscii(model) && hasDigit(model)) ||
-                rxS("""^[A-Z]{2,}-\d+""").matchesAt(model))) {
+                modelPrefixRx.matchesAt(model))) {
               if (!allModels.contains(model)) allModels += model
             }
           }
@@ -291,27 +340,25 @@ object Construction {
       d.model = Some(allModels.take(2).mkString(", "))
     }
 
-    // dimensions (:407-486)
-    var dimBreak = false
-    val dimIt = dimensionPatterns.iterator
+    // dimensions (:407-486) — digit prescreen, see above
+    var dimBreak = !lineHasDigit
+    val dimIt = dimensionRx.iterator
     while (!dimBreak && dimIt.hasNext) {
-      val pat = dimIt.next()
-      rxI(pat).search(line).foreach { m =>
+      dimIt.next().search(line).foreach { m =>
         val dimParts = m.groups.filter(g => g != null && g.nonEmpty)
         if (dimParts.nonEmpty) {
           val filtered = dimParts.filter { dim =>
             if (dim.contains('/') && PyStr.len(dim) <= 4) {
-              val hasModel = rxI("""[A-Z]{2,}-\d+|[A-Z]{1,3}\d{2,}""").containsMatch(line)
+              val hasModel = modelShapeInLineRx.containsMatch(line)
               val hasInstruction =
                 List("UP TO", "SEE", "REFER TO").exists(ph => PyStr.upper(line).contains(ph))
-              val dimCtx =
-                rxI("""(diameter|dia|OD|ID|size|dimension|inch|inches|x\s*\d)""").containsMatch(line)
+              val dimCtx = dimCtxWordRx.containsMatch(line)
               !((hasModel || hasInstruction) && !dimCtx)
             } else true
           }
           if (filtered.nonEmpty) {
-            val fullDimFound = fullDimPatterns.iterator
-              .flatMap(fp => rxI(fp).search(line).map(fm => PyStr.strip(fm.group(1))))
+            val fullDimFound = fullDimRx.iterator
+              .flatMap(fp => fp.search(line).map(fm => PyStr.strip(fm.group(1))))
               .nextOption()
             fullDimFound match {
               case Some(fd) =>
@@ -320,12 +367,9 @@ object Construction {
                 d.dimensions = Some(filtered.mkString(" x ")); dimBreak = true
               case None =>
                 val singleDim = filtered.head
-                val isStandaloneNumber = rxS("""^\d+$""").matchesAt(PyStr.strip(singleDim))
-                val hasDimensionContext = rxI(
-                  "[\"\\']|inch|inches|in|feet|ft|cm|mm|diameter|dia|ø|\"|\\'|x\\s*\\d"
-                ).containsMatch(line)
-                val hasUnitsInDim =
-                  rxI("[\"\\']|ø|inch|in|ft|cm|mm").containsMatch(singleDim)
+                val isStandaloneNumber = digitsOnlyRx.matchesAt(PyStr.strip(singleDim))
+                val hasDimensionContext = dimCtxLineRx.containsMatch(line)
+                val hasUnitsInDim = dimUnitsRx.containsMatch(singleDim)
                 if (hasUnitsInDim || (hasDimensionContext && !isStandaloneNumber)) {
                   d.dimensions = Some(singleDim); dimBreak = true
                 } // else: continue to next pattern (:484)
@@ -337,9 +381,9 @@ object Construction {
 
     // mounting (:489-494)
     var mountBreak = false
-    val mountIt = mountingPatterns.iterator
+    val mountIt = mountingRx.iterator
     while (!mountBreak && mountIt.hasNext) {
-      rxI(mountIt.next()).search(line).foreach { m =>
+      mountIt.next().search(line).foreach { m =>
         d.mounting = Some(PyStr.strip(m.group0))
         mountBreak = true
       }
@@ -347,16 +391,16 @@ object Construction {
 
     // specs (:496-514)
     var specBreak = false
-    val specIt = specPatterns.iterator
+    val specIt = specRx.iterator
     while (!specBreak && specIt.hasNext) {
-      rxI(specIt.next()).search(line).foreach { m =>
+      specIt.next().search(line).foreach { m =>
         val groups = m.groups
         val specStr =
           if (groups.nonEmpty) PyStr.strip(groups.filter(g => g != null && g.nonEmpty).mkString(" "))
           else PyStr.strip(m.group0)
         if (specStr.nonEmpty) {
           d.spec = Some(specStr)
-          if (specStr.contains('.') && rxS("""^\d+\.\d+$""").matchesAt(specStr)) {
+          if (specStr.contains('.') && specDecimalShapeRx.matchesAt(specStr)) {
             d.hasSpecDecimal = true
             d.specDecimalValue = Some(specStr)
           }
@@ -377,7 +421,7 @@ object Construction {
     if (instructionIndicators) return None
 
     // drawing/line reference filter (:535-559)
-    if (drawingReferencePatterns.exists(p => rxS(p).matchesAt(lineStripped))) {
+    if (drawingRefRx.exists(p => p.matchesAt(lineStripped))) {
       // line_stripped == line.strip().upper() always holds (:546) — whole-line branch
       if (!d.specTruthy) d.spec = Some(PyStr.strip(line))
       if (d.tpe.contains(PyStr.strip(line))) d.tpe = None
@@ -393,7 +437,7 @@ object Construction {
       else if (d.qtyTruthy) hasStrong = true
     }
     if (d.qtyTruthy) {
-      if (rxI("""\b(\d+)\s*(ea|each|pcs|pieces|qty|quantity)""").containsMatch(line))
+      if (eaQtyRx.containsMatch(line))
         hasStrong = true
     }
 
@@ -404,8 +448,8 @@ object Construction {
       val words = PyStr.splitWs(line)
       if (words.nonEmpty) {
         val potential = PyStr.strip(words.take(3).mkString(" "))
-        val isDimension = rxS("\\d+\\s*[\"\\']\\s*[-–]?\\s*\\d+").containsMatch(potential)
-        val isNumeric = rxS("^[\\d\\s\\'\\\"\\-\\/\\.]+$").matchesAt(PyStr.strip(potential))
+        val isDimension = dimShapeRx.containsMatch(potential)
+        val isNumeric = numericOnlyRx.matchesAt(PyStr.strip(potential))
         val excluded = inferredTypeExcludePhrases.exists(ph => PyStr.upper(potential).contains(ph))
         if (!(excluded || isDimension || isNumeric) && PyStr.len(potential) < 40)
           d.tpe = Some(potential)
@@ -442,12 +486,16 @@ object Construction {
     * line "SEE PAGE 5" contributes quantity 5.
     */
   def enrichItem(item: OpenItem, line: String): Unit = {
+    // digit prescreen (see detectItemLine): quantity/dimension patterns
+    // all require \d, so digit-free context lines skip those loops
+    val lineHasDigit = hasDigit(line)
+
     // quantity (:654-667)
     if (!item.quantity.exists(_.truthy)) {
-      var brk = false
-      val it = quantityPatterns.iterator
+      var brk = !lineHasDigit
+      val it = quantityRx.iterator
       while (!brk && it.hasNext) {
-        rxI(it.next()).search(line).foreach { m =>
+        it.next().search(line).foreach { m =>
           try {
             val qtyStr = m.group(1)
             if (qtyStr == null) throw new NumberFormatException("no group")
@@ -462,9 +510,9 @@ object Construction {
     // model (:670-685)
     if (!item.modelNumber.exists(_.nonEmpty)) {
       var brk = false
-      val it = modelPatterns.iterator
+      val it = modelRx.iterator
       while (!brk && it.hasNext) {
-        rxI(it.next()).search(line).foreach { m =>
+        it.next().search(line).foreach { m =>
           val groups = m.groups
           if (groups.nonEmpty) {
             var gi = groups.length - 1
@@ -483,23 +531,21 @@ object Construction {
       }
     }
 
-    // dimensions (:689-717)
+    // dimensions (:689-717) — digit prescreen, see above
     if (!item.dimensions.exists(_.nonEmpty)) {
-      var brk = false
-      val it = dimensionPatterns.iterator
+      var brk = !lineHasDigit
+      val it = dimensionRx.iterator
       while (!brk && it.hasNext) {
-        rxI(it.next()).search(line).foreach { m =>
+        it.next().search(line).foreach { m =>
           val dimParts = m.groups.filter(g => g != null)
             .map(PyStr.strip).filter(_.nonEmpty)
           if (dimParts.nonEmpty) {
             if (dimParts.length > 1) item.dimensions = Some(dimParts.mkString(" x "))
             else {
               val singleDim = dimParts.head
-              val isStandaloneNumber = rxS("""^\d+$""").matchesAt(PyStr.strip(singleDim))
-              val hasUnits = rxI(
-                "[\"\\']|ø|inch|inches|in|ft|feet|cm|mm|diameter|dia").containsMatch(singleDim)
-              val hasContext = rxI(
-                "(diameter|dia|OD|ID|inch|in|\"|\\'|ø|x\\s*\\d)").containsMatch(line)
+              val isStandaloneNumber = digitsOnlyRx.matchesAt(PyStr.strip(singleDim))
+              val hasUnits = enrichUnitsRx.containsMatch(singleDim)
+              val hasContext = enrichCtxRx.containsMatch(line)
               if (hasUnits || (hasContext && !isStandaloneNumber))
                 item.dimensions = Some(singleDim)
             }
@@ -512,12 +558,12 @@ object Construction {
     // mounting (:720-730)
     if (!item.mountingType.exists(_.nonEmpty)) {
       var brk = false
-      val it = mountingPatterns.iterator
+      val it = mountingRx.iterator
       while (!brk && it.hasNext) {
-        rxI(it.next()).search(line).foreach { m =>
+        it.next().search(line).foreach { m =>
           val mounting0 = PyStr.strip(m.group0)
           if (mounting0.nonEmpty) {
-            var mounting = rxS("""[-\s]+""").p.matcher(PyStr.lower(mounting0)).replaceAll("-")
+            var mounting = hyphenWsRx.p.matcher(PyStr.lower(mounting0)).replaceAll("-")
             mounting = mounting.replace("mounting", "mount").replace("hung", "mount")
             item.mountingType = Some(PyStr.title(mounting))
           }
@@ -529,10 +575,10 @@ object Construction {
     // spec (:733-758) — may overwrite page_number from a page reference
     if (!item.specReference.exists(_.nonEmpty)) {
       var brk = false
-      val it = specPatterns.iterator
-      while (!brk && it.hasNext) {
-        val pat = it.next()
-        rxI(pat).search(line).foreach { m =>
+      var pi = 0
+      while (!brk && pi < specRx.length) {
+        val pat = specPatterns(pi)
+        specRx(pi).search(line).foreach { m =>
           val groups = m.groups
           val specStr =
             if (groups.nonEmpty) PyStr.strip(groups.filter(g => g != null && g.nonEmpty).mkString(" "))
@@ -540,13 +586,14 @@ object Construction {
           if (specStr.nonEmpty) item.specReference = Some(specStr)
           val patLower = PyStr.lower(pat)
           if (patLower.contains("page") || patLower.contains("pg")) {
-            rxS("""\d+""").search(specStr).foreach { pm =>
+            digitsRx.search(specStr).foreach { pm =>
               try item.pageNumber = PyInt.parse(pm.group0)
               catch { case _: NumberFormatException => () }
             }
           }
           brk = true
         }
+        pi += 1
       }
     }
   }
@@ -587,7 +634,7 @@ object Construction {
               val value = cellOpt.map(PyStr.strip).getOrElse("")
               if (field == "quantity" && value.nonEmpty) {
                 // first \d+ in the cell (:812-815); no digits → key not set
-                rxS("""\d+""").search(value).foreach { qm =>
+                digitsRx.search(value).foreach { qm =>
                   quantity = Some(QInt(PyInt.parse(qm.group0))); quantitySet = true
                 }
               } else {

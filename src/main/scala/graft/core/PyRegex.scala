@@ -17,27 +17,37 @@ import java.util.regex.{Matcher, MatchResult, Pattern}
 final class Rx private (val source: String, val p: Pattern) {
   private val nGroups = p.matcher("").groupCount()
 
+  // Matcher reuse: Rx instances are cached and shared across threads, and
+  // the parse core calls them once per (line × pattern) — allocating a
+  // fresh Matcher each call was ~5% of JFR parse samples. A thread-local
+  // matcher per Rx is safe because every public result is an immutable
+  // toMatchResult() snapshot; the live Matcher never escapes a call.
+  private val tlMatcher = new ThreadLocal[Matcher] {
+    override def initialValue(): Matcher = p.matcher("")
+  }
+  private def m(s: String): Matcher = { val mm = tlMatcher.get(); mm.reset(s); mm }
+
   /** re.search → first match anywhere, or None. */
   def search(s: String): Option[Mtch] = {
-    val m = p.matcher(s)
-    if (m.find()) Some(new Mtch(m.toMatchResult)) else None
+    val mm = m(s)
+    if (mm.find()) Some(new Mtch(mm.toMatchResult)) else None
   }
 
-  def containsMatch(s: String): Boolean = p.matcher(s).find()
+  def containsMatch(s: String): Boolean = m(s).find()
 
   /** re.match → match anchored at position 0, or None. */
   def matchAt(s: String): Option[Mtch] = {
-    val m = p.matcher(s)
-    if (m.lookingAt()) Some(new Mtch(m.toMatchResult)) else None
+    val mm = m(s)
+    if (mm.lookingAt()) Some(new Mtch(mm.toMatchResult)) else None
   }
 
-  def matchesAt(s: String): Boolean = p.matcher(s).lookingAt()
+  def matchesAt(s: String): Boolean = m(s).lookingAt()
 
   /** re.finditer — non-overlapping matches left to right. */
   def finditer(s: String): List[Mtch] = {
-    val m = p.matcher(s)
+    val mm = m(s)
     val out = List.newBuilder[Mtch]
-    while (m.find()) out += new Mtch(m.toMatchResult)
+    while (mm.find()) out += new Mtch(mm.toMatchResult)
     out.result()
   }
 
@@ -47,11 +57,11 @@ final class Rx private (val source: String, val p: Pattern) {
     */
   def findall(s: String): List[String] = {
     require(nGroups <= 1, s"findall tuple semantics not implemented for $source")
-    val m = p.matcher(s)
+    val mm = m(s)
     val out = List.newBuilder[String]
-    while (m.find()) {
-      if (nGroups == 0) out += m.group(0)
-      else { val g = m.group(1); out += (if (g == null) "" else g) }
+    while (mm.find()) {
+      if (nGroups == 0) out += mm.group(0)
+      else { val g = mm.group(1); out += (if (g == null) "" else g) }
     }
     out.result()
   }
@@ -73,13 +83,26 @@ object Rx {
   private val base = Pattern.UNICODE_CHARACTER_CLASS
   private val ic = Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[(String, Boolean), Rx]()
+  // Split caches per flag, keyed by the pattern String itself: call sites
+  // pass literal patterns per LINE processed, so this lookup is the hottest
+  // non-regex path in the parse core (JFR: tuple-keyed computeIfAbsent —
+  // tuple alloc + product murmurhash per call — was ~15% of parse samples).
+  // String keys hit the JVM's cached String.hashCode; the get-first fast
+  // path skips computeIfAbsent's lambda machinery. Benign race on first
+  // use: both threads compile equal patterns, putIfAbsent keeps one.
+  private val cacheCS = new java.util.concurrent.ConcurrentHashMap[String, Rx]()
+  private val cacheCI = new java.util.concurrent.ConcurrentHashMap[String, Rx]()
 
-  def apply(pattern: String, ignoreCase: Boolean = false): Rx =
-    cache.computeIfAbsent(
-      (pattern, ignoreCase),
-      { case (pat, icase) => new Rx(pat, Pattern.compile(pat, if (icase) base | ic else base)) }
-    )
+  def apply(pattern: String, ignoreCase: Boolean = false): Rx = {
+    val cache = if (ignoreCase) cacheCI else cacheCS
+    val hit = cache.get(pattern)
+    if (hit != null) hit
+    else {
+      val rx = new Rx(pattern, Pattern.compile(pattern, if (ignoreCase) base | ic else base))
+      val prev = cache.putIfAbsent(pattern, rx)
+      if (prev != null) prev else rx
+    }
+  }
 
   /** re.escape (Python ≥3.7): backslash-escape only special characters. */
   private val escapeSet = "()[]{}?*+-|^$\\.&~# \t\n\r\f".toSet
