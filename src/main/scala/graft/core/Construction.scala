@@ -109,10 +109,15 @@ object Construction {
   private val fixtureRx = fixturePatterns.map(rxI).toArray
   private val quantityRx = quantityPatterns.map(rxI).toArray
   private val modelRx = modelPatterns.map(rxI).toArray
+  // digit-free subsets: model patterns 2-4 and spec patterns 5-8 require a
+  // digit in every alternative, so digit-free lines only need the rest
+  // (order within the subset is the original order — break semantics hold)
+  private val modelRxNoDigit = Array(modelRx(0))
   private val dimensionRx = dimensionPatterns.map(rxI).toArray
   private val fullDimRx = fullDimPatterns.map(rxI).toArray
   private val mountingRx = mountingPatterns.map(rxI).toArray
   private val specRx = specPatterns.map(rxI).toArray
+  private val specRxNoDigit = specRx.take(4)
   private val drawingRefRx = drawingReferencePatterns.map(rxS).toArray
   private val modelInLineRx = modelPatternsInLine.map(rxI).toArray
 
@@ -193,7 +198,8 @@ object Construction {
     if (excludeAnyRx.containsMatch(line)) return None
 
     // instruction-phrase prefixes (:227-230)
-    val lineUpper = PyStr.strip(PyStr.upper(line))
+    val upperLine = PyStr.upper(line) // hoisted: reused by the vetoes below
+    val lineUpper = PyStr.strip(upperLine)
     if (instructionPhrases.exists(ph => lineUpper.startsWith(PyStr.upper(ph)))) return None
 
     // action-verb starts (:233-234)
@@ -292,7 +298,7 @@ object Construction {
 
     // model numbers (:353-405)
     val allModels = ArrayBuffer.empty[String]
-    modelRx.foreach { rx =>
+    (if (lineHasDigit) modelRx else modelRxNoDigit).foreach { rx =>
       rx.finditer(line).foreach { m =>
         val groups = m.groups
         if (groups.nonEmpty) {
@@ -306,10 +312,10 @@ object Construction {
                 if (PyStr.len(model) >= 2) {
                   var skipGroup = false
                   if (PyStr.len(model) <= 4 && shortModelShapeRx.matchesAt(model)) {
-                    if (legalWords.exists(w => PyStr.upper(line).contains(w))) skipGroup = true
+                    if (legalWords.exists(w => upperLine.contains(w))) skipGroup = true
                     else if (!modelKeywordRx.containsMatch(line)) skipGroup = true
                     else if (PyStr.splitWs(PyStr.strip(line)).length <= 2 &&
-                             PyStr.upper(line).contains(PyStr.upper(model))) skipGroup = true
+                             upperLine.contains(PyStr.upper(model))) skipGroup = true
                     else if (hasUpperAscii(model) && hasDigit(model)) {
                       if (!allModels.contains(model)) allModels += model
                     }
@@ -326,7 +332,7 @@ object Construction {
           if (PyStr.len(model) >= 3 && PyStr.len(model) < 30) {
             var skip = false
             if (PyStr.len(model) <= 4 && shortModelShapeRx.matchesAt(model)) {
-              if (legalWords.exists(w => PyStr.upper(line).contains(w))) skip = true
+              if (legalWords.exists(w => upperLine.contains(w))) skip = true
             }
             if (!skip && ((hasUpperAscii(model) && hasDigit(model)) ||
                 modelPrefixRx.matchesAt(model))) {
@@ -351,7 +357,7 @@ object Construction {
             if (dim.contains('/') && PyStr.len(dim) <= 4) {
               val hasModel = modelShapeInLineRx.containsMatch(line)
               val hasInstruction =
-                List("UP TO", "SEE", "REFER TO").exists(ph => PyStr.upper(line).contains(ph))
+                List("UP TO", "SEE", "REFER TO").exists(ph => upperLine.contains(ph))
               val dimCtx = dimCtxWordRx.containsMatch(line)
               !((hasModel || hasInstruction) && !dimCtx)
             } else true
@@ -391,7 +397,7 @@ object Construction {
 
     // specs (:496-514)
     var specBreak = false
-    val specIt = specRx.iterator
+    val specIt = (if (lineHasDigit) specRx else specRxNoDigit).iterator
     while (!specBreak && specIt.hasNext) {
       specIt.next().search(line).foreach { m =>
         val groups = m.groups
@@ -510,7 +516,7 @@ object Construction {
     // model (:670-685)
     if (!item.modelNumber.exists(_.nonEmpty)) {
       var brk = false
-      val it = modelRx.iterator
+      val it = (if (lineHasDigit) modelRx else modelRxNoDigit).iterator
       while (!brk && it.hasNext) {
         it.next().search(line).foreach { m =>
           val groups = m.groups
@@ -576,7 +582,8 @@ object Construction {
     if (!item.specReference.exists(_.nonEmpty)) {
       var brk = false
       var pi = 0
-      while (!brk && pi < specRx.length) {
+      val nSpec = if (lineHasDigit) specRx.length else specRxNoDigit.length
+      while (!brk && pi < nSpec) {
         val pat = specPatterns(pi)
         specRx(pi).search(line).foreach { m =>
           val groups = m.groups
