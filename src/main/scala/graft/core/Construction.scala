@@ -113,6 +113,7 @@ object Construction {
   // digit in every alternative, so digit-free lines only need the rest
   // (order within the subset is the original order — break semantics hold)
   private val modelRxNoDigit = Array(modelRx(0))
+  private val emptyRx = Array.empty[Rx]
   private val dimensionRx = dimensionPatterns.map(rxI).toArray
   private val fullDimRx = fullDimPatterns.map(rxI).toArray
   private val mountingRx = mountingPatterns.map(rxI).toArray
@@ -148,6 +149,88 @@ object Construction {
 
   private def hasUpperAscii(s: String) = upperAsciiRx.containsMatch(s)
   private def hasDigit(s: String) = digitClassRx.containsMatch(s)
+
+  // Literal-word prescreen for the fixture/mounting tables: every
+  // alternative in fixturePatterns starts with a literal word followed by
+  // \b or \s+, and every mounting alternative starts with one of a fixed
+  // set of literal PREFIXES (prefix, not word: `wall[-\s]*hung` matches the
+  // single token "wallhung"). So a line whose word set contains no fixture
+  // first-word (resp. no word starting with a mounting prefix) cannot match
+  // any pattern of that table, and the 10 (resp. 6) finditer scans can be
+  // skipped. The scan is exact only for ASCII; any char ≥ 0x80 returns
+  // (true, true) — inconclusive, run the full loops — because exotic case
+  // folds (ſ→S) and combining marks could otherwise diverge from the
+  // regexes' Unicode semantics. Soundness is pinned by ConstructionSpec's
+  // prescreen property test.
+  private val fixtureFirstWords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    List(
+      // p1 fixtures        p2 pumps            p3 equipment
+      "pipe", "fitting", "duct", "conduit", "fixture", "valve", "faucet",
+      "sink", "toilet", "shower", "bathtub", "drain", "vent", "elbow", "tee",
+      "coupling", "reducer", "adapter", "cap", "plug", "flange", "gasket",
+      "hanger", "bracket", "mount",
+      "pump", "circulating", "booster", "centrifugal",
+      "equipment", "boiler", "heater", "tower", "cooling", "tank",
+      "reservoir", "vessel", "chiller",
+      // p4 stations        p5 connections      p6 packages
+      "station", "wash", "eye", "safety", "emergency",
+      "connection", "piping",
+      "package",
+      // p7/p8 shop         p9 materials        p10 generic
+      "shop", "repair", "body", "paint", "booth",
+      "fixtures", "mechanical",
+      "abs", "pvc", "cpvc", "pex", "copper", "steel", "stainless",
+      "galvanized", "cast", "brass", "bronze",
+      "item", "component", "part", "unit", "assembly", "system"
+    ).foreach(s.add)
+    s
+  }
+  private val mountingFirstPrefixes: Array[String] = Array(
+    "wall", "floor", "ceiling", "surface", "recessed", "concealed",
+    "exposed", "flush", "undercounter", "countertop", "freestanding",
+    "portable", "stationary", "fixed", "removable", "slip", "threaded",
+    "welded", "bolted", "hanging", "suspended", "mounting")
+
+  /** (mayMatchFixture, mayMatchMounting); (true, true) when inconclusive. */
+  private[core] def wordPrescreen(line: String): (Boolean, Boolean) = {
+    val n = line.length
+    var mayFixture = false
+    var mayMount = false
+    var i = 0
+    val sb = new java.lang.StringBuilder(16)
+    while (i < n && !(mayFixture && mayMount)) {
+      val c = line.charAt(i)
+      if (c >= 0x80) return (true, true) // non-ASCII: inconclusive
+      val isWord = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
+      if (isWord) {
+        sb.setLength(0)
+        var j = i
+        var ascii = true
+        while (j < n && {
+          val cj = line.charAt(j)
+          if (cj >= 0x80) { ascii = false; false }
+          else if ((cj >= 'a' && cj <= 'z') || (cj >= 'A' && cj <= 'Z') ||
+                   (cj >= '0' && cj <= '9') || cj == '_') {
+            sb.append(if (cj >= 'A' && cj <= 'Z') (cj + 32).toChar else cj); true
+          } else false
+        }) j += 1
+        if (!ascii) return (true, true)
+        val w = sb.toString
+        if (!mayFixture && fixtureFirstWords.contains(w)) mayFixture = true
+        if (!mayMount) {
+          var k = 0
+          while (!mayMount && k < mountingFirstPrefixes.length) {
+            if (w.startsWith(mountingFirstPrefixes(k))) mayMount = true
+            k += 1
+          }
+        }
+        i = j
+      } else i += 1
+    }
+    (mayFixture, mayMount)
+  }
 
   // ---------------------------------------------------------------- P2 fold
   /** extract_items (construction.py:153-214). */
@@ -210,10 +293,11 @@ object Construction {
     if (PyStr.len(PyStr.strip(line)) < 3) return None
 
     val d = new Detected
+    val (mayFixture, mayMount) = wordPrescreen(line)
     // fixture types — longest match across all patterns (:243-254)
     var bestMatch: String = null
     var bestLen = 0
-    fixtureRx.foreach { rx =>
+    (if (mayFixture) fixtureRx else emptyRx).foreach { rx =>
       rx.finditer(line).foreach { m =>
         val t = PyStr.strip(m.group0)
         if (PyStr.len(t) > bestLen) { bestMatch = t; bestLen = PyStr.len(t) }
@@ -385,8 +469,8 @@ object Construction {
       }
     }
 
-    // mounting (:489-494)
-    var mountBreak = false
+    // mounting (:489-494) — word prescreen, see above
+    var mountBreak = !mayMount
     val mountIt = mountingRx.iterator
     while (!mountBreak && mountIt.hasNext) {
       mountIt.next().search(line).foreach { m =>
@@ -561,9 +645,9 @@ object Construction {
       }
     }
 
-    // mounting (:720-730)
+    // mounting (:720-730) — word prescreen, see detectItemLine
     if (!item.mountingType.exists(_.nonEmpty)) {
-      var brk = false
+      var brk = !wordPrescreen(line)._2
       val it = mountingRx.iterator
       while (!brk && it.hasNext) {
         it.next().search(line).foreach { m =>
