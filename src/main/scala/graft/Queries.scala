@@ -582,20 +582,35 @@ object Queries {
        FROM documents GROUP BY source ORDER BY source"""
 
   // ------------------------------------------------------------- fingerprint
+  // Scan-side rolling-polynomial fingerprint (graft.functions
+  // .RollingFingerprint): h(i) = Σ cp(i+j)·B^(m-1-j) mod P over code
+  // points, one pass per row, no explode/shuffle/md5. The oracle recomputes
+  // it with exact BIGINT arithmetic and a precomputed B^k-mod-P constant
+  // list (DuckDB's `pow` is floating-point — B^7 > 2^53 would round).
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
-    TextStats.fingerprintAgg(docs(s, dir), "doc_id", "text", n = 8, hash = ph)
+    TextStats.fingerprintScan(docs(s, dir), "doc_id", "text", n = 8)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
-  private val oFingerprint =
-    """SELECT doc_id,
-       list_aggregate(g, 'min') AS fp_min,
-       list_aggregate(g, 'max') AS fp_max,
-       CAST(len(list_distinct(g)) AS BIGINT) AS n_grams
-       FROM (SELECT doc_id, list_transform(generate_series(1, greatest(length(text) - 7, 1)),
-         i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS g
-         FROM documents)
-       ORDER BY doc_id"""
+  private val oFingerprint: String = {
+    val pw = graft.functions.RollingFingerprint.powerConstants(8)
+      .map(v => s"CAST($v AS BIGINT)").mkString("[", ",", "]")
+    s"""WITH cps AS (SELECT doc_id,
+         list_transform(generate_series(1, length(text)),
+           i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cp,
+         length(text) AS L FROM documents),
+       g AS (SELECT doc_id,
+         list_transform(generate_series(1, greatest(L - 7, 1)), i ->
+           coalesce(list_aggregate(list_transform(generate_series(0, least(8, L) - 1), j ->
+             (cp[i + j] * ($pw[least(8, L) - j])) % 1000000007), 'sum'), 0)
+           % 1000000007) AS h
+         FROM cps)
+       SELECT doc_id,
+         list_aggregate(h, 'min') AS fp_min,
+         list_aggregate(h, 'max') AS fp_max,
+         CAST(len(list_distinct(h)) AS BIGINT) AS n_grams
+       FROM g ORDER BY doc_id"""
+  }
 
   // ============================================================ rows-only ===
   // Non-SQL-expressible operators (stateful fold P2/P3, Python-dialect

@@ -92,6 +92,24 @@ object TextStats {
       size(array_distinct(grams)).as("n_grams"))
   }
 
+  /** Scan-side rolling-polynomial fingerprint: one pass per row inside the
+    * scan stage (graft.functions.RollingFingerprint) — no explode, no
+    * shuffle, no per-gram hash invocation. The production path for corpus
+    * fingerprinting; `fingerprintAgg` below keeps the md5-per-gram variant
+    * for keyed-quality-hash contracts.
+    */
+  def fingerprintScan(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
+    val fp = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.RollingFingerprint(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)), n))
+    // inline(array(fp)): the Generate boundary evaluates the fingerprint
+    // ONCE per row and emits the struct fields as columns — projecting
+    // fp.fp_min / fp.fp_max / fp.n_grams separately would re-evaluate the
+    // whole expression per field after projection collapse
+    df.select(col(idCol).as("id"), inline(array(fp)))
+  }
+
   /** Corpus fingerprint table (id, fp_min, fp_max, n_grams) via
     * explode + hash-aggregate: each gram is hashed exactly once (selecting
     * the three fields of the `fingerprint` struct separately re-evaluates

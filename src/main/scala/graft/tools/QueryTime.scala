@@ -19,11 +19,16 @@ object QueryTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val noop = args.contains("--noop") // full materialization (the bench
+    // shape) — count() lets Catalyst prune the computed columns away
     val fn = graft.SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val nRows = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val nRows =
+        if (noop) { df.write.format("noop").mode("overwrite").save(); -1L }
+        else df.count()
       graft.ops.TextDedup.releaseCaches()
       println(f"[querytime] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s, $nRows rows")
     }

@@ -189,6 +189,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(1L) > m(2L))
   }
 
+  test("fingerprintScan matches the brute rolling-hash model on edge cases") {
+    val P = 1000000007L; val B = 257L
+    def model(s: String, n: Int = 8): (Long, Long, Long) = {
+      val cps = s.codePoints().toArray
+      val m = math.min(n, cps.length)
+      val count = math.max(cps.length - n + 1, 1)
+      val hs = (0 until count).map { i =>
+        (0 until m).foldLeft(0L)((h, j) => (h * B + cps(i + j)) % P)
+      }
+      (hs.min, hs.max, hs.distinct.size.toLong)
+    }
+    val texts = Seq(
+      1L -> "hello world this is a longer test string",
+      2L -> "hi",                 // shorter than n → one gram
+      3L -> "",                   // empty → hash 0
+      4L -> "exactly8!",          // n and n+1 boundary
+      5L -> "héllo wörld 😀 ok", // multi-byte + surrogate pair
+      6L -> ("ab" * 50))          // duplicate grams → distinct count < total
+    val out = TextStats.fingerprintScan(docsDf(texts: _*), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    texts.foreach { case (id, t) => assert(out(id) == model(t), s"doc $id") }
+  }
+
   test("fingerprint: identical text → identical fp; differing text differs") {
     val df = docsDf(1L -> ("abcdefgh" * 4), 2L -> ("abcdefgh" * 4), 3L -> ("zyxwvuts" * 4))
     val fp = df.select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp")).collect()
