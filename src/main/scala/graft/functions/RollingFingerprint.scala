@@ -95,4 +95,19 @@ object RollingFingerprint {
     (1 until n).foreach(k => out(k) = out(k - 1) * b % p)
     out.toSeq
   }
+
+  /** Register `rolling_fingerprint(text[, n])` as a session temp function. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_fingerprint",
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2, "rolling_fingerprint(text[, n])")
+        val n = if (exprs.length == 2) exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"rolling_fingerprint: n must be an integer literal, got $other")
+        } else 8
+        RollingFingerprint(exprs.head, n)
+      },
+      "built-in")
 }

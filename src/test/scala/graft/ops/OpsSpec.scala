@@ -212,6 +212,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     texts.foreach { case (id, t) => assert(out(id) == model(t), s"doc $id") }
   }
 
+  test("rolling_fingerprint is SQL-callable and matches the column API") {
+    graft.functions.RollingFingerprint.register(spark)
+    docsDf(1L -> "some document text for hashing").createOrReplaceTempView("rf_docs")
+    val sql = spark.sql(
+      "SELECT doc_id, rolling_fingerprint(text).fp_min AS fp_min FROM rf_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val api = TextStats.fingerprintScan(
+      docsDf(1L -> "some document text for hashing"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sql == api)
+  }
+
   test("fingerprint: identical text → identical fp; differing text differs") {
     val df = docsDf(1L -> ("abcdefgh" * 4), 2L -> ("abcdefgh" * 4), 3L -> ("zyxwvuts" * 4))
     val fp = df.select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp")).collect()
