@@ -227,6 +227,15 @@ object TextDedup {
     val banded = sh.select(col("id"), col("simhash"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
     val a = banded.alias("a"); val b = banded.alias("b")
+    // Pair multiplicity (a near-identical pair shares many of the
+    // C(chunks,d) bands) is collapsed by dropDuplicates, which plans as a
+    // hash aggregate with MAP-SIDE partial combine: duplicates die in the
+    // mapper, only unique pairs cross the exchange — so the dedup is NOT a
+    // candidate-volume shuffle. (Both "emit only in the first matching
+    // band" alternatives were measured slower: a 56-branch CASE chain
+    // exceeds the codegen method-size limit and runs interpreted per
+    // candidate row, 9× worse; even the bitmask + 2^chunks-literal-lookup
+    // form pays per-candidate arithmetic that the map-side combine avoids.)
     a.join(b, col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
