@@ -265,10 +265,33 @@ object TextDedup {
     * arrays (one array_intersect per pair), so the output is identical to
     * the brute formulation (the DuckDB oracle keeps the brute shape).
     */
+  /** Plan note (measured, round 2): a "fused" variant building prefix +
+    * verification sets in one groupBy(id) over (dfreq,s)-sorted struct
+    * arrays was tried and REVERTED — the per-doc interpreted array ops
+    * (struct sort_array, transform field extraction, slice) cost more than
+    * the Tungsten shuffle-sort they replaced (7.5 s vs 3.4 s at local[8]).
+    * The window formulation below keeps the rank selection inside codegen
+    * sort machinery.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         hash: Column => Column = fastHash): DataFrame = {
     val t = minJaccard
+    // join on the 60-bit shingle hash, not the string: the equi-join
+    // compares/shuffles 8-byte keys instead of variable-length text.
+    // sh feeds sets, dfreq, and both prefix-join sides — persist so the
+    // tokenize/shingle/hash subtree runs once (ownership: releaseCaches).
+    val sh = df.select(col(idCol).as("id"),
+        shingleRows(col(textCol), n).as("s0"))
+      .select(col("id"), hash(col("s0")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(sh)
+    // one pass builds both the per-doc set (sorted for cheap intersection)
+    // and its size; persisted use is unnecessary — each side is read once
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("arr"),
+        count(lit(1)).as("nsh"))
+    // global order: document frequency asc, hash asc (rare first).
     // The epsilon makes ceil(t·n) CONSERVATIVE under floating point: if
     // double(t) > t (e.g. t = 0.35), t·n can round just above an integer
     // boundary, inflating the ceiling — which would shorten the prefix /
@@ -277,37 +300,15 @@ object TextDedup {
     // realistic |d|, far below 1) restores exactness; at worst the prefix
     // is one element longer than necessary.
     def ceilT(n: Column): Column = ceil(lit(t) * n - 1e-9)
-    // join on the 60-bit shingle hash, not the string: the equi-join
-    // compares/shuffles 8-byte keys instead of variable-length text
-    // sh feeds dfreq and the join side — persist so the (md5-grade)
-    // shingle-hash subtree runs once (ownership: releaseCaches)
-    val shCached = df.select(col(idCol).as("id"),
-        shingleRows(col(textCol), n).as("s0"))
-      .select(col("id"), hash(col("s0")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registerCache(shCached)
-    val dfreq = shCached.groupBy("s").agg(count(lit(1)).as("dfreq"))
-    // ONE grouped pass (a single exchange on id) builds everything
-    // per-doc: the (dfreq, s)-sorted struct array yields the prefix (its
-    // first nsh − ⌈t·nsh⌉ + 1 elements — the globally RAREST shingles),
-    // and the s-sorted plain array is the exact-verification set. This
-    // replaces the earlier window-rank shuffle + separate sets aggregation
-    // (two extra exchanges of the full shingle table).
-    val perDoc = shCached.join(dfreq, "s")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("dfreq"), col("s")))).as("ds"))
-      .select(col("id"),
-        sort_array(transform(col("ds"), x => x.getField("s"))).as("arr"),
-        transform(col("ds"), x => x.getField("s")).as("byRarity"),
-        size(col("ds")).as("nsh"))
-      .select(col("id"), col("arr"),
-        slice(col("byRarity"), lit(1),
-          (col("nsh") - ceilT(col("nsh")) + 1).cast("int")).as("prefixArr"),
-        col("nsh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registerCache(perDoc)
-    val prefix = perDoc.select(col("id"), col("nsh"),
-      explode(col("prefixArr")).as("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
+    val wPos = Window.partitionBy("id").orderBy(col("dfreq"), col("s"))
+    val wN = Window.partitionBy("id")
+    val prefix = sh.join(dfreq, "s")
+      .select(col("id"), col("s"),
+        row_number().over(wPos).as("pos"),
+        count(lit(1)).over(wN).as("nsh"))
+      .where(col("pos") <= col("nsh") - ceilT(col("nsh")) + 1)
+      .select(col("id"), col("s"), col("nsh"))
     val a = prefix.alias("a"); val b = prefix.alias("b")
     val cand = a.join(b,
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
@@ -323,8 +324,8 @@ object TextDedup {
       org.apache.spark.sql.GraftBridge.column(graft.functions.SortedIntersectCount(
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
-    val sa = perDoc.select(col("id").as("id_a"), col("arr").as("arr_a"), col("nsh").as("na"))
-    val sb = perDoc.select(col("id").as("id_b"), col("arr").as("arr_b"), col("nsh").as("nb"))
+    val sa = sets.select(col("id").as("id_a"), col("arr").as("arr_a"), col("nsh").as("na"))
+    val sb = sets.select(col("id").as("id_b"), col("arr").as("arr_b"), col("nsh").as("nb"))
     cand.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         intersectCount(col("arr_a"), col("arr_b")).as("n_common"),
