@@ -49,6 +49,18 @@ object TextDedup {
   /** Whitespace tokens (documents corpus is single-spaced). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Generator form of [[shingles]]: one row per distinct shingle, emitted
+    * by the native graft.functions.WordShinglesGenerator (zero-copy
+    * byte-slice grams, single JVM loop per doc) instead of the interpreted
+    * HOF tree + array_distinct + explode. Same rows, same order. The
+    * production path — [[shingles]] below remains as the Column-API
+    * reference formulation the OpsSpec equivalence test pins against.
+    */
+  def shingleRows(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WordShinglesGenerator(
+        org.apache.spark.sql.GraftBridge.expression(text), n))
+
   /** Distinct word n-gram shingles of a token array. Guarded: Spark's
     * sequence(1, stop) DESCENDS when stop < 1, so short docs get an empty
     * array explicitly rather than a reversed range.
@@ -59,16 +71,6 @@ object TextDedup {
     * for every (position, k) — measured 3-4× the whole operator's cost
     * when toks is split(text) over ~250-token docs.
     */
-  /** Generator form of [[shingles]]: one row per distinct shingle, emitted
-    * by the native graft.functions.WordShinglesGenerator (zero-copy
-    * byte-slice grams, single JVM loop per doc) instead of the interpreted
-    * HOF tree + array_distinct + explode. Same rows, same order.
-    */
-  def shingleRows(text: Column, n: Int): Column =
-    org.apache.spark.sql.GraftBridge.column(
-      graft.functions.WordShinglesGenerator(
-        org.apache.spark.sql.GraftBridge.expression(text), n))
-
   def shingles(toks: Column, n: Int): Column =
     element_at(
       transform(array(toks), ts => {

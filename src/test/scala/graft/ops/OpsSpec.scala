@@ -71,6 +71,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shingleRows generator matches the HOF formulation on seeded random text") {
+    val rnd = new scala.util.Random(20260817L)
+    val alphabet = "ab c  déø😀_|.\n" // spaces (incl. doubles), multi-byte, surrogate
+    val texts = (0 until 300).map { i =>
+      i.toLong -> (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    // exclude \n-containing control chars? newline is fine — split(" ") keeps it
+    val df = docsDf(texts: _*)
+    for (n <- Seq(2, 3)) {
+      val hof = df.select(col("doc_id"),
+          explode(TextDedup.shingles(TextDedup.tokens(col("text")), n)).as("s"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      val gen = df.select(col("doc_id"), TextDedup.shingleRows(col("text"), n).as("s"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(gen == hof, s"n=$n")
+    }
+  }
+
   test("word_shingles is SQL-callable and matches the column API") {
     graft.functions.WordShinglesGenerator.register(spark)
     docsDf(1L -> "a b c d e", 2L -> "x y").createOrReplaceTempView("ws_docs")
