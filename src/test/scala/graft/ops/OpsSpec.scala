@@ -230,6 +230,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     texts.foreach { case (id, t) => assert(out(id) == model(t), s"doc $id") }
   }
 
+  test("pair-join plans stay equi-join shaped; fingerprint plan stays scan-side") {
+    val df = docsDf((1L to 30L).map(i => i -> s"w$i a b c d e f g h i j k"): _*)
+    // candidate generation must never degrade to a nested loop / cartesian
+    val simPlan = TextDedup.simhashPairs(TextDedup.simhash(df, "doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    val jacPlan = TextDedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, minJaccard = 0.3)
+      .queryExecution.executedPlan.toString
+    Seq(simPlan, jacPlan).foreach { p =>
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        p.linesIterator.take(5).mkString("\n"))
+    }
+    TextDedup.releaseCaches()
+    // the rolling fingerprint is a per-row scalar: no exchange anywhere
+    val fpPlan = TextStats.fingerprintScan(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!fpPlan.contains("Exchange"), fpPlan.linesIterator.take(5).mkString("\n"))
+  }
+
   test("rolling_fingerprint is SQL-callable and matches the column API") {
     graft.functions.RollingFingerprint.register(spark)
     docsDf(1L -> "some document text for hashing").createOrReplaceTempView("rf_docs")
