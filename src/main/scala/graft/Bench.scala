@@ -32,8 +32,8 @@ object Bench {
     "q_stats", "q_token_count", "q_agg_lineitem", "q_join_orders",
     "q_sessions", "q_dedup_exact", "q_minhash_sig", "q_minhash_pairs",
     "q_simhash", "q_simhash_pairs", "q_ngram_jaccard", "q_fingerprint",
-    "q_cosine_topk", "q_ann_lsh", "q_ann_topk", "q_embed_neardup",
-    "q_multimodal")
+    "q_cosine_topk", "q_ann_lsh", "q_ann_topk", "q_ivf_topk",
+    "q_embed_neardup", "q_multimodal")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -477,6 +477,63 @@ object Queries {
        SELECT query_id, nbr_id, score, rank FROM ranked WHERE rank <= 5
        ORDER BY query_id, rank"""
 
+  // ------------------------------------------------------------ ANN via IVF
+  // The inverted-file ANN path (one deterministic k-means step: lowest-id
+  // seeds → exact-cosine assignment → floor(sum/count + 0.5) means), then
+  // probe-2-cells + exact rerank. Like q_ann_topk, the approximate CONTRACT
+  // is what's verified: both engines agree bit-for-bit on the centroids,
+  // the inverted lists, the probed cells, and the reranked top-k.
+  private def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    VectorSim.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, c = 8, nprobe = 2)
+      .select(col("query_id"), col("nbr_id"), col("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val oIvfTopK =
+    """WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor((x::DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+         FROM embeddings),
+       seeds AS (SELECT vec_id AS cid, v AS cv FROM qv ORDER BY vec_id LIMIT 8),
+       a1 AS (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+         FROM (
+           SELECT x.vec_id, s.cid,
+             (SELECT sum(x.v[g.i] * s.cv[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+             (sqrt((SELECT sum(x.v[g.i] * x.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+              sqrt((SELECT sum(s.cv[g.i] * s.cv[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+           FROM qv x, seeds s)),
+       sums AS (
+         SELECT a.cid, g.i AS pos, sum(x.v[g.i]) AS sm, count(*) AS cnt
+         FROM (SELECT vec_id, cid FROM a1 WHERE rk = 1) a
+         JOIN qv x ON x.vec_id = a.vec_id, generate_series(1, 64) g(i)
+         GROUP BY a.cid, g.i),
+       cents AS (SELECT cid, list(CAST(floor(sm::DOUBLE / cnt + 0.5) AS BIGINT) ORDER BY pos) AS cv
+         FROM sums GROUP BY cid),
+       a2 AS (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+         FROM (
+           SELECT x.vec_id, s.cid,
+             (SELECT sum(x.v[g.i] * s.cv[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+             (sqrt((SELECT sum(x.v[g.i] * x.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+              sqrt((SELECT sum(s.cv[g.i] * s.cv[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+           FROM qv x, cents s)),
+       lists AS (SELECT vec_id AS nbr_id, cid FROM a2 WHERE rk = 1),
+       probes AS (SELECT vec_id AS query_id, cid FROM a2 WHERE rk <= 2 AND vec_id < 10),
+       cand AS (
+         SELECT p.query_id, l.nbr_id,
+           (SELECT sum(a.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+           (sqrt((SELECT sum(a.v[g.i] * a.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+            sqrt((SELECT sum(b.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+         FROM probes p JOIN lists l ON l.cid = p.cid AND l.nbr_id <> p.query_id
+         JOIN qv a ON a.vec_id = p.query_id JOIN qv b ON b.vec_id = l.nbr_id),
+       ranked AS (SELECT query_id, nbr_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS BIGINT) AS rank
+         FROM cand)
+       SELECT query_id, nbr_id, score, rank FROM ranked WHERE rank <= 5
+       ORDER BY query_id, rank"""
+
   // ----------------------------------------------------- embedding near-dups
   // Spark side: the block-replicated theta join (equi-join on block-pair
   // keys — no BroadcastNestedLoopJoin; NearDupPlanSpec asserts the plan).
@@ -772,6 +829,7 @@ object Queries {
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_topk" -> qAnnTopK _,
+    "q_ivf_topk" -> qIvfTopK _,
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_multimodal" -> qMultimodal _,
     "q_lang_id" -> qLangId _,
@@ -808,6 +866,7 @@ object Queries {
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_topk" -> oAnnTopK,
+    "q_ivf_topk" -> oIvfTopK,
     "q_embed_neardup" -> oEmbedNearDup,
     "q_multimodal" -> oMultimodal,
     "q_lang_id" -> oLangId,

@@ -128,6 +128,90 @@ object VectorSim {
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF coarse quantizer (one k-means Lloyd step, fully deterministic):
+    * seeds are the `c` corpus vectors with the smallest ids; every vector
+    * is assigned to its nearest seed by exact-integer cosine (ties → lower
+    * centroid id); centroids are the element-wise means of each cluster,
+    * re-quantized as floor(sum/count + 0.5) — one exact double division
+    * per dimension, so both engines round identically. Returns
+    * (cid, cv: array<bigint>, cn: double). Empty clusters drop out.
+    *
+    * Plan shape: the n×c scoring is a broadcast of the c-row seed table
+    * against the corpus scan (the same BroadcastNestedLoop-BuildRight shape
+    * as [[cosineTopK]] — correct when one side is a handful of rows), the
+    * mean is one hash aggregate over (cid, dim) — n·dim rows, map-side
+    * partial — and the array rebuild touches c·dim rows. Nothing here
+    * shuffles the corpus payload more than once.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                   c: Int = 8, scale: Int = 1000): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), quantize(col(embCol), scale).as("v"))
+    val seeds = base.orderBy("id").limit(c)
+      .select(col("id").as("cid"), col("v").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val assigned = assignNearest(base.withColumn("nv", norm(col("v"))), seeds)
+    val sums = assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("x")).as("sm"), count(lit(1)).as("cnt"))
+    sums.groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"),
+        floor(col("sm").cast("double") / col("cnt") + 0.5).cast("long").as("m")))).as("pm"))
+      .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+  }
+
+  /** Nearest centroid per vector: broadcast the centroid table, score by
+    * the shared cosine arithmetic, keep the argmax (ties → lower cid, via
+    * the (score, -cid) struct ordering). Formulated as max-of-struct
+    * aggregation rather than a window rank: all c scored rows of one
+    * vector sit consecutively in the scan partition, so the partial
+    * (map-side) aggregate collapses them BEFORE the exchange — the shuffle
+    * carries n rows, not n×c.
+    */
+  private def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(col("id"), struct(
+        cosineWithNorms(dot(col("v"), col("cv")), col("nv"), col("cn")).as("s"),
+        (-col("cid")).as("negCid"), col("cid").as("cid"),
+        col("v").as("v"), col("nv").as("nv")).as("cand"))
+      .groupBy("id").agg(max(col("cand")).as("b"))
+      .select(col("id"), col("b.v").as("v"), col("b.nv").as("nv"), col("b.cid").as("cid"))
+
+  /** ANN top-k via IVF (inverted-file): corpus vectors are listed under
+    * their nearest centroid; each query probes its `nprobe` nearest
+    * centroids and reranks those lists with the exact quantized cosine.
+    * The candidate join is an EQUI-join on centroid id — at corpus scale
+    * the inverted lists are the partitions and a query touches nprobe/c of
+    * the data. Complements [[annTopK]] (SRP-LSH): IVF adapts its cells to
+    * the data distribution where LSH cuts obliviously; both share the
+    * exact rerank and the recall/cost trade. Returns fewer than k when the
+    * probed cells hold fewer candidates.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int = 5, c: Int = 8, nprobe: Int = 2,
+              scale: Int = 1000): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, embCol, c, scale)
+    val base = corpus.select(col(idCol).as("id"), quantize(col(embCol), scale).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val lists = assignNearest(base, cents)
+      .select(col("id").as("nbr_id"), col("v"), col("nv"), col("cid"))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"))
+      .withColumn("nq", norm(col("qv")))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("pscore").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("pscore", cosineWithNorms(dot(col("qv"), col("cv")), col("nq"), col("cn")))
+      .withColumn("prank", row_number().over(wProbe)).where(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("nq"), col("cid"))
+    val cand = lists.join(broadcast(probes),
+        lists("cid") === probes("cid") && col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosineWithNorms(dot(col("qv"), col("v")), col("nq"), col("nv")).as("score"))
+    // no dedup needed: each neighbor lives in exactly one inverted list,
+    // so a (query, nbr) pair can meet through at most one probed cell
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("nbr_id"))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. Brute-force
     * O(n^2) formulation: the join has no equi key, so Catalyst plans a
     * BroadcastNestedLoopJoin — kept ONLY as the small-scale reference

@@ -176,6 +176,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ann.nonEmpty && ann.head.getLong(1) == 1L && ann.head.getDouble(2) == 1.0)
   }
 
+  test("ivfTopK: clustered corpus — queries rerank within their own cell") {
+    // two well-separated clusters around orthogonal directions
+    def around(base: Seq[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val clusterA = Seq(1f, 0f, 0f, 0f); val clusterB = Seq(0f, 0f, 1f, 0f)
+    val rows = (0L until 6L).map(i => i -> around(clusterA, 0.01f * (i + 1))) ++
+      (6L until 12L).map(i => i -> around(clusterB, 0.01f * (i + 1)))
+    val df = embDf(rows: _*)
+    val res = VectorSim.ivfTopK(df, df.where(col("vec_id") === 0 || col("vec_id") === 6),
+      "vec_id", "embedding", k = 3, c = 2, nprobe = 1)
+    val byQ = res.collect().groupBy(_.getLong(0))
+    // with c=2 the two seeds (ids 0,1) both sit in cluster A; after the
+    // Lloyd step the means separate, so each query's neighbors come from
+    // its own cluster
+    assert(byQ(0L).map(_.getLong(1)).forall(_ < 6L))
+    assert(byQ(6L).map(_.getLong(1)).forall(_ >= 6L))
+    // deterministic across runs
+    val again = VectorSim.ivfTopK(df, df.where(col("vec_id") === 0 || col("vec_id") === 6),
+      "vec_id", "embedding", k = 3, c = 2, nprobe = 1)
+      .collect().groupBy(_.getLong(0))
+    assert(again(0L).map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
+      byQ(0L).map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   // ---------------------------------------------------------- text analysis
 
   test("token counts: whitespace vs BPE-ish") {
