@@ -153,7 +153,11 @@ object Bench {
          |**Scaling efficiency (T_N / T_4N) / 4 = $eff%.3f** (north-rule
          |target ≥ 0.8). Sandbox evidence for the two-cluster-size criterion
          |per BASELINE.md (no real cluster available; N vs 4N local cores on
-         |identical input).
+         |identical input). Run-to-run the metric swings ~±0.1 with
+         |co-tenant host load landing on one level's min-of-3 window —
+         |values slightly above 1.0 mean the N run was disturbed, not
+         |superlinearity; the pure-JVM thread-scaling control below is the
+         |load-independent cross-check.
          |
          |N is cpus/16 and 4N is cpus/4 ("one 2-core executor" vs "four"),
          |so both levels sit in the host's linear-scaling region.
