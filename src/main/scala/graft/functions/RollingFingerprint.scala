@@ -29,6 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * The md5-per-gram variant (TextStats.fingerprintAgg) remains for
   * contracts that want a keyed-quality hash; this is the scan-side fast
   * path (measured ~9× cheaper at sf0.1).
+  *
+  * Semantics note: `n_grams` counts distinct hash RESIDUES mod P, not
+  * distinct gram strings — expected undercount ≈ g²/2P per doc (≈1 at
+  * ~65k grams), a size-dependent bias the 60-bit md5 variant does not
+  * have. Fine as a dedup-triage signal; use fingerprintAgg when the exact
+  * distinct-gram count matters.
   */
 case class RollingFingerprint(child: Expression, n: Int = 8,
                               b: Long = 257L, p: Long = 1000000007L)
@@ -70,8 +76,15 @@ case class RollingFingerprint(child: Expression, n: Int = 8,
     // boxing allocations per 5k-doc batch, measured 4.3 s vs 0.8 s at
     // local[8]). Power-of-two table ≥ 2×grams; 0 is the empty slot
     // sentinel, the (legal) hash value 0 is tracked by a flag.
+    // Long arithmetic: `cap < count * 2` in Int silently wraps for docs
+    // with ≥ 2^30 grams, leaving a 4-slot table whose probe loop then
+    // spins forever once 5 distinct hashes land. Refuse loudly instead —
+    // a ≥2^28-gram single document (≥256 MB of text in ONE row) needs a
+    // multi-GB probe table and should be chunked upstream, not hung on.
+    require(count < (1 << 28),
+      s"rolling_fingerprint: document has $count grams; split rows above 2^28 chars")
     var cap = 4
-    while (cap < count * 2) cap <<= 1
+    while (cap.toLong < count.toLong * 2) cap <<= 1
     val table = new Array[Long](cap)
     var zeroSeen = false
     var distinct = 0

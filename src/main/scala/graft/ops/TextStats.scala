@@ -106,8 +106,11 @@ object TextStats {
     // inline(array(fp)): the Generate boundary evaluates the fingerprint
     // ONCE per row and emits the struct fields as columns — projecting
     // fp.fp_min / fp.fp_max / fp.n_grams separately would re-evaluate the
-    // whole expression per field after projection collapse
-    df.select(col(idCol).as("id"), inline(array(fp)))
+    // whole expression per field after projection collapse.
+    // Null texts are dropped, matching fingerprintAgg (whose explode of
+    // null grams produces no rows) — the two paths stay interchangeable.
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), inline(array(fp)))
   }
 
   /** Corpus fingerprint table (id, fp_min, fp_max, n_grams) via
@@ -121,8 +124,11 @@ object TextStats {
                      hash: Column => Column = TextDedup.portableHash): org.apache.spark.sql.DataFrame =
     // explode the POSITIONS, hash top-level: the md5 runs codegen'd in the
     // fused explode+project stage instead of interpreted inside the
-    // charGramHashes transform lambda
-    df.select(col(idCol).as("id"), col(textCol).as("t"),
+    // charGramHashes transform lambda. Null texts are dropped (without the
+    // filter, greatest(null-7, 1)=1 emits a ghost row with null fp and
+    // n_grams=0) — same contract as fingerprintScan: no text, no row.
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
         explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))).as("i"))
       .select(col("id"), hash(col("t").substr(col("i"), lit(n))).as("g"))
       .groupBy("id").agg(

@@ -29,19 +29,29 @@ object ParseProfile {
     def pass(): Double = {
       val next = new AtomicInteger(0)
       val chars = new AtomicLong(0)
+      val parsed = new AtomicInteger(0)
+      // worker failures must fail the pass — a silently-dead thread would
+      // publish inflated docs/s into the scaling-control numbers
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val t0 = System.nanoTime()
       val pool = (0 until threads).map { _ =>
         new Thread(() => {
-          var i = next.getAndIncrement()
-          while (i < docs.length) {
-            val d = docs(i)
-            val row = Extract.parseRow(d.url, d.html, d.text, 0, "construction")
-            chars.addAndGet(row.chars_out)
-            i = next.getAndIncrement()
-          }
+          try {
+            var i = next.getAndIncrement()
+            while (i < docs.length) {
+              val d = docs(i)
+              val row = Extract.parseRow(d.url, d.html, d.text, 0, "construction")
+              chars.addAndGet(row.chars_out)
+              parsed.incrementAndGet()
+              i = next.getAndIncrement()
+            }
+          } catch { case t: Throwable => failure.compareAndSet(null, t) }
         })
       }
       pool.foreach(_.start()); pool.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
+      require(parsed.get() == docs.length,
+        s"parsed ${parsed.get()} of ${docs.length} docs")
       require(chars.get() > 0, "parse produced no output")
       (System.nanoTime() - t0) / 1e9
     }

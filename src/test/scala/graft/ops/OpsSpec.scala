@@ -272,6 +272,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fpPlan.contains("Exchange"), fpPlan.linesIterator.take(5).mkString("\n"))
   }
 
+  test("both fingerprint paths drop null-text rows identically") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "some real text here"), (2L, null: String)).toDF("doc_id", "text")
+    val scan = TextStats.fingerprintScan(df, "doc_id", "text").collect().map(_.getLong(0)).toSet
+    val agg = TextStats.fingerprintAgg(df, "doc_id", "text").collect().map(_.getLong(0)).toSet
+    assert(scan == Set(1L) && agg == Set(1L))
+  }
+
   test("rolling_fingerprint is SQL-callable and matches the column API") {
     graft.functions.RollingFingerprint.register(spark)
     docsDf(1L -> "some document text for hashing").createOrReplaceTempView("rf_docs")
