@@ -101,6 +101,18 @@ object Extract {
     )
   }
 
+  /** The repartition key for the parse stage. The key must be
+    * entropy-independent of the table's bucket hash (bucket =
+    * xxhash64(url) % B): partitioning by pmod(xxhash64(url), p) would
+    * leave only p/B distinct key values inside one bucket and collapse
+    * the stage onto a fraction of its tasks — a measured 2× parallelism
+    * loss in round 1. Salting the hash INPUT itself decorrelates.
+    * Exposed so the decorrelation regression test pins this exact
+    * expression (PipelineE2ESpec).
+    */
+  def saltedKey(salt: Int): org.apache.spark.sql.Column =
+    xxhash64(concat(col("url"), lit("#" + salt)))
+
   /** Per-bucket extraction metrics, filled by accumulators during the write
     * action itself — no second read-back job per bucket (at 1000 executors
     * that extra scan per commit is pure scheduling overhead).
@@ -127,13 +139,7 @@ object Extract {
       .where(col("html").isNotNull || col("text").isNotNull) // O1 guard
       .select(col("url"), col("html"), col("text"))
     // salted repartition by url-hash: host-skew cannot gang up on a task.
-    // The key must be entropy-independent of the table's bucket hash
-    // (bucket = xxhash64(url) % B): partitioning by pmod(xxhash64(url), p)
-    // would leave only p/B distinct key values inside one bucket and
-    // collapse the stage onto a fraction of its tasks — a measured 2×
-    // parallelism loss. Salting the hash input itself decorrelates.
-    val salted = valid.repartition(p,
-      xxhash64(concat(col("url"), lit("#" + cfg.salt))))
+    val salted = valid.repartition(p, saltedKey(cfg.salt))
     val llm = cfg.llmParser
     salted.as[(String, Array[Byte], String)].mapPartitions { it =>
       it.map { case (url, html, text) =>

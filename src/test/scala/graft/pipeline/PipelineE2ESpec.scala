@@ -74,6 +74,31 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("salted key decorrelates from the bucket hash: one bucket fans out to all partitions") {
+    // round-1 regression: partitioning bucket b's rows by pmod(xxhash64(url), p)
+    // leaves only p/B distinct key values inside the bucket (bucket =
+    // xxhash64(url) % B), collapsing the parse stage onto a fraction of its
+    // tasks. The salted key must spread ONE bucket's rows over ~all of p
+    // partitions even with the corpus's embedded host skew.
+    import org.apache.spark.sql.functions._
+    val pagesPath = s"$work/pages_salt"
+    PagesGen.write(spark, pagesPath, replicate = 8, buckets = 4)
+    val oneBucket = spark.read.parquet(pagesPath).where(col("bucket") === 1)
+    val p = 16
+    val counts = oneBucket.repartition(p, Extract.saltedKey(0))
+      .groupBy(spark_partition_id()).count()
+      .collect().map(_.getLong(1))
+    val rows = counts.sum
+    assert(rows > 0)
+    assert(counts.length >= p - 2, s"only ${counts.length} of $p partitions populated")
+    assert(counts.max <= 3 * rows / p,
+      s"skewed partitioning: max=${counts.max} rows of $rows over $p partitions")
+    // the anti-pattern key really would collapse (sanity that the test can fail)
+    val collapsed = oneBucket.repartition(p, pmod(xxhash64(col("url")), lit(4)))
+      .groupBy(spark_partition_id()).count().count()
+    assert(collapsed <= 4)
+  }
+
   test("kill-midway then resume: committed buckets are skipped, results complete") {
     val pagesPath = s"$work/pages"
     val outRoot = s"$work/resume"
