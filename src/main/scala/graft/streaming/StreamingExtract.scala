@@ -74,6 +74,46 @@ object StreamingExtract {
       .start()
   }
 
+  /** First occurrence of a url in the stream, re-crawls suppressed. */
+  final case class FirstSeen(url: String, warc_ts: java.sql.Timestamp)
+
+  /** Streaming first-seen dedup with CUSTOM state
+    * (`flatMapGroupsWithState`): a crawl stream re-delivers urls (periodic
+    * re-crawls, mirror hosts); downstream extraction should parse each url
+    * once per TTL. State per url is a single boolean + an event-time
+    * timeout: the first record (earliest `warc_ts` within its micro-batch)
+    * is emitted, later deliveries are suppressed, and the timeout reaps
+    * the state `ttlMs` past the emission's event time once the watermark
+    * passes it — state stays bounded forever, the streaming analog of the
+    * batch `TextDedup.exactGroups`. Cross-batch, the first ARRIVING batch
+    * wins (inherent to streaming order); within a batch the earliest
+    * event-time record wins deterministically.
+    */
+  def firstSeenDedup(spark: SparkSession, pages: DataFrame,
+                     watermark: String = "2 hours",
+                     ttlMs: Long = 24L * 3600 * 1000): Dataset[FirstSeen] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    pages
+      .withWatermark("warc_ts", watermark)
+      .select(col("url"), col("warc_ts")).as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (url, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // re-crawl within TTL
+          else {
+            val first = rows.minBy(_._2.getTime)
+            state.update(true)
+            // timeout must sit above the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1, first._2.getTime) + ttlMs)
+            Iterator.single(FirstSeen(url, first._2))
+          }
+      }
+  }
+
   /** Streaming corpus metrics: event-time windowed counts/volumes per
     * payload language with a watermark on `warc_ts` — late crawl records
     * beyond the watermark are dropped deterministically, and state is

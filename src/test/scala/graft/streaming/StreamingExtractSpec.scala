@@ -58,6 +58,33 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == before)
   }
 
+  test("firstSeenDedup: custom state emits each url once, earliest event wins in-batch") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Array[Byte], String, String)]
+    val pages = mem.toDF().toDF("url", "warc_ts", "html", "text", "lang")
+    val dedup = StreamingExtract.firstSeenDedup(spark, pages, watermark = "1 hour")
+    val q = dedup.writeStream.format("memory").queryName("first_seen")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1: u2 delivered twice (out of order) — earliest must win
+    mem.addData(("u1", ts(10, 30), null, "a", "en"),
+      ("u2", ts(10, 40), null, "b", "en"),
+      ("u2", ts(10, 35), null, "b", "en"))
+    q.processAllAvailable()
+    // batch 2: u1 re-crawled (suppressed), u3 new
+    mem.addData(("u1", ts(11, 0), null, "a", "en"),
+      ("u3", ts(11, 5), null, "c", "fr"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT url, warc_ts FROM first_seen")
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    assert(rows.size == 3)
+    assert(rows("u1") == ts(10, 30)) // re-crawl suppressed
+    assert(rows("u2") == ts(10, 35)) // in-batch earliest
+    assert(rows("u3") == ts(11, 5))
+    q.stop()
+  }
+
   test("windowed metrics aggregate by event-time window with a watermark") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
