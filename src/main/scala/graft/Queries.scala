@@ -333,6 +333,45 @@ object Queries {
          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE / 8 >= 0.25
        ORDER BY id_a, id_b"""
 
+  // ----------------------------------------- minhash LSH pairs, hashed bands
+  // rowsPerBand = 4: band keys are the portable md5 hash of the ','-joined
+  // slot values (positional packing overflows BIGINT past 2 slots — both
+  // engines hash, so candidate sets stay identical; a hash collision could
+  // only add a candidate, and the exact slot-agreement rescoring keeps the
+  // output contract unchanged).
+  private def qMinhashPairsB4(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashPairs(
+      TextDedup.minhashSignatures(
+        docs(s, dir).where(size(split(col("text"), " ")) >= 3),
+        "doc_id", "text", k = 8, shingleN = 3, hash = ph),
+      rowsPerBand = 4, minEstJaccard = 0.25, bandHash = ph)
+      .orderBy("id_a", "id_b")
+
+  private val oMinhashPairsB4 =
+    s"""WITH sigs AS (
+         SELECT id, list_transform(generate_series(0, 7),
+           j -> list_aggregate(list_transform(hs, h -> (h * (j*101 + 37) + (j*61 + 11)) % $P), 'min')) AS sig
+         FROM (SELECT doc_id AS id,
+           list_transform(
+             list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+             x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $P) AS hs
+           FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3)),
+       banded AS (
+         SELECT id, sig, b.band,
+           ('0x' || substr(md5(sig[4*b.band + 1] || ',' || sig[4*b.band + 2] || ',' ||
+                               sig[4*b.band + 3] || ',' || sig[4*b.band + 4]), 1, 15))::BIGINT AS band_key
+         FROM sigs, generate_series(0, 1) b(band)),
+       cand AS (
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+       SELECT id_a, id_b,
+         list_sum(list_transform(generate_series(1, 8),
+           i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE / 8 AS est_jaccard
+       FROM cand JOIN sigs sa ON sa.id = id_a JOIN sigs sb ON sb.id = id_b
+       WHERE list_sum(list_transform(generate_series(1, 8),
+         i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE / 8 >= 0.25
+       ORDER BY id_a, id_b"""
+
   // ------------------------------------------------------------------ simhash
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhash(docs(s, dir), "doc_id", "text", bits = 32, hash = ph)
@@ -823,6 +862,7 @@ object Queries {
     "q_dedup_exact" -> qDedupExact _,
     "q_minhash_sig" -> qMinhashSig _,
     "q_minhash_pairs" -> qMinhashPairs _,
+    "q_minhash_pairs_b4" -> qMinhashPairsB4 _,
     "q_simhash" -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -860,6 +900,7 @@ object Queries {
     "q_dedup_exact" -> oDedupExact,
     "q_minhash_sig" -> oMinhashSig,
     "q_minhash_pairs" -> oMinhashPairs,
+    "q_minhash_pairs_b4" -> oMinhashPairsB4,
     "q_simhash" -> oSimhash,
     "q_simhash_pairs" -> oSimhashPairs,
     "q_ngram_jaccard" -> oNgramJaccard,

@@ -31,7 +31,13 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Fail LOUDLY on mismatched lengths: silently truncating to the shorter
+    // array (the earlier behavior) turns a malformed/mismatched embedding
+    // into a plausible-but-wrong score; the HOF formulation this replaced
+    // at least surfaced a visible NULL. A hard error is the only variant
+    // that cannot be silently consumed by a downstream threshold.
+    if (n != y.numElements()) throw DotLong.mismatch(n, y.numElements())
     var acc = 0L
     var i = 0
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
@@ -44,7 +50,10 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.functions.DotLong.mismatch($n, $b.numElements());
+         |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getLong($i) * $b.getLong($i);
@@ -56,4 +65,14 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotLong =
     copy(left = newLeft, right = newRight)
+}
+
+object DotLong {
+  /** Shared by interpreted eval and generated code (the codegen template
+    * calls it by its JVM name — keep it a plain static-forwardable method).
+    */
+  def mismatch(nLeft: Int, nRight: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"dot_long: vector length mismatch ($nLeft vs $nRight); " +
+        "embeddings scored together must share one dimension")
 }

@@ -106,6 +106,10 @@ object Multimodal {
   def mediaTopK(spark: SparkSession, media: DataFrame, k: Int = 5, dim: Int = 16): DataFrame = {
     val feats = extractFeatures(spark, media, dim).toDF()
       .where(col("ok")).select(col("id"), col("features"))
-    VectorSim.cosineTopK(feats, feats.limit(4), "id", "features", k = k, scale = 1000)
+    // query set = the 4 LOWEST ids — limit(4) without an order is
+    // partition-order-dependent and would make the query set (and thus the
+    // whole result) nondeterministic across runs/partitionings
+    val queries = feats.orderBy("id").limit(4)
+    VectorSim.cosineTopK(feats, queries, "id", "features", k = k, scale = 1000)
   }
 }

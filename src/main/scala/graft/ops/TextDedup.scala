@@ -122,14 +122,10 @@ object TextDedup {
     * classic shuffle-friendly plan; no O(n^2) stage exists anywhere.
     */
   def minhashPairs(sigs0: DataFrame, rowsPerBand: Int = 2,
-                   minEstJaccard: Double = 0.5): DataFrame = {
+                   minEstJaccard: Double = 0.5,
+                   bandHash: Column => Column = fastHash): DataFrame = {
     val k = rowsPerBand
-    // positional band-key packing acc*P + s needs P^k < 2^63: k=2 gives
-    // ~1e18 < 9.2e18, k=3 would silently wrap Long (and DuckDB BIGINT
-    // multiplication errors instead of wrapping, breaking oracle parity)
-    require(rowsPerBand >= 1 && rowsPerBand <= 2,
-      s"rowsPerBand must be 1 or 2 (positional band key overflows P^$rowsPerBand); " +
-        "widen by hashing the slot struct instead if more rows per band are needed")
+    require(rowsPerBand >= 1, "rowsPerBand must be >= 1")
     // the signature computation feeds both sides of the self-join — persist
     // so the (md5-heavy) shingle/minhash subtree runs once, not 2×.
     // Cache ownership: registered in `pendingCaches`; callers that issue
@@ -137,15 +133,27 @@ object TextDedup {
     // materializing the pairs (Verify/Bench do).
     val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     registerCache(sigs)
+    // Band key: for k ≤ 2 the k slots pack positionally (acc*P + s — exact,
+    // collision-free, the cheapest form; P^2 ≈ 1e18 < 2^63). k ≥ 3 would
+    // overflow Long (and DuckDB BIGINT multiplication errors instead of
+    // wrapping), so wider bands hash the ','-joined slot values through
+    // `bandHash` instead — xxhash64 in production, the portable md5 hash in
+    // the oracle-checked variant. A hash collision can only ADD a candidate
+    // pair (false positive), never drop one, and every candidate is
+    // re-scored by the exact slot comparison below — so hashing keeps the
+    // output contract bit-identical.
+    def bandKey(b: Column): Column =
+      if (k <= 2)
+        (0 until k).map(r => element_at(col("sig"), b * k + r + 1))
+          .reduce((acc, s) => acc * P + s)
+      else
+        bandHash(concat_ws(",",
+          (0 until k).map(r => element_at(col("sig"), b * k + r + 1).cast("string")): _*))
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(transform(
         sequence(lit(0), (size(col("sig")) / k).cast("int") - 1),
-        b => {
-          // combine k consecutive sig slots into one band key (sig < P)
-          (0 until k).map(r => element_at(col("sig"), b * k + r + 1))
-            .reduce((acc, s) => acc * P + s)
-        })).as(Seq("band", "band_key")))
+        bandKey(_))).as(Seq("band", "band_key")))
     val a = banded.alias("a")
     val b = banded.alias("b")
     val pairs = a.join(b,
@@ -162,10 +170,14 @@ object TextDedup {
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** SimHash (Charikar 2002) over token multiset, `bits` ≤ 32: per bit
+  /** SimHash (Charikar 2002) over token multiset, `bits` ≤ 62: per bit
     * position, sum +1/-1 votes weighted by token occurrences; bit set if
-    * the vote is positive. Hash reduced below 2^32 so bit tests agree with
-    * the oracle's `floor(h / 2^i) % 2` double arithmetic.
+    * the vote is positive. Token hashes are reduced mod 2^bits so both
+    * engines test identical bit patterns — with the 60-bit portable hash
+    * and bits = 60 the reduction is the identity and the whole pipeline
+    * stays in positive BIGINT arithmetic (integer shifts on both sides; no
+    * floating-point `pow`). Production corpus dedup wants bits ≥ 48:
+    * 32-bit simhash starts taking birthday collisions at ~10^5 docs.
     *
     * The vote fold runs in a codegen-native custom Expression
     * (graft.functions.SimHashVotes) — the earlier single-pass HOF aggregate
@@ -174,7 +186,8 @@ object TextDedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 32,
               hash: Column => Column = fastHash): DataFrame = {
-    val hs = transform(tokens(col(textCol)), t => pmod(hash(t), lit(4294967296L)))
+    require(bits >= 1 && bits <= 62, "bits must be in [1, 62] (2^bits must fit a positive Long)")
+    val hs = transform(tokens(col(textCol)), t => pmod(hash(t), lit(1L << bits)))
     val sim = org.apache.spark.sql.GraftBridge.column(
       graft.functions.SimHashVotes(
         org.apache.spark.sql.GraftBridge.expression(hs), bits))

@@ -75,49 +75,54 @@ object VectorSim {
   /** Deterministic "random" hyperplane weight for (plane j, dim i ∈ 1..dim):
     * Knuth-hash the index pair into a small signed integer. Data, not
     * runtime randomness — reproducible everywhere (the DuckDB oracle
-    * recomputes the same arithmetic).
+    * recomputes the same arithmetic). The index-pair fold uses
+    * max(dim, 64) as the row stride so (j, i) stays injective for any
+    * dimension while dims ≤ 64 keep the original (oracle-mirrored)
+    * j*64+i arithmetic.
     */
-  def planeWeightValue(j: Int, i: Int): Long =
-    ((j.toLong * 64 + i) * 2654435761L % 1000003L % 19L) - 9L
+  def planeWeightValue(j: Int, i: Int, dim: Int = 64): Long =
+    ((j.toLong * math.max(dim, 64) + i) * 2654435761L % 1000003L % 19L) - 9L
 
   /** Sign-random-projection LSH signature (`planes` bits) of a quantized
     * vector: bit j = [dot(plane_j, v) > 0]. The hyperplanes are
     * deterministic constants, so they are baked in as LITERAL arrays and
     * each plane's projection is one codegen-native [[dot]] — the previous
     * nested-HOF formulation re-ran an interpreted zip_with per plane.
-    * `dim` must match the vector length (weights beyond it are ignored by
-    * the dot's min-length loop; vectors longer than `dim` would get
-    * truncated projections — pass the real dimension).
+    * `dim` MUST equal the vector length: the dot kernel rejects mismatched
+    * lengths at runtime (fail-loud — a truncated projection would silently
+    * degrade bucket recall instead).
     */
   def lshSignature(v: Column, planes: Int = 16, dim: Int = 64): Column =
     (0 until planes).map { j =>
-      val w = (1 to dim).map(i => planeWeightValue(j, i))
+      val w = (1 to dim).map(i => planeWeightValue(j, i, dim))
       when(dot(v, typedLit(w)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Bucket the corpus by LSH signature: (bucket, n_vecs, min id). The
     * 100 TB path: signature is computed scan-side (no shuffle), bucketing is
     * one hash aggregation; queries then only probe their own bucket.
+    * `dim` is the embedding dimension (checked at runtime by the dot kernel).
     */
   def lshBuckets(corpus: DataFrame, idCol: String, embCol: String,
-                 planes: Int = 16, scale: Int = 1000): DataFrame =
+                 planes: Int = 16, scale: Int = 1000, dim: Int = 64): DataFrame =
     corpus.select(col(idCol).as("id"),
-        lshSignature(quantize(col(embCol), scale), planes).as("bucket"))
+        lshSignature(quantize(col(embCol), scale), planes, dim).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"), min(col("id")).as("min_id"))
 
   /** ANN top-k via LSH: candidates share the query's bucket; exact cosine
     * rerank within bucket. Returns fewer than k when a bucket is small —
     * the standard recall/cost trade documented with the operator.
+    * `dim` is the embedding dimension (checked at runtime by the dot kernel).
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int = 5, planes: Int = 8,
-              scale: Int = 1000): DataFrame = {
+              scale: Int = 1000, dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"), quantize(col(embCol), scale).as("v"))
-      .withColumn("bucket", lshSignature(col("v"), planes))
+      .withColumn("bucket", lshSignature(col("v"), planes, dim))
       .withColumn("nv", norm(col("v")))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"))
-      .withColumn("bucket", lshSignature(col("qv"), planes))
+      .withColumn("bucket", lshSignature(col("qv"), planes, dim))
       .withColumn("nq", norm(col("qv")))
     val cA = c.alias("c"); val qA = q.alias("q")
     val cand = cA.join(broadcast(qA),

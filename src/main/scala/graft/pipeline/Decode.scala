@@ -54,8 +54,14 @@ object Decode {
             // (pdf_text_extractor.py:167-182): '\t' present, >15 '|', or
             // >8 '│'. The reference gates because pdfplumber's extraction
             // is slow; we keep the same *semantics* so gated pages match.
-            val gate = text.contains('\t') ||
-              text.count(_ == '|') > 15 || text.count(_ == '│') > 8
+            // The predicate input is the FULL page text (all runs, before
+            // table-cell runs are split out): the reference evaluates it on
+            // page.extract_text(), which includes cell text — gating on the
+            // post-split text would diverge on real PDFs whose indicator
+            // characters live inside the grid.
+            val gateText = Layout.pageText(p.runs)
+            val gate = gateText.contains('\t') ||
+              gateText.count(_ == '|') > 15 || gateText.count(_ == '│') > 8
             PageData(i + 1L, text, Some(p.width), Some(p.height),
               if (gate) tables else Nil)
           }

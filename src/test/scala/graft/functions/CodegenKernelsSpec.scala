@@ -81,6 +81,25 @@ class CodegenKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("DotLong fails loudly on mismatched lengths (interpreted and codegen)") {
+    val s = spark; import s.implicits._
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def lit2(xs: Long*) = Literal.create(new GenericArrayData(xs.toArray), ArrayType(LongType))
+    val ei = intercept[IllegalArgumentException](DotLong(lit2(1, 2, 3), lit2(4, 5)).eval(null))
+    assert(ei.getMessage.contains("length mismatch"))
+    // codegen path (CODEGEN_ONLY session — the generated template throws)
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L))).toDF("a", "b")
+    val ec = intercept[Exception](
+      df.select(c(DotLong(x(col("a")), x(col("b"))))).collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ec).exists(_.getMessage != null) &&
+      causes(ec).exists(t => t.getMessage != null && t.getMessage.contains("length mismatch")))
+  }
+
   test("interpreted eval agrees with codegen for all three kernels") {
     // exercised via Literal-only expressions evaluated eagerly (no codegen)
     import org.apache.spark.sql.catalyst.expressions.Literal

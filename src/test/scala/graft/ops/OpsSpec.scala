@@ -168,11 +168,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = embDf(
       0L -> Seq(0.3f, -0.2f, 0.9f, 0.1f), 1L -> Seq(0.3f, -0.2f, 0.9f, 0.1f),
       2L -> Seq(-0.8f, 0.1f, -0.3f, 0.5f), 3L -> Seq(-0.8f, 0.2f, -0.3f, 0.5f))
-    val buckets = VectorSim.lshBuckets(df, "vec_id", "embedding", planes = 8)
+    val buckets = VectorSim.lshBuckets(df, "vec_id", "embedding", planes = 8, dim = 4)
     assert(buckets.agg(sum("n_vecs")).head().getLong(0) == 4L)
     assert(buckets.where(col("n_vecs") >= 2).count() >= 1) // 0,1 collide by construction
     val ann = VectorSim.annTopK(df, df.where(col("vec_id") === 0), "vec_id", "embedding",
-      k = 2, planes = 8).collect()
+      k = 2, planes = 8, dim = 4).collect()
     assert(ann.nonEmpty && ann.head.getLong(1) == 1L && ann.head.getDouble(2) == 1.0)
   }
 
