@@ -415,6 +415,50 @@ object Queries {
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        ORDER BY id_a, id_b"""
 
+  // ------------------------------------------- wide (56-bit) simhash variants
+  // Production corpus dedup wants a wide fingerprint: 32-bit simhash starts
+  // taking birthday collisions around 10^5 docs. 56 bits is the widest that
+  // satisfies every integer constraint at once: divisible by chunks=8
+  // (7-bit blocks, 5-block = 35-bit band keys < 2^62) and both engines stay
+  // in exact BIGINT shift/mask arithmetic (the 32-bit oracle's
+  // floor(h/pow(2,i)) double `pow` is replaced by (h >> i) & 1).
+  private def qSimhash56(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhash(docs(s, dir), "doc_id", "text", bits = 56, hash = ph)
+      .orderBy("id")
+
+  private val oSimhash56 =
+    """SELECT id,
+       list_sum(list_transform(generate_series(0, 55), i ->
+         CASE WHEN list_sum(list_transform(hs, h ->
+           CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS simhash
+       FROM (SELECT doc_id AS id,
+         list_transform(str_split(text, ' '), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 72057594037927936) AS hs
+         FROM documents)
+       ORDER BY id"""
+
+  private def qSimhash56Pairs(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(
+      TextDedup.simhash(docs(s, dir), "doc_id", "text", bits = 56, hash = ph),
+      bits = 56, chunks = 8, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  private val oSimhash56Pairs =
+    """WITH sh AS (
+         SELECT id,
+           list_sum(list_transform(generate_series(0, 55), i ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+               CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+             THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS simhash
+         FROM (SELECT doc_id AS id,
+           list_transform(str_split(text, ' '), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 72057594037927936) AS hs
+           FROM documents))
+       SELECT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       FROM sh a JOIN sh b ON a.id < b.id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ORDER BY id_a, id_b"""
+
   // ------------------------------------------------------ word-ngram jaccard
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.3,
@@ -601,12 +645,22 @@ object Queries {
   // features so DuckDB verifies the identical bytes. The float stub decode
   // shares this exact batch shape (OpsSpec).
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    // PARITY ASSUMPTION, enforced: the Spark side sums payload BYTES while
+    // the oracle sums character ordinals (ascii(substr(text,i,1))) — these
+    // agree only for pure-ASCII text. assert_true makes a non-ASCII doc
+    // fail this query loudly instead of silently breaking the parity it
+    // claims to verify (same byte-vs-char trap as Decode.utf8Len).
+    val asciiText = when(
+      assert_true(length(col("text")) === octet_length(col("text")),
+        lit("q_multimodal parity assumes ASCII text (byte-sum vs char-ordinal oracle); " +
+          "non-ASCII document found — make the oracle byte-based before widening the corpus")).isNull,
+      col("text"))
     val media = docs(s, dir).select(
       col("doc_id").as("id"),
       when(pmod(col("doc_id"), lit(3)) === 0, "image")
         .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
         .otherwise("video").as("kind"),
-      col("text").cast("binary").as("payload"))
+      asciiText.cast("binary").as("payload"))
     graft.ops.Multimodal.extractSlotFeatures(s, media, dim = 8).toDF()
       .select(col("id").as("doc_id"), col("kind"), col("n_bytes"), col("slots_csv"))
       .orderBy("doc_id")
@@ -865,6 +919,8 @@ object Queries {
     "q_minhash_pairs_b4" -> qMinhashPairsB4 _,
     "q_simhash" -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
+    "q_simhash56" -> qSimhash56 _,
+    "q_simhash56_pairs" -> qSimhash56Pairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
@@ -903,6 +959,8 @@ object Queries {
     "q_minhash_pairs_b4" -> oMinhashPairsB4,
     "q_simhash" -> oSimhash,
     "q_simhash_pairs" -> oSimhashPairs,
+    "q_simhash56" -> oSimhash56,
+    "q_simhash56_pairs" -> oSimhash56Pairs,
     "q_ngram_jaccard" -> oNgramJaccard,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
