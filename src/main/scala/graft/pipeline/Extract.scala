@@ -22,7 +22,8 @@ final case class DocRow(
     bytes_in: Long,
     chars_out: Long,
     needs_ocr: Boolean,
-    error: String // null when clean
+    ocr_pages: Int, // pages whose text came through the OCR seam (0 = none)
+    error: String   // null when clean
 )
 
 /** The Dataset pipeline (SURVEY.md §3 Spark lifecycle):
@@ -52,11 +53,20 @@ object Extract {
         * trusts the accumulators (approximate, zero extra jobs).
         */
       exactMetrics: Boolean = true,
+      /** OCR seam (S4/S5): "none" (offline default — no tesseract in the
+        * sandbox, same as the reference with `_ocr_available=False`) or
+        * "fake" (deterministic sidecar engine, makes the OCR path testable
+        * end-to-end). A real tesseract binding would register here.
+        */
+      ocrEngine: String = "none",
+      /** explicit full-document OCR mode (the reference's use_ocr flag) */
+      useOcr: Boolean = false,
       /** test hook: throw after committing this many buckets (-1 = never) */
       poisonAfterBuckets: Int = -1
   ) {
     def llmParser: Option[graft.core.LlmParser] =
       if (secondSource == "fake") Some(graft.core.FakeLlmParser) else None
+    def ocr: Option[OcrEngine] = Ocr.engine(ocrEngine)
   }
 
   /** Page-boundary spans into the '\n\n'-joined extracted text — the span
@@ -77,8 +87,9 @@ object Extract {
 
   /** Pure per-row parse — the single opaque (non-Catalyst) region. */
   def parseRow(url: String, html: Array[Byte], text: String, bucket: Int, mode: String,
-               llm: Option[graft.core.LlmParser] = None): DocRow = {
-    val dec = Decode.decode(html, text)
+               llm: Option[graft.core.LlmParser] = None,
+               ocr: Option[OcrEngine] = None, useOcr: Boolean = false): DocRow = {
+    val dec = Decode.decode(html, text, ocr, useOcr)
     val json =
       if (dec.pages.isEmpty && dec.error.isDefined) null
       else Canonical.render(
@@ -97,6 +108,7 @@ object Extract {
       bytes_in = dec.bytesIn,
       chars_out = dec.charsOut,
       needs_ocr = dec.needsOcr,
+      ocr_pages = dec.ocrPages,
       error = dec.error.orNull
     )
   }
@@ -141,9 +153,11 @@ object Extract {
     // salted repartition by url-hash: host-skew cannot gang up on a task.
     val salted = valid.repartition(p, saltedKey(cfg.salt))
     val llm = cfg.llmParser
+    val ocr = cfg.ocr
+    val useOcr = cfg.useOcr
     salted.as[(String, Array[Byte], String)].mapPartitions { it =>
       it.map { case (url, html, text) =>
-        val row = parseRow(url, html, text, bucket, cfg.mode, llm)
+        val row = parseRow(url, html, text, bucket, cfg.mode, llm, ocr, useOcr)
         acc.foreach { a =>
           a.docs.add(1L); a.bytesIn.add(row.bytes_in); a.charsOut.add(row.chars_out)
           if (row.error != null) a.errors.add(1L)
