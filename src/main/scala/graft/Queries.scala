@@ -977,8 +977,10 @@ object Queries {
     // byte-golden tested instead (GoldenParitySpec, RoundTripSpec).
   )
 
-  /** Flagship: the real extraction core (standard mode: statistics +
-    * entities + canonical JSON) over the documents table, one row per doc.
+  /** Flagship: the real extraction core over the documents table, BOTH
+    * reference strategies per doc — standard (statistics + entities +
+    * canonical JSON) and construction (line-fold P1-P4 + the J1-J3
+    * second-source merge through the FakeLlm seam), two rows per doc.
     * Driver contract pins sf0.001 as the default; overridable for local use.
     */
   def entry(spark: SparkSession): DataFrame =
@@ -988,11 +990,20 @@ object Queries {
     import spark.implicits._
     docs(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val pages = Vector(PageData(1L, text, None, None, Nil))
-        val json = graft.json.Canonical.render(Assemble.standardResult(pages))
-        (id, PyStr.countWords(text), json.length.toLong, json)
+      .flatMap { case (id, text) =>
+        // a deterministic item-bearing first line so the construction fold
+        // and the fuzzy merge have real work on every doc (same shape as
+        // q_construction_items / q_llm_merge)
+        val line = s"QTY: ${id % 9 + 1} EA VALVE PACKAGE MODEL VP-$id wall mounted"
+        val stdPages = Vector(PageData(1L, text, None, None, Nil))
+        val conPages = Vector(PageData(1L, line + "\n" + text, None, None, Nil))
+        val std = graft.json.Canonical.render(Assemble.standardResult(stdPages))
+        val con = graft.json.Canonical.render(
+          Assemble.constructionResult(conPages, Some(graft.core.FakeLlmParser)))
+        Seq(
+          (id, "standard", PyStr.countWords(text), std.length.toLong, std),
+          (id, "construction", PyStr.countWords(conPages.head.text), con.length.toLong, con))
       }
-      .toDF("doc_id", "n_words", "json_chars", "extracted_json")
+      .toDF("doc_id", "mode", "n_words", "json_chars", "extracted_json")
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -38,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class RollingFingerprint(child: Expression, n: Int = 8,
                               b: Long = 257L, p: Long = 1000000007L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1 && b > 1 && p > 1 && (p - 1) * b + 0x10FFFF > 0,
     "rolling_fingerprint: invalid parameters")
@@ -57,8 +57,29 @@ case class RollingFingerprint(child: Expression, n: Int = 8,
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) return null
-    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    if (v == null) null
+    else RollingFingerprint.compute(v.asInstanceOf[UTF8String], n, b, p)
+  }
+
+  /** Codegen: a static call into the shared kernel (the StaticInvoke
+    * pattern) — stays inside whole-stage codegen with no per-row virtual
+    * `eval` dispatch or value boxing; parameters are baked as literals.
+    * The kernel itself is a scalar loop the JIT compiles once, so inlining
+    * its ~60 lines as Janino source would only duplicate it per query
+    * (and push WSCG methods toward the 64KB limit) for zero gain.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingFingerprint.compute($c, $n, ${b}L, ${p}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+object RollingFingerprint {
+  /** The shared interpreted/generated kernel. */
+  def compute(v: UTF8String, n: Int, b: Long, p: Long): InternalRow = {
+    val cps = v.toString.codePoints().toArray
     val len = cps.length
     val m = math.min(n, len)
     val count = math.max(len - n + 1, 1)
@@ -110,11 +131,6 @@ case class RollingFingerprint(child: Expression, n: Int = 8,
     InternalRow(min, max, distinct.toLong)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
-    copy(child = newChild)
-}
-
-object RollingFingerprint {
   /** The B^k mod P constant list the DuckDB oracle needs, largest exponent
     * use is B^(n-1); index k = exponent (0-based).
     */

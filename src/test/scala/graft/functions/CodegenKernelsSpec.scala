@@ -81,6 +81,28 @@ class CodegenKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("RollingFingerprint generated code == interpreted eval (incl. non-BMP)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    // strings around the n=8 gram boundary, with code points beyond ASCII
+    // and beyond the BMP (supplementary chars take two UTF-16 units but ONE
+    // code point — the kernel hashes code points)
+    val cpGen = Gen.oneOf(Gen.alphaNumChar.map(_.toInt), Gen.const(0x00E9),
+      Gen.const(0x4E2D), Gen.const(0x1F600))
+    val strGen = Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, cpGen))
+      .map(cps => new String(cps.toArray, 0, cps.length))
+    check(Prop.forAll(strGen) { str =>
+      val got = Seq(Tuple1(str)).toDF("t")
+        .select(c(RollingFingerprint(x(col("t")))).as("fp"))
+        .select("fp.fp_min", "fp.fp_max", "fp.n_grams").head()
+      val interp =
+        RollingFingerprint.compute(UTF8String.fromString(str), 8, 257L, 1000000007L)
+      got.getLong(0) == interp.getLong(0) && got.getLong(1) == interp.getLong(1) &&
+        got.getLong(2) == interp.getLong(2)
+    })
+  }
+
   test("DotLong fails loudly on mismatched lengths (interpreted and codegen)") {
     val s = spark; import s.implicits._
     // interpreted path
