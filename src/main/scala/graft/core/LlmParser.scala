@@ -16,6 +16,24 @@ trait LlmParser extends Serializable {
   def parseItems(text: String): Seq[RawItem]
 }
 
+/** The factory's model-fallback chain
+  * (extraction_service.py:618-651 `_create_llm_parser`): a missing
+  * credential short-circuits to None; otherwise candidate constructors
+  * (gpt-4o-mini → gpt-3.5-turbo in the reference's openai branch) are
+  * tried in order, any failure falling through to the next; exhaustion
+  * returns None SILENTLY — the strategy then runs single-source, exactly
+  * like the no-key path (main.py:96-111).
+  */
+object LlmParserFactory {
+  def create(candidates: Seq[() => LlmParser],
+             credential: Option[String]): Option[LlmParser] =
+    credential.filter(_.nonEmpty).flatMap { _ =>
+      candidates.view
+        .flatMap(c => try Some(c()) catch { case _: Exception => None })
+        .headOption
+    }
+}
+
 /** Deterministic offline stand-in for the LLM source: derives items from
   * the text with fixed string rules, so the merge path is reachable
   * end-to-end and byte-comparable against the reference running the SAME

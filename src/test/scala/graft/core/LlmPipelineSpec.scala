@@ -74,4 +74,17 @@ class LlmPipelineSpec extends AnyFunSuite {
     val b = Assemble.renderDocument(d.pages, "construction", None)
     assert(a == b)
   }
+
+  test("factory fallback chain: key gates, failures fall through, exhaustion is silent") {
+    // extraction_service.py:618-651 semantics
+    def boom(): LlmParser = throw new RuntimeException("model unavailable")
+    val chain = Seq(boom _, () => FakeLlmParser: LlmParser)
+    // no credential -> None without touching any candidate
+    assert(LlmParserFactory.create(Seq(() => fail("must not construct")), None).isEmpty)
+    assert(LlmParserFactory.create(chain, Some("")).isEmpty) // empty key = unset env
+    // first candidate fails (gpt-4o-mini analog) -> second is used
+    assert(LlmParserFactory.create(chain, Some("key")).contains(FakeLlmParser))
+    // every candidate fails -> silent None (single-source strategy)
+    assert(LlmParserFactory.create(Seq(boom _, boom _), Some("key")).isEmpty)
+  }
 }
