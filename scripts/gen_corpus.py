@@ -341,10 +341,55 @@ def make_pdf_table_doc(i, rng2):
     }
 
 
+def make_ocr_doc(i, rng3):
+    """Scanned-PDF docs (round 3: the S4/S5 OCR seam). A scanned page's
+    text layer is a near-empty stub; the real text is only recoverable by
+    OCR. `pages` here carry the FULL text — what the reference's downstream
+    sees once pytesseract has run (pdf_text_extractor.py:219-237), and what
+    the fake engine recovers from the payload's %%OCR sidecar. The Scala
+    payload encoder emits the stub text layer + sidecar for docs flagged
+    "ocr". No tables: a scanned page has no vector ruling lines for the
+    grid reconstructor. Separate RNG so docs 0-83 and their goldens stay
+    byte-stable.
+    """
+    host = 0 if rng3.random() < 0.30 else rng3.randint(1, 9)
+    url = f"https://host-{host}.example/scan/{i}"
+    mode = "construction" if rng3.random() < 0.6 else "standard"
+    n_pages = rng3.randint(1, 3)
+    pages = []
+    for p in range(1, n_pages + 1):
+        n = rng3.randint(6, 20)
+        lines = []
+        while len(lines) < n:
+            if rng3.random() < 0.3:
+                lines.extend(rng3.choice(CONTEXT_CLUSTERS))
+            else:
+                lines.append(rng3.choice(rng3.choice(ALL_POOLS)))
+        pages.append({
+            "page_num": p,
+            "text": "\n".join(lines[:n]),
+            "width": 612.0,
+            "height": 792.0,
+            "tables": [],
+        })
+    ts = 1704067200 + (i * 53 % 86400) + (i % 30) * 86400
+    return {
+        "url": url,
+        "mode": mode,
+        "payload": "pdf",
+        "ocr": True,
+        "lang": rng3.choices(["en", "de", None], weights=[0.85, 0.1, 0.05])[0],
+        "warc_ts": ts,
+        "pages": pages,
+    }
+
+
 def main():
     docs = [make_doc(i) for i in range(72)]
     rng2 = random.Random(20260817)
     docs += [make_pdf_table_doc(i, rng2) for i in range(12)]
+    rng3 = random.Random(30260817)
+    docs += [make_ocr_doc(i, rng3) for i in range(8)]
     OUT.parent.mkdir(parents=True, exist_ok=True)
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump({"docs": docs}, f, indent=1, ensure_ascii=False)

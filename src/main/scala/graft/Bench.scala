@@ -89,7 +89,10 @@ object Bench {
         // (production default stays exact).
         Extract.run(spark, pages, out,
           Extract.Config(mode = "construction", buckets = buckets, parallelism = par,
-            exactMetrics = false))
+            exactMetrics = false,
+            // r3: the corpus now carries scanned docs; run the OCR seam so
+            // the benched pipeline covers the recovered-text path too
+            ocrEngine = "fake"))
       }
       t
     }

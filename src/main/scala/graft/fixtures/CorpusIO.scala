@@ -15,7 +15,8 @@ final case class CorpusDoc(
     payload: String, // text | html | pdf
     lang: Option[String],
     warcTs: Long,    // epoch seconds
-    pages: Vector[PageData]
+    pages: Vector[PageData],
+    ocr: Boolean = false // scanned doc: payload carries a stub text layer + %%OCR sidecar
 )
 
 object CorpusIO {
@@ -57,7 +58,8 @@ object CorpusIO {
       payload = n.get("payload").asText(),
       lang = if (n.get("lang").isNull) None else Some(n.get("lang").asText()),
       warcTs = n.get("warc_ts").asLong(),
-      pages = pages
+      pages = pages,
+      ocr = Option(n.get("ocr")).exists(_.asBoolean())
     )
   }
 

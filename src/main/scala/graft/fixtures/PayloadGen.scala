@@ -73,6 +73,7 @@ object PayloadGen {
   }
 
   def pdfPayload(doc: CorpusDoc): Array[Byte] = {
+    if (doc.ocr) return scannedPdfPayload(doc)
     val v = variant(doc.url, 2)
     val flate = variant(doc.url, 3) != 0
     val pages = doc.pages.map { p =>
@@ -93,6 +94,21 @@ object PayloadGen {
     Pdf.writePages(pages, flate,
       width = doc.pages.head.width.getOrElse(612.0),
       height = doc.pages.head.height.getOrElse(792.0))
+  }
+
+  /** A "scanned" PDF: each page's text layer is a short stub run (the
+    * stray header a scanner's OCR-less text layer typically carries —
+    * nonempty and < 50 chars so the reference's image-based detection
+    * fires, pdf_text_extractor.py:115-126), with the page's real text in
+    * the `%%OCR` sidecar the fake engine recovers.
+    */
+  def scannedPdfPayload(doc: CorpusDoc): Array[Byte] = {
+    val stubs = doc.pages.map(p =>
+      Pdf.PageSpec(Seq((50.0, 760.0, s"[scan ${p.pageNum}]"))))
+    val base = Pdf.writePages(stubs, flate = false,
+      width = doc.pages.head.width.getOrElse(612.0),
+      height = doc.pages.head.height.getOrElse(792.0))
+    graft.pipeline.Ocr.embedSidecar(base, doc.pages.map(p => p.pageNum -> p.text))
   }
 
   def textPayload(doc: CorpusDoc): String =

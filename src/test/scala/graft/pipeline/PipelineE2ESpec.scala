@@ -46,7 +46,7 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("construction", "standard").foreach { mode =>
       val outRoot = s"$work/out_$mode"
       Extract.run(spark, pagesPath, outRoot,
-        Extract.Config(mode = mode, buckets = 4, parallelism = 4))
+        Extract.Config(mode = mode, buckets = 4, parallelism = 4, ocrEngine = "fake"))
       val rows = Extract.readSnapshot(spark, outRoot)
         .select("url", "extracted_json", "error")
         .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
@@ -105,7 +105,8 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     // first run dies after 2 of 4 buckets
     val boom = intercept[RuntimeException] {
       Extract.run(spark, pagesPath, outRoot,
-        Extract.Config(buckets = 4, parallelism = 4, poisonAfterBuckets = 2))
+        Extract.Config(buckets = 4, parallelism = 4, poisonAfterBuckets = 2,
+          ocrEngine = "fake"))
     }
     assert(boom.getMessage.contains("poison"))
     val table = new graft.table.SnapshotTable(outRoot)
@@ -113,7 +114,7 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mid.completedBuckets.length == 2)
 
     // resume: completes remaining buckets without reprocessing the first two
-    val res = Extract.run(spark, pagesPath, outRoot, Extract.Config(buckets = 4, parallelism = 4))
+    val res = Extract.run(spark, pagesPath, outRoot, Extract.Config(buckets = 4, parallelism = 4, ocrEngine = "fake"))
     val fin = table.currentManifest.get
     assert(fin.completedBuckets.sorted == Vector(0, 1, 2, 3))
     assert(fin.version == mid.version + 2, "resume must add exactly 2 snapshot versions")

@@ -12,11 +12,17 @@ class RoundTripSpec extends AnyFunSuite {
 
   private lazy val docs = CorpusIO.load()
 
+  /** Scanned docs decode through the OCR seam (the reference with
+    * pytesseract available); everything else with the default no-engine
+    * path. */
+  private def engineFor(d: graft.fixtures.CorpusDoc): Option[OcrEngine] =
+    if (d.ocr) Some(FakeOcrEngine) else None
+
   test("payload decode reproduces corpus pages byte-identically") {
     var checked = 0
     docs.foreach { d =>
       val (_, _, html, text, _) = PayloadGen.row(d)
-      val dec = Decode.decode(html, text)
+      val dec = Decode.decode(html, text, engineFor(d), useOcr = false)
       assert(dec.error.isEmpty, s"${d.url}: ${dec.error}")
       assert(dec.pages.length == d.pages.length, s"${d.url}: page count ${dec.pages.length} != ${d.pages.length}")
       dec.pages.zip(d.pages).foreach { case (got, want) =>
@@ -36,7 +42,7 @@ class RoundTripSpec extends AnyFunSuite {
         .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))).get)
     docs.foreach { d =>
       val (_, _, html, text, _) = PayloadGen.row(d)
-      val dec = Decode.decode(html, text)
+      val dec = Decode.decode(html, text, engineFor(d), useOcr = false)
       val actual = Assemble.renderDocument(dec.pages, d.mode)
       val expected = new String(java.nio.file.Files.readAllBytes(
         goldenDir.resolve(CorpusIO.docId(d.url) + ".json")), java.nio.charset.StandardCharsets.UTF_8)
@@ -47,7 +53,7 @@ class RoundTripSpec extends AnyFunSuite {
   test("every payload kind emits spans addressing the extracted text") {
     docs.foreach { d =>
       val (_, _, html, text, _) = PayloadGen.row(d)
-      val row = Extract.parseRow(d.url, html, text, 0, d.mode)
+      val row = Extract.parseRow(d.url, html, text, 0, d.mode, ocr = engineFor(d))
       val t = row.extracted_text
       assert(row.spans.nonEmpty == t.nonEmpty || row.n_pages > 0, s"${d.url}: no spans")
       row.spans.foreach { s =>
