@@ -459,6 +459,39 @@ object Queries {
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        ORDER BY id_a, id_b"""
 
+  // --------------------------------------------- near-dup cluster resolution
+  // Connected components over the simhash near-dup pair graph (the stage
+  // that turns pairwise candidates into a retention decision). Spark side:
+  // iterative min-label propagation (one join + one aggregate per round);
+  // oracle: DuckDB recursive CTE computing min reachable id over the
+  // brute-force pair derivation — identical map by definition of
+  // connectivity, independent of either engine's iteration order.
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    TextDedup.dedupClusters(
+      TextDedup.simhashPairs(
+        TextDedup.simhash(docs(s, dir), "doc_id", "text", bits = 32, hash = ph),
+        bits = 32, chunks = 8, maxHamming = 3))
+      .orderBy("id")
+
+  private val oDedupClusters =
+    """WITH RECURSIVE sh AS (
+         SELECT id,
+           list_sum(list_transform(generate_series(0, 31), i ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+               CASE WHEN CAST(floor(h / pow(2, i)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END))::BIGINT AS simhash
+         FROM (SELECT doc_id AS id,
+           list_transform(str_split(text, ' '), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 4294967296) AS hs
+           FROM documents)),
+       e AS (
+         SELECT a.id AS src, b.id AS dst FROM sh a JOIN sh b
+         ON a.id <> b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+       reach(id, r) AS (
+         SELECT DISTINCT src, src FROM e
+         UNION
+         SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+       SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id"""
+
   // ------------------------------------------------------ word-ngram jaccard
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.3,
@@ -921,6 +954,7 @@ object Queries {
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_simhash56" -> qSimhash56 _,
     "q_simhash56_pairs" -> qSimhash56Pairs _,
+    "q_dedup_clusters" -> qDedupClusters _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
@@ -961,6 +995,7 @@ object Queries {
     "q_simhash_pairs" -> oSimhashPairs,
     "q_simhash56" -> oSimhash56,
     "q_simhash56_pairs" -> oSimhash56Pairs,
+    "q_dedup_clusters" -> oDedupClusters,
     "q_ngram_jaccard" -> oNgramJaccard,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,

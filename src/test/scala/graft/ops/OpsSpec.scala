@@ -386,4 +386,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val top = Multimodal.mediaTopK(spark, media, k = 1, dim = 4).collect()
     assert(top.nonEmpty && top.head.getDouble(2) == 1.0) // 1↔2 are duplicates
   }
+
+  test("dedupClusters: chains, cycles, stars resolve to min-id components; resolve keeps canonicals") {
+    val s = spark; import s.implicits._
+    // components: {1,2,3} chain, {10,11,12} cycle, {20,21} pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = TextDedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // retention: paired docs keep only the canonical; unpaired docs stay
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 21L).toDF("doc_id")
+    val kept = TextDedup.dedupResolve(docs, TextDedup.dedupClusters(pairs), "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 10L, 20L))
+    TextDedup.releaseCaches()
+  }
+
+  test("dedupClusters: a 12-node path converges within diameter rounds; bound fails loudly") {
+    val s = spark; import s.implicits._
+    val pairs = (0 until 11).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val got = TextDedup.dedupClusters(pairs, maxRounds = 15).collect()
+    assert(got.length == 12 && got.forall(_.getLong(1) == 0L))
+    TextDedup.releaseCaches()
+    val boom = intercept[IllegalArgumentException](
+      TextDedup.dedupClusters(pairs, maxRounds = 3).collect())
+    assert(boom.getMessage.contains("convergence"))
+    TextDedup.releaseCaches()
+  }
 }
