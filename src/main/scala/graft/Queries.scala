@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{TextDedup, TextStats, VectorSim}
+import graft.ops.{Sampling, TextDedup, TextStats, VectorSim}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -492,6 +492,51 @@ object Queries {
          SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
        SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id"""
 
+  // ------------------------------------------------- deterministic sampling
+  // Training-data selection stages (graft.ops.Sampling): hash-keyed so the
+  // sample is a REPRODUCIBILITY CONTRACT — identical on any cluster, any
+  // partitioning, any retry history (Spark's df.sample is per-partition
+  // seeded and none of those). Oracle recomputes the identical bucket
+  // arithmetic.
+  private def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(docs(s, dir), "doc_id", frac = 0.2, salt = "s1", hash = ph)
+      .select("doc_id", "source").orderBy("doc_id")
+
+  private val oSampleHash =
+    """SELECT doc_id, source FROM documents
+       WHERE ('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 15))::BIGINT % 1000000 < 200000
+       ORDER BY doc_id"""
+
+  private def qSampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val splits = Sampling.hashSplit(docs(s, dir), "doc_id", Seq(0.8, 0.1, 0.1),
+      salt = "sp", hash = ph)
+    splits.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .select(lit(i.toLong).as("split"), col("n_docs"), col("id_sum"))
+    }.reduce(_ union _).orderBy("split")
+  }
+
+  private val oSampleSplit =
+    """SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
+         SELECT doc_id,
+           CASE WHEN h < 800000 THEN 0 WHEN h < 900000 THEN 1 ELSE 2 END AS split
+         FROM (SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR || 'sp'), 1, 15))::BIGINT % 1000000 AS h
+           FROM documents))
+       GROUP BY split ORDER BY split"""
+
+  private def qSampleStrata(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedQuota(docs(s, dir), "source", "doc_id", n = 5, salt = "st", hash = ph)
+      .select("doc_id", "source").orderBy("source", "doc_id")
+
+  private val oSampleStrata =
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source, row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'st'), 1, 15))::BIGINT % 1000000, doc_id
+         ) AS rk FROM documents)
+       WHERE rk <= 5 ORDER BY source, doc_id"""
+
   // ------------------------------------------------------ word-ngram jaccard
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.3,
@@ -955,6 +1000,9 @@ object Queries {
     "q_simhash56" -> qSimhash56 _,
     "q_simhash56_pairs" -> qSimhash56Pairs _,
     "q_dedup_clusters" -> qDedupClusters _,
+    "q_sample_hash" -> qSampleHash _,
+    "q_sample_split" -> qSampleSplit _,
+    "q_sample_strata" -> qSampleStrata _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
@@ -996,6 +1044,9 @@ object Queries {
     "q_simhash56" -> oSimhash56,
     "q_simhash56_pairs" -> oSimhash56Pairs,
     "q_dedup_clusters" -> oDedupClusters,
+    "q_sample_hash" -> oSampleHash,
+    "q_sample_split" -> oSampleSplit,
+    "q_sample_strata" -> oSampleStrata,
     "q_ngram_jaccard" -> oNgramJaccard,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling — the selection stages of a training-data
+  * pipeline. Everything is keyed on a content/id hash, never on RNG state:
+  * the same inputs produce the same sample on any cluster, any partition
+  * count, any executor failure/retry history (Spark's `df.sample` is
+  * per-partition-seeded and NOT stable under repartitioning — unusable as
+  * a reproducibility contract).
+  */
+object Sampling {
+
+  private val M = 1000000L // hash-bucket modulus: fraction resolution 1e-6
+
+  /** Bernoulli-style sample keeping ~`frac` of rows: keep iff
+    * hash(id, salt) mod M < frac·M. Scan-side filter — NO shuffle, prunes
+    * at the reader when the hash column is cheap; different `salt` values
+    * give independent samples (train/validation splits that provably don't
+    * overlap: disjoint hash ranges of the SAME salt, see [[hashSplit]]).
+    */
+  def hashSample(df: DataFrame, idCol: String, frac: Double, salt: String = "",
+                 hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "frac must be in [0,1]")
+    df.where(pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
+      < math.floor(frac * M).toLong)
+  }
+
+  /** Disjoint train/validation/test split by hash range over ONE salt:
+    * row r lands in split i iff hash(r) mod M falls in i's range. Exact
+    * complement guarantee (no row in two splits, no row dropped) — the
+    * property per-split independent sampling cannot give.
+    */
+  def hashSplit(df: DataFrame, idCol: String, fracs: Seq[Double], salt: String = "",
+                hash: Column => Column = TextDedup.portableHash): Seq[DataFrame] = {
+    require(fracs.nonEmpty && fracs.forall(_ >= 0) && math.abs(fracs.sum - 1.0) < 1e-9,
+      "fracs must be non-negative and sum to 1")
+    val bounds = fracs.scanLeft(0.0)(_ + _).map(f => math.floor(f * M).toLong)
+    val h = pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
+    bounds.sliding(2).map { case Seq(lo, hi) =>
+      df.where(h >= lo && h < hi)
+    }.toSeq
+  }
+
+  /** Exact per-stratum quota: the `n` rows of each stratum with the
+    * smallest (hash, id) priority — a deterministic uniform draw without
+    * replacement. Plans as ONE shuffle on the stratum key; Spark 4's
+    * WindowGroupLimit pushes the rank bound map-side, so each task ships
+    * at most `n` rows per stratum into the exchange instead of the whole
+    * stratum — the skewed-stratum case (one language owning 90% of the
+    * corpus) never concentrates on a task.
+    */
+  def stratifiedQuota(df: DataFrame, strataCol: String, idCol: String, n: Int,
+                      salt: String = "",
+                      hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val pri = pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
+    val w = Window.partitionBy(col(strataCol)).orderBy(pri, col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= n)
+      .drop("rk")
+  }
+}

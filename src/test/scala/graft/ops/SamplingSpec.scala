@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sampling contracts: hash-keyed determinism (partitioning-invariant),
+  * exact split disjointness/completeness, exact per-stratum quotas, and
+  * the skew-safe plan (WindowGroupLimit pushes the rank bound map-side).
+  */
+class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def corpus = {
+    val s = spark
+    s.range(0, 2000).select(col("id").as("doc_id"),
+      concat(lit("src-"), pmod(col("id"), lit(3)).cast("string")).as("source"))
+  }
+
+  test("hashSample is partitioning-invariant (df.sample is not a contract; this is)") {
+    val a = Sampling.hashSample(corpus, "doc_id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(corpus.repartition(17), "doc_id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < 2000)
+    // fraction lands near the target (hash uniformity, not a seed promise)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+    // independent salts give different draws
+    val c = Sampling.hashSample(corpus, "doc_id", 0.3, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(a != c)
+  }
+
+  test("hashSplit: exact partition of the corpus — disjoint and complete") {
+    val splits = Sampling.hashSplit(corpus, "doc_id", Seq(0.8, 0.1, 0.1), salt = "sp")
+    val sets = splits.map(_.collect().map(_.getLong(0)).toSet)
+    assert(sets.map(_.size).sum == 2000)          // complete: no row dropped
+    assert(sets.combinations(2).forall { case Seq(x, y) => (x & y).isEmpty }) // disjoint
+    assert(sets.head.size > 1400)                 // ~80% split is the big one
+  }
+
+  test("stratifiedQuota: exact quota per stratum, deterministic, WindowGroupLimit plan") {
+    val q = Sampling.stratifiedQuota(corpus, "source", "doc_id", n = 7)
+    val rows = q.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.groupBy(_._2).forall(_._2.length == 7)) // 3 strata × 7
+    // deterministic under repartitioning
+    val again = Sampling.stratifiedQuota(corpus.repartition(13), "source", "doc_id", n = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet == again.toSet)
+    // small stratum: quota larger than the stratum keeps the whole stratum
+    val small = corpus.where(col("doc_id") < 4)
+    assert(Sampling.stratifiedQuota(small, "source", "doc_id", n = 7).count() == 4)
+    // skew safety: the rank bound must be pushed below the exchange
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+}
