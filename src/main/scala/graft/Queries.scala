@@ -537,6 +537,25 @@ object Queries {
          ) AS rk FROM documents)
        WHERE rk <= 5 ORDER BY source, doc_id"""
 
+  // sequence packing: contiguous greedy fill into 2000-token packs within
+  // each source shard (pack = tokens-before DIV budget, integral division)
+  private def qPack(s: SparkSession, dir: String): DataFrame =
+    Sampling.packBudget(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        TextStats.wordCountWs(col("text")).cast("long").as("toks")),
+      "source", "doc_id", "toks", budget = 2000L)
+      .select("doc_id", "source", "pack").orderBy("doc_id")
+
+  private val oPack =
+    """SELECT doc_id, source, cb // 2000 AS pack FROM (
+         SELECT doc_id, source,
+           sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS cb
+         FROM (SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+           FROM documents))
+       ORDER BY doc_id"""
+
   // ------------------------------------------------------ word-ngram jaccard
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.3,
@@ -1003,6 +1022,7 @@ object Queries {
     "q_sample_hash" -> qSampleHash _,
     "q_sample_split" -> qSampleSplit _,
     "q_sample_strata" -> qSampleStrata _,
+    "q_pack" -> qPack _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
@@ -1047,6 +1067,7 @@ object Queries {
     "q_sample_hash" -> oSampleHash,
     "q_sample_split" -> oSampleSplit,
     "q_sample_strata" -> oSampleStrata,
+    "q_pack" -> oPack,
     "q_ngram_jaccard" -> oNgramJaccard,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,

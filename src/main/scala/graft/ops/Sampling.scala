@@ -44,6 +44,33 @@ object Sampling {
     }.toSeq
   }
 
+  /** Sequence packing for training batches: assign docs to fixed
+    * token-budget packs by contiguous greedy fill in deterministic (id)
+    * order WITHIN a shard — pack boundary = running token count crossing a
+    * multiple of `budget` (a doc larger than the budget occupies its own
+    * pack(s) worth of budget; packs are contiguous id ranges, which is
+    * what sequence-packing wants: stable, resumable, order-reproducible).
+    *
+    * Scale shape: the cumulative sum is a window over (shard, id) — one
+    * shuffle on the shard key, parallel across shards. A GLOBAL running
+    * sum would serialize onto one task at corpus scale, so the shard
+    * column is required, not optional: shards (e.g. hash-bucket of id,
+    * language, crawl segment) are the parallelism unit, exactly like the
+    * pipeline's bucket column.
+    */
+  def packBudget(df: DataFrame, shardCol: String, idCol: String, tokCol: String,
+                 budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pack of a doc = tokens-before-it DIV budget: the doc starts the pack
+    // its first token lands in. Integral `div`, not floating division —
+    // shard token sums can exceed 2^53 where doubles drop low bits.
+    df.withColumn("tok_before", sum(col(tokCol)).over(w) - col(tokCol))
+      .withColumn("pack", expr(s"tok_before div ${budget}L"))
+      .drop("tok_before")
+  }
+
   /** Exact per-stratum quota: the `n` rows of each stratum with the
     * smallest (hash, id) priority — a deterministic uniform draw without
     * replacement. Plans as ONE shuffle on the stratum key; Spark 4's

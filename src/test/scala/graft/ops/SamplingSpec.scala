@@ -64,4 +64,25 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("packBudget: contiguous greedy packs, oversized docs, shard independence") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      // shard A: 600+600+600 → pack0(1200 before third crosses? tok_before:
+      // 0,600,1200) → packs 0,0,1 at budget 1000; then a 2500-token doc
+      // (tok_before 1800 → pack 1), then 100 (tok_before 4300 → pack 4)
+      ("A", 1L, 600L), ("A", 2L, 600L), ("A", 3L, 600L), ("A", 4L, 2500L), ("A", 5L, 100L),
+      // shard B packs independently from zero
+      ("B", 1L, 999L), ("B", 2L, 2L))
+      .toDF("shard", "doc_id", "toks")
+    val got = Sampling.packBudget(df, "shard", "doc_id", "toks", budget = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == Map(
+      ("A", 1L) -> 0L, ("A", 2L) -> 0L, ("A", 3L) -> 1L, ("A", 4L) -> 1L, ("A", 5L) -> 4L,
+      ("B", 1L) -> 0L, ("B", 2L) -> 0L))
+    // packs are contiguous id ranges within a shard (monotone non-decreasing)
+    val aPacks = Sampling.packBudget(df, "shard", "doc_id", "toks", 1000L)
+      .where(col("shard") === "A").orderBy("doc_id").collect().map(_.getLong(3))
+    assert(aPacks.sameElements(aPacks.sorted))
+  }
 }
