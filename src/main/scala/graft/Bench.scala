@@ -199,21 +199,24 @@ object Bench {
          |N is cpus/16 and 4N is cpus/4 ("one 2-core executor" vs "four"),
          |so both levels sit in the host's linear-scaling region.
          |Pure-JVM control (`graft.tools.ParseProfile`: fixed thread pool
-         |driving `Extract.parseRow`, no Spark, min of 3, current parse
-         |core after the round-2 regex optimizations):
+         |driving `Extract.parseRow` with the same per-row config as the
+         |pipeline incl. the OCR seam, no Spark, min of 3; re-measured
+         |round 3 on the 92-doc corpus):
          |
          || threads | docs/s | step scaling |
          ||---|---|---|
-         || 2 | 154 | — |
-         || 4 | 298 | 1.94× |
-         || 8 | 595 | 2.00× |
-         || 16 | 1025 | 1.72× |
-         || 32 | 1588 | 1.55× |
+         || 2 | 159 | — |
+         || 4 | 321 | 2.02× |
+         || 8 | 538 | 1.67× |
+         || 16 | 1032 | 1.92× |
+         || 32 | 1601 | 1.55× |
          |
-         |2→8 threads scales 3.87× (0.97 efficiency); beyond ~8-16
-         |concurrent parse threads the VM's memory subsystem saturates —
-         |a single-box ceiling a real multi-executor cluster does not
-         |share: 4× executors bring 4× memory channels. Within the linear
+         |2→8 threads scales 3.4× (0.85 efficiency; the weak 4→8 step is
+         |not reproduced at 8→16's 1.92× — single-run co-tenant noise, the
+         |interleaved pipeline metric above is the robust signal); beyond
+         |~16 concurrent parse threads the VM's memory subsystem
+         |saturates — a single-box ceiling a real multi-executor cluster
+         |does not share: 4× executors bring 4× memory channels. Within the linear
          |region, full-pipeline scaling (shuffle, snapshot commit, parquet
          |sink included) tracks raw-JVM compute scaling — the pipeline
          |adds no scaling loss of its own. An earlier full-pipeline

@@ -40,7 +40,11 @@ object ParseProfile {
             var i = next.getAndIncrement()
             while (i < docs.length) {
               val d = docs(i)
-              val row = Extract.parseRow(d.url, d.html, d.text, 0, "construction")
+              // same per-row config as the benched pipeline (incl. the OCR
+              // seam for the corpus's scanned docs) — the control must
+              // measure the same work the pipeline distributes
+              val row = Extract.parseRow(d.url, d.html, d.text, 0, "construction",
+                ocr = Some(graft.pipeline.FakeOcrEngine))
               chars.addAndGet(row.chars_out)
               parsed.incrementAndGet()
               i = next.getAndIncrement()
