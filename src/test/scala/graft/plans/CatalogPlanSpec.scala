@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Physical-plan regressions for the driver-catalog queries at sf0.001 —
+  * the properties the 100 TB story depends on, pinned so a refactor that
+  * silently degrades a plan (drops a broadcast, loses a pushed filter,
+  * reintroduces a nested-loop join) fails `sbt test` instead of only
+  * showing up as a slow benchmark row. Narrative with measurements lives
+  * in PLANS.md; this spec is the executable subset.
+  */
+class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String = {
+    assume(Files.exists(Paths.get(s"$sf/documents.parquet")), "driver testdata missing")
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    try {
+      df.collect() // materialize so AQE finalizes the plan
+      df.queryExecution.executedPlan.toString
+    } finally graft.ops.TextDedup.releaseCaches()
+  }
+
+  test("no pair-join query plans a BroadcastNestedLoopJoin or CartesianProduct") {
+    // the two operators that silently turn a 'join' into O(n^2) work;
+    // checked on every dedup/ANN catalog row with a join shape.
+    // Deliberately absent: q_ivf_topk (its only nested-loop is the
+    // broadcast cross of the <=8-row centroid table — every vector scores
+    // every centroid by construction, that IS the coarse quantizer; the
+    // corpus-vs-corpus probe is asserted broadcast-equi below) and
+    // q_cosine_topk (BRUTE-FORCE baseline: all-pairs scoring against a
+    // broadcast query set is its definition; the scale paths are
+    // q_ann_topk / q_ivf_topk, which must not nested-loop).
+    Seq("q_minhash_pairs", "q_simhash_pairs", "q_ngram_jaccard",
+      "q_embed_neardup", "q_ann_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("q_cosine_topk: query side broadcast, top-k bound pushed as WindowGroupLimit") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("BroadcastExchange"), s"query side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank bound must push map-side:\n$p")
+  }
+
+  test("q_ann_topk / q_ivf_topk: candidate generation is an equi-join with a broadcast side") {
+    Seq("q_ann_topk", "q_ivf_topk").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: small side must broadcast:\n$p")
+    }
+  }
+
+  test("q_sample_hash: scan-side filter, no exchange before the sample decision") {
+    val p = plan("q_sample_hash")
+    // the Bernoulli filter must evaluate in the scan stage; the only
+    // exchange allowed is the final orderBy's range partitioning
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0, s"hash sample must not shuffle to decide membership:\n$p")
+  }
+
+  test("q_stats / q_token_count: partial aggregation before the exchange (map-side combine)") {
+    Seq("q_stats", "q_token_count").foreach { q =>
+      val p = plan(q)
+      val firstAgg = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+      assert(firstAgg >= 0, s"$q: expected hash aggregation:\n$p")
+      assert(p.contains("partial_"), s"$q: aggregation must have a partial (map-side) phase:\n$p")
+    }
+  }
+
+  test("q_fingerprint: single pass, no shuffle beyond the final sort") {
+    val p = plan("q_fingerprint")
+    val nonSortExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(nonSortExchanges == 0,
+      s"scan-side fingerprint must not shuffle:\n$p")
+    assert(!p.contains("Generate") || p.contains("inline"),
+      s"fingerprint must not explode grams:\n$p")
+  }
+}
