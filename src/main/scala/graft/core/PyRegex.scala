@@ -23,7 +23,7 @@ final class Rx private (val source: String, val p: Pattern) {
   // matcher per Rx is safe because every public result is an immutable
   // toMatchResult() snapshot; the live Matcher never escapes a call.
   private val tlMatcher = new ThreadLocal[Matcher] {
-    override def initialValue(): Matcher = p.matcher("")
+    override def initialValue(): Matcher = { Rx.tlInits.incrementAndGet(); p.matcher("") }
   }
   private def m(s: String): Matcher = { val mm = tlMatcher.get(); mm.reset(s); mm }
 
@@ -80,6 +80,10 @@ final class Mtch(r: MatchResult) {
 }
 
 object Rx {
+  /** Diagnostic: thread-local matcher initializations (expected ≈ threads ×
+    * distinct patterns; a large number means matcher reuse is broken). */
+  val tlInits = new java.util.concurrent.atomic.AtomicLong()
+
   private val base = Pattern.UNICODE_CHARACTER_CLASS
   private val ic = Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
 

@@ -65,5 +65,6 @@ object ParseProfile {
     val best = times.min
     println(f"[profile] threads=$threads docs=${docs.length} best=$best%.2f s " +
       f"(${docs.length / best}%.1f docs/s) all=${times.map(t => f"$t%.2f").mkString(",")}")
+    println(s"[profile] tlMatcher inits: ${graft.core.Rx.tlInits.get()}")
   }
 }
