@@ -742,34 +742,29 @@ object Queries {
   // features so DuckDB verifies the identical bytes. The float stub decode
   // shares this exact batch shape (OpsSpec).
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
-    // PARITY ASSUMPTION, enforced: the Spark side sums payload BYTES while
-    // the oracle sums character ordinals (ascii(substr(text,i,1))) — these
-    // agree only for pure-ASCII text. assert_true makes a non-ASCII doc
-    // fail this query loudly instead of silently breaking the parity it
-    // claims to verify (same byte-vs-char trap as Decode.utf8Len).
-    val asciiText = when(
-      assert_true(length(col("text")) === octet_length(col("text")),
-        lit("q_multimodal parity assumes ASCII text (byte-sum vs char-ordinal oracle); " +
-          "non-ASCII document found — make the oracle byte-based before widening the corpus")).isNull,
-      col("text"))
     val media = docs(s, dir).select(
       col("doc_id").as("id"),
       when(pmod(col("doc_id"), lit(3)) === 0, "image")
         .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
         .otherwise("video").as("kind"),
-      asciiText.cast("binary").as("payload"))
+      col("text").cast("binary").as("payload"))
     graft.ops.Multimodal.extractSlotFeatures(s, media, dim = 8).toDF()
       .select(col("id").as("doc_id"), col("kind"), col("n_bytes"), col("slots_csv"))
       .orderBy("doc_id")
   }
 
+  // BYTE-based oracle (r3): both sides sum UTF-8 payload BYTES — the byte
+  // is extracted in DuckDB by hex-decoding encode(text) two hex digits at
+  // a time, so the parity holds for ANY text, not just ASCII (the earlier
+  // ascii(substr(...)) formulation summed character ordinals and only
+  // agreed on ASCII corpora — the byte-vs-char trap of Decode.utf8Len).
   private val oMultimodal =
     """SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        array_to_string(list_transform(generate_series(0, 7), j ->
-         COALESCE(list_sum(list_transform(generate_series(1 + j, length(text), 8),
-           i -> ascii(substr(text, i, 1)))), 0)), ',') AS slots_csv
+         COALESCE(list_sum(list_transform(generate_series(1 + j, octet_length(encode(text)), 8),
+           i -> ('0x' || substr(hex(encode(text)), 2*i - 1, 2))::BIGINT)), 0)), ',') AS slots_csv
        FROM documents ORDER BY doc_id"""
 
   // -------------------------------------------------------------- language ID
