@@ -36,7 +36,10 @@ object Main {
       val outRoot = s"$workDir/out_$mode"
       val t0 = System.nanoTime()
       val res = Extract.run(spark, pagesPath, outRoot,
-        Extract.Config(mode = mode, buckets = buckets, parallelism = cores.toInt))
+        Extract.Config(mode = mode, buckets = buckets, parallelism = cores.toInt,
+          // the synthesized corpus carries scanned docs; the fake engine
+          // exercises the full OCR recovery path (swap for a real binding)
+          ocrEngine = "fake"))
       val secs = (System.nanoTime() - t0) / 1e9
       val docs = res.metrics.map(_.docs).sum
       println(f"[$mode] snapshot v${res.manifestVersion} docs=$docs in $secs%.2fs (${docs / secs}%.1f docs/s)")
