@@ -516,14 +516,19 @@ object Queries {
     }.reduce(_ union _).orderBy("split")
   }
 
+  // the VALUES spine keeps an EMPTY split visible as (i, 0, NULL) — the
+  // Spark side always emits one row per split, a bare GROUP BY would not
   private val oSampleSplit =
-    """SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
+    """WITH h AS (
          SELECT doc_id,
            CASE WHEN h < 800000 THEN 0 WHEN h < 900000 THEN 1 ELSE 2 END AS split
          FROM (SELECT doc_id,
            ('0x' || substr(md5(doc_id::VARCHAR || 'sp'), 1, 15))::BIGINT % 1000000 AS h
            FROM documents))
-       GROUP BY split ORDER BY split"""
+       SELECT s.split, count(h.doc_id) AS n_docs, CAST(sum(h.doc_id) AS BIGINT) AS id_sum
+       FROM (VALUES (0::BIGINT), (1::BIGINT), (2::BIGINT)) s(split)
+       LEFT JOIN h ON h.split = s.split
+       GROUP BY s.split ORDER BY s.split"""
 
   private def qSampleStrata(s: SparkSession, dir: String): DataFrame =
     Sampling.stratifiedQuota(docs(s, dir), "source", "doc_id", n = 5, salt = "st", hash = ph)

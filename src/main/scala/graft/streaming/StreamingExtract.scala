@@ -43,6 +43,8 @@ object StreamingExtract {
     val p = if (cfg.parallelism > 0) cfg.parallelism
             else spark.sessionState.conf.numShufflePartitions
     val llm = cfg.llmParser
+    val ocr = cfg.ocr
+    val useOcr = cfg.useOcr
     val mode = cfg.mode
     pages
       .where(col("html").isNotNull || col("text").isNotNull)
@@ -50,7 +52,7 @@ object StreamingExtract {
       .repartition(p, xxhash64(concat(col("url"), lit("#" + cfg.salt))))
       .as[(String, Array[Byte], String)]
       .mapPartitions(_.map { case (url, html, text) =>
-        Extract.parseRow(url, html, text, bucket = 0, mode, llm)
+        Extract.parseRow(url, html, text, bucket = 0, mode, llm, ocr, useOcr)
       })
   }
 

@@ -32,9 +32,9 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("streamed extraction equals batch parseRow output per url") {
+  test("streamed extraction equals batch parseRow output per url (OCR seam active)") {
     val q = StreamingExtract.run(spark, s"$work/pages", s"$work/out",
-      Extract.Config(mode = "construction", parallelism = 4))
+      Extract.Config(mode = "construction", parallelism = 4, ocrEngine = "fake"))
     q.awaitTermination(120000)
     val got = spark.read.parquet(s"$work/out/data")
       .select("url", "extracted_json").collect()
@@ -43,7 +43,8 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == docs.length)
     docs.foreach { d =>
       val (_, _, html, text, _) = PayloadGen.row(d)
-      val want = Extract.parseRow(d.url, html, text, 0, "construction")
+      val want = Extract.parseRow(d.url, html, text, 0, "construction",
+        ocr = Some(graft.pipeline.FakeOcrEngine))
       assert(got(d.url) == want.extracted_json, d.url)
     }
   }
