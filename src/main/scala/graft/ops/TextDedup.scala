@@ -438,6 +438,85 @@ object TextDedup {
     labels
   }
 
+  /** The adversarial-diameter variant of [[dedupClusters]]: alternating
+    * large-star / small-star edge rewriting (Kiveris/Lattanzi/Mirrokni/
+    * Rastogi/Vassilvitskii, "Connected Components in MapReduce and
+    * Beyond", SoCC 2014). Each round rewrites the EDGE SET toward stars
+    * rooted at component minima:
+    *
+    *   large-star(u): connect every neighbor v > u to m(u)
+    *   small-star(u): connect every neighbor v ≤ u (and u) to m(u)
+    *   with m(u) = min(Γ(u) ∪ {u})
+    *
+    * Converges in O(log² n) rounds REGARDLESS of diameter (min-label
+    * propagation needs ~diameter rounds; pointer jumping ~log d — this
+    * handles the pathological long-chain graphs both struggle with).
+    * Per round: one neighbor-min aggregate + one join, same shuffle shape
+    * as the simple variant. Output contract identical to
+    * [[dedupClusters]] — pinned by CcEquivalenceSpec over adversarial
+    * shapes. Use the simple variant for dense near-dup graphs (fewer
+    * fixed costs); this one when components can chain.
+    */
+  def dedupClustersStars(pairs: DataFrame, idACol: String = "id_a",
+                         idBCol: String = "id_b", maxRounds: Int = 40): DataFrame = {
+    var edges = pairs
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val vertices = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+
+    def undirected(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+
+    // one star rewrite; `large` selects which neighbor side re-attaches
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = undirected(e)
+      val mins = nbrs.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("mnb"))
+        .select(col("u"), least(col("u"), col("mnb")).as("m"))
+      val j = nbrs.join(mins, col("src") === col("u"))
+      val rewired =
+        if (large)
+          j.where(col("dst") > col("src"))
+            .select(col("dst").as("src"), col("m").as("dst"))
+        else
+          j.where(col("dst") <= col("src"))
+            .select(col("dst").as("src"), col("m").as("dst"))
+            .union(mins.select(col("u").as("src"), col("m").as("dst")))
+      rewired.where(col("src") =!= col("dst")).distinct()
+    }
+
+    // per-term pmod keeps the sums far from Long range (ANSI overflow)
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(pmod(col("src") + col("dst"), lit(P))), lit(0L)),
+        coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(P))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    var prev = checksum(edges)
+    var round = 0
+    var converged = false
+    while (!converged && prev._1 > 0) {
+      require(round < maxRounds,
+        s"dedupClustersStars: no convergence in $maxRounds rounds")
+      edges = star(star(edges, large = true), large = false).localCheckpoint(true)
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    // fixpoint: edges are (v, root) stars; roots label themselves (min
+    // aggregate in case the fixpoint carries parallel star edges)
+    val lbl = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("root"))
+    vertices
+      .join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
+  }
+
   /** Retention: keep exactly one document per near-dup cluster — the
     * canonical (minimum-id) representative. Docs absent from the cluster
     * map had no near-dup pair and are kept. One broadcast-or-shuffle join;
