@@ -37,7 +37,12 @@ object Sampling {
                 hash: Column => Column = TextDedup.portableHash): Seq[DataFrame] = {
     require(fracs.nonEmpty && fracs.forall(_ >= 0) && math.abs(fracs.sum - 1.0) < 1e-9,
       "fracs must be non-negative and sum to 1")
+    // the FINAL bound is pinned to M exactly: floating cumulative sums can
+    // land at 0.999... (e.g. 0.7+0.3, 3×1/3), and floor would then leave
+    // hash bucket M-1 outside every split — a silent ~1e-6 row loss that
+    // breaks the documented disjoint-AND-complete contract
     val bounds = fracs.scanLeft(0.0)(_ + _).map(f => math.floor(f * M).toLong)
+      .updated(fracs.length, M)
     val h = pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
     bounds.sliding(2).map { case Seq(lo, hi) =>
       df.where(h >= lo && h < hi)

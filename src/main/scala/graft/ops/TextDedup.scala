@@ -394,9 +394,15 @@ object TextDedup {
     // Convergence detection without an extra per-round join: labels only
     // ever DECREASE (least of self and neighbor minima), so the label sum
     // strictly decreases iff any label changed — one cheap aggregate over
-    // the already-materialized table per round.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
+    // the already-materialized table per round. The sum runs in
+    // DECIMAL(38,0): ids are arbitrary 63-bit values (hashed doc ids), so
+    // a Long sum overflows after ~32 rows under ANSI mode, and a pmod-ed
+    // sum would be UNSOUND here (a label drop of exactly k·P keeps the
+    // residue sum unchanged → false convergence); decimal-38 is exact up
+    // to ~10^19 rows.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
