@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{Sampling, TextDedup, TextStats, VectorSim}
+import graft.ops.{CorpusSignals, Decontam, Sampling, TextDedup, TextStats, VectorSim}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -859,6 +859,166 @@ object Queries {
        FROM g ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------- repetition (Gopher A1.1)
+  // Per-doc word-n-gram repetition profile via the one-pass gram_stats
+  // kernel (graft.functions.GramStats): duplicate-occurrence fraction for
+  // n=2,3 and the top-2-gram character-coverage fraction. Scan-side — no
+  // explode/shuffle; the oracle recomputes with exact list ops plus an
+  // unnest+group for the top-gram coverage.
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.repetitionSignals(docs(s, dir), "doc_id", "text", ns = Seq(2, 3))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val oRepetition =
+    """WITH lists AS (
+         SELECT doc_id, text,
+           list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS g2,
+           list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+         FROM (SELECT doc_id, text, str_split(text, ' ') AS t FROM documents)
+         WHERE len(t) >= 3),
+       cov AS (
+         SELECT doc_id, max(cnt * length(gram)) AS top2_cov FROM (
+           SELECT doc_id, gram, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(g2) AS gram FROM lists)
+           GROUP BY doc_id, gram)
+         GROUP BY doc_id)
+       SELECT l.doc_id,
+         CAST(len(g2) AS BIGINT) AS n_grams2,
+         (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2) AS dup2_frac,
+         CAST(len(g3) AS BIGINT) AS n_grams3,
+         (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) AS dup3_frac,
+         c.top2_cov::DOUBLE / length(l.text) AS top2_frac
+       FROM lists l JOIN cov c ON l.doc_id = c.doc_id
+       ORDER BY l.doc_id"""
+
+  // --------------------------------------------------------- decontamination
+  // GPT-3-style benchmark decontamination at n=13: the benchmark set is a
+  // deterministic 5% hash sample of the corpus (so contamination provably
+  // exists — every bench doc hits itself), broadcast as a distinct
+  // gram-hash table; the training side is one scan + broadcast join +
+  // per-doc aggregation. Grams from the native WordShinglesGenerator.
+  private def qDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = Sampling.hashSample(d, "doc_id", frac = 0.05, salt = "bench13", hash = ph)
+    Decontam.contaminated(d, bench, "doc_id", "text", n = 13, hash = ph)
+      .orderBy("train_id")
+  }
+
+  private val oDecontam =
+    """WITH gh AS (
+         SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g FROM (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - 12), i -> array_to_string(t[i:i+12], ' ')))) AS gram
+           FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents))),
+       bench AS (
+         SELECT doc_id AS bench_id, g FROM gh
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'bench13'), 1, 15))::BIGINT % 1000000 < 50000)
+       SELECT t.doc_id AS train_id,
+         count(DISTINCT t.g) AS n_grams_hit,
+         count(DISTINCT b.bench_id) AS n_bench_docs,
+         min(b.bench_id) AS first_bench_id
+       FROM gh t JOIN bench b ON t.g = b.g
+       GROUP BY t.doc_id ORDER BY train_id"""
+
+  // ------------------------------------------------------------ host capping
+  // RefinedWeb-style per-host document quota over synthesized URLs:
+  // parse_url host extraction (lowercased) + deterministic hash-priority
+  // cap of 5 docs per host (Sampling.stratifiedQuota → WindowGroupLimit).
+  // The oracle synthesizes the lowercase host directly and replicates the
+  // row_number draw.
+  private def qHostCap(s: SparkSession, dir: String): DataFrame = {
+    val urls = docs(s, dir).select(col("doc_id"),
+      concat(lit("https://H"), pmod(col("doc_id"), lit(37)).cast("string"),
+        lit(".Example.com/doc/"), col("doc_id").cast("string")).as("url"))
+    CorpusSignals.hostCap(urls, "url", "doc_id", k = 5, salt = "hc", hash = ph)
+      .select("host", "doc_id").orderBy("host", "doc_id")
+  }
+
+  private val oHostCap =
+    """WITH u AS (
+         SELECT doc_id, 'h' || (doc_id % 37)::VARCHAR || '.example.com' AS host
+         FROM documents),
+       r AS (
+         SELECT doc_id, host, row_number() OVER (PARTITION BY host
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'hc'), 1, 15))::BIGINT % 1000000,
+                    doc_id) AS rk
+         FROM u)
+       SELECT host, doc_id FROM r WHERE rk <= 5 ORDER BY host, doc_id"""
+
+  // ------------------------------------------------------------ PII redaction
+  // Deterministic PII (email, IPv4, NANP phone) appended per doc, then
+  // counted on the raw text and redacted with the chained regexp_replace
+  // of CorpusSignals.redactPii. The patterns live in the Java∩RE2 regex
+  // intersection so BOTH engines run the identical pattern text; the
+  // redacted output is compared by md5.
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val synth = docs(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".org"),
+      lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1"),
+      lit(" tel 555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+      lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("t2"))
+    synth.select(col("doc_id"),
+      size(regexp_extract_all(col("t2"), lit(CorpusSignals.EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("t2"), lit(CorpusSignals.Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(col("t2"), lit(CorpusSignals.PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      md5(CorpusSignals.redactPii(col("t2"))).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val oPiiRedact = {
+    val e = CorpusSignals.EmailRe
+    val i = CorpusSignals.Ipv4Re
+    val p = CorpusSignals.PhoneRe
+    s"""WITH s AS (
+         SELECT doc_id,
+           text || ' contact u' || doc_id::VARCHAR || '@ex' || (doc_id % 7)::VARCHAR || '.org' ||
+           ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.1' ||
+           ' tel 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+           lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t2
+         FROM documents)
+       SELECT doc_id,
+         CAST(len(regexp_extract_all(t2, '$e')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(t2, '$i')) AS BIGINT) AS n_ips,
+         CAST(len(regexp_extract_all(t2, '$p')) AS BIGINT) AS n_phones,
+         md5(regexp_replace(regexp_replace(regexp_replace(t2,
+           '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g')) AS red_md5
+       FROM s ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------- Unicode canonical text
+  // NFC via the native NormalizeNFC kernel + whitespace collapse + trim —
+  // the canonicalization every hash-keyed dedup stage needs. The prefix
+  // plants a decomposed é (e + U+0301) and the Å singleton (U+212B), both
+  // synthesized with chr() on the DuckDB side (nfc_normalize/utf8proc)
+  // so the oracle JSON stays pure ASCII.
+  private def qNormalize(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(lit(" Café Å  "), col("text")).as("t2"))
+      .select(col("doc_id"),
+        length(col("t2")).cast("long").as("raw_len"),
+        length(CorpusSignals.canonText(col("t2"))).cast("long").as("canon_len"),
+        md5(CorpusSignals.canonText(col("t2"))).as("canon_md5"))
+      .orderBy("doc_id")
+
+  private val oNormalize =
+    """SELECT doc_id,
+       length(t2)::BIGINT AS raw_len,
+       length(c)::BIGINT AS canon_len,
+       md5(c) AS canon_md5
+       FROM (SELECT doc_id, t2,
+         trim(regexp_replace(nfc_normalize(t2), '\s+', ' ', 'g')) AS c
+         FROM (SELECT doc_id,
+           ' Cafe' || chr(769) || ' ' || chr(8491) || '  ' || text AS t2
+           FROM documents))
+       ORDER BY doc_id"""
+
   // ============================================================ rows-only ===
   // Non-SQL-expressible operators (stateful fold P2/P3, Python-dialect
   // regexes, HTML boilerplate strip) — exercised on driver data through the
@@ -1034,6 +1194,11 @@ object Queries {
     "q_quality" -> qQuality _,
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
+    "q_repetition" -> qRepetition _,
+    "q_decontam" -> qDecontam _,
+    "q_host_cap" -> qHostCap _,
+    "q_pii_redact" -> qPiiRedact _,
+    "q_normalize" -> qNormalize _,
     "q_construction_items" -> qConstructionItems _,
     "q_extract_items_sql" -> qExtractItemsSql _,
     "q_llm_merge" -> qLlmMerge _,
@@ -1078,7 +1243,12 @@ object Queries {
     "q_lang_id" -> oLangId,
     "q_quality" -> oQuality,
     "q_token_count" -> oTokenCount,
-    "q_fingerprint" -> oFingerprint
+    "q_fingerprint" -> oFingerprint,
+    "q_repetition" -> oRepetition,
+    "q_decontam" -> oDecontam,
+    "q_host_cap" -> oHostCap,
+    "q_pii_redact" -> oPiiRedact,
+    "q_normalize" -> oNormalize
     // q_construction_items / q_standard_entities / q_html_extract: stateful
     // fold + Python-dialect regex + HTML DOM — not ANSI-SQL-expressible;
     // byte-golden tested instead (GoldenParitySpec, RoundTripSpec).

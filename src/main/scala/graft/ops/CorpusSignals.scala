@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.functions._
+
+/** Per-document web-corpus quality signals beyond TextStats: the Gopher
+  * repetition filters, PII redaction, Unicode canonicalization, and URL
+  * host handling — the remaining standard stages of a training-data
+  * curation pipeline (Rae et al. 2021 §A1.1; Penedo et al. 2023 RefinedWeb
+  * §3). Everything is scan-side Column arithmetic over native codegen
+  * kernels: no shuffle, no UDF, no driver state.
+  */
+object CorpusSignals {
+
+  /** gram_stats(text, n) as a Column — struct(n_grams, n_distinct, top_cov).
+    * See graft.functions.GramStats for the one-pass kernel.
+    */
+  def gramStats(text: Column, n: Int): Column =
+    GraftBridge.column(graft.functions.GramStats(GraftBridge.expression(text), n))
+
+  /** Unicode NFC canonicalization (graft.functions.NormalizeNFC). */
+  def nfc(text: Column): Column =
+    GraftBridge.column(graft.functions.NormalizeNFC(GraftBridge.expression(text)))
+
+  /** Canonical text for hashing/dedup: NFC, whitespace runs collapsed to a
+    * single space, ends trimmed. Apply BEFORE any hash-keyed operator so
+    * byte-level crawl noise (NBSP-vs-space is NOT folded — that is a
+    * content edit; composed-vs-decomposed IS) can't split duplicate groups.
+    */
+  def canonText(text: Column): Column =
+    trim(regexp_replace(nfc(text), "\\s+", " "))
+
+  /** Repetition profile table: per doc, for each n in `ns`, the total and
+    * distinct n-gram counts plus duplicate-occurrence fraction; top-gram
+    * character coverage for the FIRST n (the classic Gopher top-2-gram
+    * signal). One Generate per n evaluates each kernel exactly once per
+    * row — selecting struct fields through a collapsed projection would
+    * re-run the kernel per field.
+    *
+    * Docs with fewer than max(ns) tokens are excluded (their largest-n
+    * profile is undefined; a div-by-zero NaN row helps nobody downstream).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be non-empty, all >= 1")
+    val base = df
+      .where(size(split(col(textCol), " ")) >= ns.max)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        length(col(textCol)).cast("long").as("n_chars"))
+    val staged = ns.foldLeft(base) { (acc, n) =>
+      acc.select(col("*"), inline(array(gramStats(col("t"), n))))
+        .withColumnRenamed("n_grams", s"n_grams$n")
+        .withColumnRenamed("n_distinct", s"n_distinct$n")
+        .withColumnRenamed("top_cov", s"top_cov$n")
+    }
+    val metricCols = ns.flatMap { n =>
+      Seq(
+        col(s"n_grams$n"),
+        ((col(s"n_grams$n") - col(s"n_distinct$n")).cast("double") /
+          col(s"n_grams$n")).as(s"dup${n}_frac"))
+    }
+    val topN = ns.head
+    staged.select(
+      (col("id") +: metricCols :+
+        (col(s"top_cov$topN").cast("double") / col("n_chars"))
+          .as(s"top${topN}_frac")): _*)
+  }
+
+  // ------------------------------------------------------------------ PII
+  // Patterns restricted to the regex intersection of java.util.regex and
+  // RE2 (no backrefs, no lookaround) so the DuckDB oracle runs the SAME
+  // pattern text. Order matters: emails first (their local parts contain
+  // dots and digits that the later patterns would otherwise bite into).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, then IPv4 literals, then NANP-style phone numbers.
+    * Three chained regexp_replace calls — codegen'd, scan-side; the
+    * per-kind counts (for the redaction metrics a curation run reports)
+    * come from [[piiCounts]] on the ORIGINAL text.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** (n_emails, n_ips, n_phones) found in the text — counted on the
+    * unredacted input with the same patterns redactPii removes.
+    */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+
+  // ------------------------------------------------------------------ URLs
+  /** Registered host of a URL — the partition-skew axis of every web
+    * corpus (one host can own 1% of a crawl). parse_url is Spark-native
+    * (codegen'd); the oracle mirrors it with a regexp on well-formed URLs.
+    */
+  def host(url: Column): Column = lower(parse_url(url, lit("HOST")))
+
+  /** Cap each host at `k` documents, chosen by deterministic hash priority
+    * (smallest (hash(id, salt), id) first) — RefinedWeb-style host-level
+    * quota. One shuffle on the host key; Spark 4's WindowGroupLimit bounds
+    * the per-task spill so a mega-host never concentrates on one task (see
+    * Sampling.stratifiedQuota, which this delegates to after deriving the
+    * host column).
+    */
+  def hostCap(df: DataFrame, urlCol: String, idCol: String, k: Int,
+              salt: String = "",
+              hash: Column => Column = TextDedup.portableHash): DataFrame =
+    Sampling.stratifiedQuota(
+      df.withColumn("host", host(col(urlCol))), "host", idCol, k, salt, hash)
+}

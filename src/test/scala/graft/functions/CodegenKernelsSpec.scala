@@ -122,6 +122,38 @@ class CodegenKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       causes(ec).exists(t => t.getMessage != null && t.getMessage.contains("length mismatch")))
   }
 
+  test("GramStats generated code == interpreted eval (incl. multi-byte grams)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.oneOf("a", "bb", "é", "日本", "", "x1")
+    val strGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, tokGen))
+      .map(_.mkString(" "))
+    check(Prop.forAll(strGen, Gen.chooseNum(1, 3)) { (str, n) =>
+      val got = Seq(Tuple1(str)).toDF("t")
+        .select(c(GramStats(x(col("t")), n)).as("g"))
+        .select("g.n_grams", "g.n_distinct", "g.top_cov").head()
+      val interp = GramStats.compute(UTF8String.fromString(str), n)
+      got.getLong(0) == interp.getLong(0) && got.getLong(1) == interp.getLong(1) &&
+        got.getLong(2) == interp.getLong(2)
+    })
+  }
+
+  test("NormalizeNFC generated code == interpreted eval == java.text.Normalizer") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val cpGen = Gen.oneOf(Gen.alphaNumChar.map(_.toInt), Gen.const(0x0301),
+      Gen.const(0x00E9), Gen.const(0x212B), Gen.const(0x1F600))
+    val strGen = Gen.chooseNum(0, 16).flatMap(n => Gen.listOfN(n, cpGen))
+      .map(cps => new String(cps.toArray, 0, cps.length))
+    check(Prop.forAll(strGen) { str =>
+      val got = Seq(Tuple1(str)).toDF("t")
+        .select(c(NormalizeNFC(x(col("t"))))).head().getString(0)
+      val interp = NormalizeNFC.compute(UTF8String.fromString(str)).toString
+      val want = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+      got == interp && got == want
+    })
+  }
+
   test("interpreted eval agrees with codegen for all three kernels") {
     // exercised via Literal-only expressions evaluated eagerly (no codegen)
     import org.apache.spark.sql.catalyst.expressions.Literal

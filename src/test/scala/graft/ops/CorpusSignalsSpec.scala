@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Functional contracts of the corpus-signal operators: the gram_stats
+  * kernel against a direct Scala re-computation, the Gopher repetition
+  * profile on hand-worked examples, PII redaction order, NFC
+  * canonicalization, and host capping.
+  */
+class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def gs(text: Column, n: Int): Column = CorpusSignals.gramStats(text, n)
+
+  /** Direct-definition oracle: split(" ") keeping empties, sliding grams,
+    * exact string counts, coverage in code points.
+    */
+  private def ref(text: String, n: Int): (Long, Long, Long) = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) (0L, 0L, 0L)
+    else {
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).map { case (g, occ) => (g, occ.size) }
+      val top = counts.map { case (g, c) => c.toLong * g.codePointCount(0, g.length) }.max
+      (grams.size.toLong, counts.size.toLong, top)
+    }
+  }
+
+  private def kernel(text: String, n: Int): (Long, Long, Long) = {
+    val s = spark; import s.implicits._
+    val r = Seq(text).toDF("t").select(gs(col("t"), n)).head().getStruct(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("gram_stats matches the direct definition on edge cases") {
+    val cases = Seq(
+      "", "a", "a b", "a b a b a", "a a a a a a",
+      "x", "  ", "a  b",                       // empty tokens kept
+      "é é caño", "日本 語 日本 語 abc",          // multi-byte, coverage in code points
+      "one two three four five six seven")
+    for (t <- cases; n <- Seq(1, 2, 3)) {
+      assert(kernel(t, n) == ref(t, n), s"text='$t' n=$n")
+    }
+  }
+
+  test("gram_stats on pseudo-random small-alphabet texts (forced duplicates)") {
+    val rnd = new scala.util.Random(7)
+    val alpha = Vector("a", "bb", "c", "dé", "ee", "f")
+    (1 to 40).foreach { _ =>
+      val t = Seq.fill(rnd.nextInt(30))(alpha(rnd.nextInt(alpha.size))).mkString(" ")
+      val n = 1 + rnd.nextInt(3)
+      assert(kernel(t, n) == ref(t, n), s"text='$t' n=$n")
+    }
+  }
+
+  test("gram_stats: null text stays null") {
+    val df = spark.range(1).select(lit(null).cast("string").as("t"))
+    assert(df.select(gs(col("t"), 2)).head().isNullAt(0))
+  }
+
+  test("repetitionSignals: hand-worked example") {
+    val s = spark; import s.implicits._
+    // "a b a b a": g2 = [a b, b a, a b, b a] -> dup2 = 2/4; g3 has 3 grams,
+    // 2 distinct -> dup3 = 1/3; top2_cov = 2 occurrences x 3 chars = 6 of 9.
+    val out = CorpusSignals.repetitionSignals(
+      Seq((1L, "a b a b a"), (2L, "x y")).toDF("doc_id", "text"),
+      "doc_id", "text", ns = Seq(2, 3)).collect()
+    assert(out.length == 1, "docs under max(ns) tokens are excluded")
+    val r = out.head
+    assert(r.getAs[Long]("n_grams2") == 4L)
+    assert(r.getAs[Double]("dup2_frac") == 0.5)
+    assert(r.getAs[Long]("n_grams3") == 3L)
+    assert(math.abs(r.getAs[Double]("dup3_frac") - 1.0 / 3) < 1e-15)
+    assert(math.abs(r.getAs[Double]("top2_frac") - 6.0 / 9) < 1e-15)
+  }
+
+  test("redactPii: order — emails (with digits/dots) survive neither later pattern") {
+    val s = spark; import s.implicits._
+    val in = "mail u123@ex4.org ip 10.1.0.1 tel 555-123-4567 end"
+    val out = Seq(in).toDF("t")
+      .select(CorpusSignals.redactPii(col("t"))).head().getString(0)
+    assert(out == "mail <EMAIL> ip <IP> tel <PHONE> end")
+  }
+
+  test("piiCounts counts each kind on the raw text") {
+    val s = spark; import s.implicits._
+    val in = "a@b.co c@d.org 1.2.3.4 555-000-1111 555-222-3333 x"
+    val r = Seq(in).toDF("t").select(CorpusSignals.piiCounts(col("t"))).head().getStruct(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 2L)))
+  }
+
+  test("nfc: decomposed sequences compose; ASCII is the identity fast path") {
+    val s = spark; import s.implicits._
+    val rows = Seq("Café", "Å", "plain ascii").toDF("t")
+      .select(CorpusSignals.nfc(col("t"))).as[String].collect()
+    assert(rows(0) == "Café")
+    assert(rows(1) == "Å")
+    assert(rows(2) == "plain ascii")
+  }
+
+  test("canonText: NFC + whitespace collapse + trim makes dedup keys collide") {
+    val s = spark; import s.implicits._
+    val variants = Seq("the  same\tdoc", " the same doc\n", "the same doc")
+    val keys = variants.toDF("t")
+      .select(md5(CorpusSignals.canonText(col("t")))).as[String].collect()
+    assert(keys.distinct.length == 1)
+  }
+
+  test("hostCap: lowercased host, at most k docs per host, deterministic") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, s"https://Host${i % 3}.Example.COM/p/$i")).toDF("id", "url")
+    def run() = CorpusSignals.hostCap(docs, "url", "id", k = 4, salt = "t")
+      .select("host", "id").collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val a = run()
+    assert(a == run(), "hash-priority draw must be deterministic")
+    val byHost = a.groupBy(_._1)
+    assert(byHost.keySet == Set("host0.example.com", "host1.example.com", "host2.example.com"))
+    assert(byHost.values.forall(_.size == 4))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Benchmark decontamination: known-overlap corpus, gram arithmetic, the
+  * anti-join filter, and the broadcast plan shape the 100 TB story needs.
+  */
+class DecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def toks(prefix: String, from: Int, until: Int): String =
+    (from until until).map(i => s"$prefix$i").mkString(" ")
+
+  test("contaminated: overlap detection at n=13 with exact gram counts") {
+    val s = spark; import s.implicits._
+    // bench doc 100 = tokens b0..b19 (8 distinct 13-grams)
+    val bench = Seq((100L, toks("b", 0, 20))).toDF("id", "text")
+    val train = Seq(
+      // shares exactly the grams covered by b3..b16: window of 14 tokens
+      // inside bench -> 2 distinct shared 13-grams
+      (1L, toks("b", 3, 17)),
+      // disjoint vocabulary: clean
+      (2L, toks("x", 0, 30)),
+      // only 12 tokens of bench vocabulary: no 13-gram, clean
+      (3L, toks("b", 0, 12))).toDF("id", "text")
+    val out = Decontam.contaminated(train, bench, "id", "text", n = 13)
+      .orderBy("train_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = out.head
+    assert(r.getAs[Long]("n_grams_hit") == 2L)
+    assert(r.getAs[Long]("n_bench_docs") == 1L)
+    assert(r.getAs[Long]("first_bench_id") == 100L)
+  }
+
+  test("a bench doc present in train flags itself with all its grams") {
+    val s = spark; import s.implicits._
+    val doc = Seq((7L, toks("w", 0, 15))).toDF("id", "text") // 3 grams
+    val r = Decontam.contaminated(doc, doc.withColumn("id", lit(70L)),
+      "id", "text", n = 13).head()
+    assert(r.getAs[Long]("n_grams_hit") == 3L)
+    assert(r.getAs[Long]("first_bench_id") == 70L)
+  }
+
+  test("decontaminate drops exactly the flagged docs") {
+    val s = spark; import s.implicits._
+    val bench = Seq((100L, toks("b", 0, 20))).toDF("id", "text")
+    val train = Seq(
+      (1L, toks("b", 0, 13)), (2L, toks("y", 0, 40)), (3L, "short doc"))
+      .toDF("id", "text")
+    val kept = Decontam.decontaminate(train, bench, "id", "text", n = 13)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+  }
+
+  test("plan: bench grams broadcast — no shuffle ever carries training grams") {
+    val s = spark; import s.implicits._
+    val bench = Seq((100L, toks("b", 0, 20))).toDF("id", "text")
+    val train = Seq((1L, toks("b", 3, 17))).toDF("id", "text")
+    val df = Decontam.contaminated(train, bench, "id", "text", n = 13)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"gram join must broadcast the bench side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"training grams must not sort-merge:\n$p")
+  }
+}

@@ -77,6 +77,26 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 0, s"hash sample must not shuffle to decide membership:\n$p")
   }
 
+  test("q_repetition / q_pii_redact / q_normalize: scan-side signals, no exchange before the final sort") {
+    Seq("q_repetition", "q_pii_redact", "q_normalize").foreach { q =>
+      val p = plan(q)
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("rangepartitioning"))
+      assert(exchanges == 0, s"$q must compute per-row signals without a shuffle:\n$p")
+    }
+  }
+
+  test("q_decontam: bench gram set broadcast; training grams never sort-merge") {
+    val p = plan("q_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"training grams must not shuffle into a sort-merge:\n$p")
+  }
+
+  test("q_host_cap: per-host quota bound pushed map-side as WindowGroupLimit") {
+    val p = plan("q_host_cap")
+    assert(p.contains("WindowGroupLimit"), s"cap must push before the exchange:\n$p")
+  }
+
   test("q_stats / q_token_count: partial aggregation before the exchange (map-side combine)") {
     Seq("q_stats", "q_token_count").foreach { q =>
       val p = plan(q)
