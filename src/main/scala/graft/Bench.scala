@@ -36,7 +36,9 @@ object Bench {
     "q_sessions", "q_dedup_exact", "q_minhash_sig", "q_minhash_pairs",
     "q_simhash", "q_simhash_pairs", "q_ngram_jaccard", "q_fingerprint",
     "q_cosine_topk", "q_ann_lsh", "q_ann_topk", "q_ivf_topk",
-    "q_embed_neardup", "q_multimodal")
+    "q_embed_neardup", "q_multimodal",
+    "q_repetition", "q_decontam", "q_pii_redact", "q_normalize", "q_host_cap",
+    "q_anchors", "q_vocab")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -148,13 +150,20 @@ object Bench {
     spark = session(cpus)
     val qTimes = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      // plan + warm once (count), then timed full materialization
+      // plan + warm once, then min of TWO timed materializations — the same
+      // noise defense as the extraction pairs: a co-tenant episode parked on
+      // one rep is discarded by the min instead of landing in the artifact
+      // (the round-3 first run recorded q_minhash_sig at 51 s — 70× its
+      // quiet-window time — from exactly this).
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       graft.ops.TextDedup.releaseCaches() // don't let warm-run caches serve the timed run
-      val (_, t) = timeSec {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
-      graft.ops.TextDedup.releaseCaches()
+      val t = (1 to 2).map { _ =>
+        val (_, t1) = timeSec {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+        graft.ops.TextDedup.releaseCaches()
+        t1
+      }.min
       name -> t
     }
     spark.stop()

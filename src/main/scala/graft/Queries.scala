@@ -1019,6 +1019,49 @@ object Queries {
            FROM documents))
        ORDER BY doc_id"""
 
+  // ------------------------------------------------------- shared substrings
+  // Winnowing anchors at n=12, modulus=8: anchor hashes shared by ≥2 docs
+  // (cross-document boilerplate triage with NO pairwise comparison — one
+  // groupBy on the content-defined hash). The oracle recomputes the
+  // rolling-polynomial hash per position with the same exact-BIGINT
+  // B^k-mod-P constants the fingerprint oracle uses.
+  private def qAnchors(s: SparkSession, dir: String): DataFrame =
+    TextDedup.sharedAnchors(docs(s, dir), "doc_id", "text",
+      n = 12, modulus = 8, minDocs = 2)
+      .orderBy("h")
+
+  private val oAnchors: String = {
+    val pw = graft.functions.RollingFingerprint.powerConstants(12)
+      .map(v => s"CAST($v AS BIGINT)").mkString("[", ",", "]")
+    s"""WITH cps AS (SELECT doc_id,
+         list_transform(generate_series(1, length(text)),
+           i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cp,
+         length(text) AS L FROM documents),
+       g AS (SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(L - 11, 1)), i ->
+           coalesce(list_aggregate(list_transform(generate_series(0, least(12, L) - 1), j ->
+             (cp[i + j] * ($pw[least(12, L) - j])) % 1000000007), 'sum'), 0)
+           % 1000000007)) AS h
+         FROM cps)
+       SELECT h, count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_occ, min(doc_id) AS min_id
+       FROM g WHERE h % 8 = 0
+       GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+       ORDER BY h"""
+  }
+
+  // ------------------------------------------------------------------- vocab
+  // Top-100 tokens by document frequency (ties by token) with term
+  // frequency — the TF-IDF/stopword-induction head. TakeOrderedAndProject
+  // keeps the top-k merge off a full sort.
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.vocab(docs(s, dir), "doc_id", "text", topK = 100)
+
+  private val oVocab =
+    """SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
+       FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+       GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100"""
+
   // ============================================================ rows-only ===
   // Non-SQL-expressible operators (stateful fold P2/P3, Python-dialect
   // regexes, HTML boilerplate strip) — exercised on driver data through the
@@ -1199,6 +1242,8 @@ object Queries {
     "q_host_cap" -> qHostCap _,
     "q_pii_redact" -> qPiiRedact _,
     "q_normalize" -> qNormalize _,
+    "q_anchors" -> qAnchors _,
+    "q_vocab" -> qVocab _,
     "q_construction_items" -> qConstructionItems _,
     "q_extract_items_sql" -> qExtractItemsSql _,
     "q_llm_merge" -> qLlmMerge _,
@@ -1248,7 +1293,9 @@ object Queries {
     "q_decontam" -> oDecontam,
     "q_host_cap" -> oHostCap,
     "q_pii_redact" -> oPiiRedact,
-    "q_normalize" -> oNormalize
+    "q_normalize" -> oNormalize,
+    "q_anchors" -> oAnchors,
+    "q_vocab" -> oVocab
     // q_construction_items / q_standard_entities / q_html_extract: stateful
     // fold + Python-dialect regex + HTML DOM — not ANSI-SQL-expressible;
     // byte-golden tested instead (GoldenParitySpec, RoundTripSpec).

@@ -95,6 +95,25 @@ object CorpusSignals {
     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
     size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
 
+  // ----------------------------------------------------------------- vocab
+  /** Corpus vocabulary head: top-k tokens by document frequency (ties by
+    * token), with term frequency — the df table TF-IDF and stopword-list
+    * induction start from. One shuffle (hash aggregate on token, map-side
+    * partial combine); the global top-k plans as TakeOrderedAndProject —
+    * per-partition heads merged on the driver, never a full sort.
+    */
+  def vocab(df: DataFrame, idCol: String, textCol: String,
+            topK: Int = 100): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(
+        countDistinct(col("id")).as("doc_freq"),
+        count(lit(1)).as("term_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(topK)
+  }
+
   // ------------------------------------------------------------------ URLs
   /** Registered host of a URL — the partition-skew axis of every web
     * corpus (one host can own 1% of a crawl). parse_url is Spark-native

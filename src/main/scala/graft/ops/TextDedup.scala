@@ -82,6 +82,40 @@ object TextDedup {
       }),
       1)
 
+  /** Generator form of winnowing anchors: one row (pos, h) per char-n-gram
+    * position whose rolling hash is ≡ 0 mod `modulus`
+    * (graft.functions.RollingAnchorsGenerator — RollingFingerprint's hash).
+    */
+  def anchorRows(text: Column, n: Int, modulus: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.RollingAnchorsGenerator(
+        org.apache.spark.sql.GraftBridge.expression(text), n, modulus))
+
+  /** Cross-document shared-substring triage (the boilerplate-detection /
+    * exact-substring-dedup front end, Lee et al. 2022 §4 shaped for Spark):
+    * every anchor hash that appears in ≥ `minDocs` distinct documents, with
+    * occurrence counts and a canonical exemplar doc.
+    *
+    * Because anchor selection is content-defined (depends only on the local
+    * n chars), two documents sharing ANY ≥n-char byte run share anchor
+    * hashes — so one groupBy on h finds repeated substrings corpus-wide
+    * with no pairwise comparison. Scale shape: the scan emits ~chars/modulus
+    * rows, and countDistinct(id) deliberately plans Spark's TWO-phase
+    * distinct aggregate: the first exchange partitions by (h, id), so a
+    * ubiquitous boilerplate hash — the guaranteed hot key of this operator —
+    * spreads across reducers instead of funnelling raw occurrences into one
+    * task; only pre-reduced per-(h,id) partials ride the second (tiny)
+    * exchange on h. Output is only the shared remnant.
+    */
+  def sharedAnchors(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 50, modulus: Int = 16, minDocs: Int = 2): DataFrame =
+    df.select(col(idCol).as("id"), anchorRows(col(textCol), n, modulus))
+      .groupBy("h").agg(
+        countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("id")).as("min_id"))
+      .where(col("n_docs") >= minDocs)
+
   /** Exact dedup: group by a hash of the full text, keep the first id as
     * the canonical representative. Scales: one shuffle on the 60-bit key.
     */

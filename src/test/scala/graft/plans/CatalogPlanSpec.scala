@@ -86,6 +86,26 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_anchors: skew-safe two-phase distinct — first exchange spreads by (h, id)") {
+    // A ubiquitous boilerplate substring is a hot anchor hash; the plan we
+    // want is Spark's two-phase distinct aggregate, where the FIRST
+    // exchange partitions by (h, id) — so a hash shared by millions of
+    // docs spreads across reducers — and only pre-reduced partials ride
+    // the second exchange on h. Pin the phase-1 keys and the map-side
+    // partial before any exchange.
+    val p = plan("q_anchors")
+    assert("HashAggregate\\(keys=\\[h#\\d+L, id#\\d+L\\]".r.findFirstIn(p).isDefined,
+      s"phase-1 aggregate must key on (h, id):\n$p")
+    assert(p.contains("partial_count(distinct"),
+      s"distinct count must be two-phase (partial before exchange):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_vocab: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_vocab")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
   test("q_decontam: bench gram set broadcast; training grams never sort-merge") {
     val p = plan("q_decontam")
     assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
