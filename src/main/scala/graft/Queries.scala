@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{CorpusSignals, Decontam, Sampling, TextDedup, TextStats, VectorSim}
+import graft.ops.{CorpusSignals, Decontam, Incremental, Sampling, Temporal, TextDedup, TextStats, VectorSim}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1062,6 +1062,83 @@ object Queries {
        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
        GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100"""
 
+  // ---------------------------------------------------------- temporal joins
+  // As-of join (Pandas merge_asof / DuckDB ASOF JOIN — Spark has no native
+  // operator): each purchase picks the latest same-user error at-or-before
+  // it. The right side is pre-reduced to unique (user, ts) so the tie rule
+  // is deterministic in both engines.
+  private def qAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(pg(dir, "events"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val errors = ev.where(col("event_type") === "error")
+      .groupBy("user_id", "ts").agg(max("value").as("err_value"))
+    Temporal.asofJoin(purchases, errors, "user_id", "ts", "ts", Seq("err_value"))
+      .orderBy("event_id")
+  }
+
+  private val oAsof =
+    """SELECT l.event_id, l.user_id, l.ts, l.value,
+         r.ts AS asof_ts, r.err_value AS asof_err_value
+       FROM (SELECT event_id, user_id, ts, value FROM events
+             WHERE event_type = 'purchase') l
+       ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS err_value FROM events
+             WHERE event_type = 'error' GROUP BY user_id, ts) r
+       ON l.user_id = r.user_id AND l.ts >= r.ts
+       ORDER BY l.event_id"""
+
+  // Interval containment (range join): purchases landing inside the 120 s
+  // window after any error — naive BETWEEN would plan BNLJ; the op buckets
+  // both sides into 60 s bins and meets in ONE equi-join. Millis arithmetic
+  // is integral-exact in both engines.
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(pg(dir, "events"))
+    val points = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_millis(col("ts").cast("timestamp")).as("p_ms"))
+    val ivs = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("iv_id"),
+        unix_millis(col("ts").cast("timestamp")).as("s_ms"),
+        (unix_millis(col("ts").cast("timestamp")) + 120000L).as("e_ms"))
+    Temporal.rangeJoin(points, ivs, "p_ms", "s_ms", "e_ms", binWidth = 60000L)
+      .select("p_id", "iv_id", "p_user", "p_ms", "s_ms")
+      .orderBy("p_id", "iv_id")
+  }
+
+  private val oRangeJoin =
+    """SELECT p.event_id AS p_id, i.event_id AS iv_id, p.user_id AS p_user,
+         epoch_ms(p.ts) AS p_ms, epoch_ms(i.ts) AS s_ms
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       JOIN (SELECT * FROM events WHERE event_type = 'error') i
+       ON epoch_ms(p.ts) >= epoch_ms(i.ts)
+          AND epoch_ms(p.ts) <= epoch_ms(i.ts) + 120000
+       ORDER BY p_id, iv_id"""
+
+  // ------------------------------------------------------ incremental dedup
+  // Bloom-accelerated EXACT first-seen filter: odd-id events whose price
+  // point (floor(value·100)) never appeared among even-id events — the
+  // rolling-crawl "new URLs only" primitive. The bloom is a pruning layer;
+  // output semantics are a plain anti-join, which is what the oracle states.
+  // floor() before the long cast: Spark's double→long cast truncates while
+  // DuckDB's rounds — floor of the same IEEE double is identical in both.
+  private def qIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(pg(dir, "events"))
+      .withColumn("pk", floor(col("value") * 100).cast("long"))
+    val seen  = ev.where(pmod(col("event_id"), lit(2)) === 0)
+    val batch = ev.where(pmod(col("event_id"), lit(2)) === 1)
+    Incremental.bloomAntiJoin(batch, seen, "pk",
+        expectedItems = 100000L, fpp = 0.03)
+      .select("event_id", "user_id", "value", "pk")
+      .orderBy("event_id")
+  }
+
+  private val oIncremental =
+    """WITH ev AS (SELECT *, CAST(floor(value * 100) AS BIGINT) AS pk FROM events)
+       SELECT event_id, user_id, value, pk FROM ev b
+       WHERE event_id % 2 = 1 AND NOT EXISTS
+         (SELECT 1 FROM ev s WHERE s.event_id % 2 = 0 AND s.pk = b.pk)
+       ORDER BY event_id"""
+
   // ============================================================ rows-only ===
   // Non-SQL-expressible operators (stateful fold P2/P3, Python-dialect
   // regexes, HTML boilerplate strip) — exercised on driver data through the
@@ -1244,6 +1321,9 @@ object Queries {
     "q_normalize" -> qNormalize _,
     "q_anchors" -> qAnchors _,
     "q_vocab" -> qVocab _,
+    "q_asof" -> qAsof _,
+    "q_range_join" -> qRangeJoin _,
+    "q_incremental" -> qIncremental _,
     "q_construction_items" -> qConstructionItems _,
     "q_extract_items_sql" -> qExtractItemsSql _,
     "q_llm_merge" -> qLlmMerge _,
@@ -1295,7 +1375,10 @@ object Queries {
     "q_pii_redact" -> oPiiRedact,
     "q_normalize" -> oNormalize,
     "q_anchors" -> oAnchors,
-    "q_vocab" -> oVocab
+    "q_vocab" -> oVocab,
+    "q_asof" -> oAsof,
+    "q_range_join" -> oRangeJoin,
+    "q_incremental" -> oIncremental
     // q_construction_items / q_standard_entities / q_html_extract: stateful
     // fold + Python-dialect regex + HTML DOM — not ANSI-SQL-expressible;
     // byte-golden tested instead (GoldenParitySpec, RoundTripSpec).

@@ -18,4 +18,10 @@ object GraftBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a DataFrame — for embedding as a scalar
+    * subquery (the shape Spark's InjectRuntimeFilter builds internally).
+    */
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 }

@@ -106,6 +106,34 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
   }
 
+  test("q_asof: as-of join is ONE sorted window pass — no join operator at all") {
+    val p = plan("q_asof")
+    assert(p.contains("Window"), s"expected the union sort-merge window:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"as-of must never degenerate to a nested-loop join:\n$p")
+  }
+
+  test("q_range_join: interval containment reduces to an equi-join on the bin") {
+    // A raw BETWEEN theta-join plans BroadcastNestedLoopJoin; the binned
+    // reformulation must meet in a shuffled/broadcast EQUI-join.
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not BNLJ:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the time bin:\n$p")
+  }
+
+  test("q_incremental: bloom prunes the anti-join probe side, built as ONE scalar subquery") {
+    val p = plan("q_incremental")
+    assert(p.contains("might_contain"), s"bloom pre-filter must be in the plan:\n$p")
+    assert(p.contains("LeftAnti"), s"residual exactness check must be an anti-join:\n$p")
+    // ReuseSubquery: both branches reference the SAME bloom build — the
+    // seen side is aggregated into a sketch once, not once per branch.
+    assert("ReusedSubquery|ReusedExchange".r.findFirstIn(p).isDefined ||
+      "bloom_filter_agg".r.findAllIn(p).size <= 2,
+      s"bloom build should be shared across the two branches:\n$p")
+  }
+
   test("q_decontam: bench gram set broadcast; training grams never sort-merge") {
     val p = plan("q_decontam")
     assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
