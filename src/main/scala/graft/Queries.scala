@@ -1050,6 +1050,48 @@ object Queries {
        ORDER BY h"""
   }
 
+  // ------------------------------------------------------ CDC dup-span stats
+  // Content-defined chunking at the anchors scheme (n=12, modulus=8):
+  // per-document duplicated-span statistics from corpus-wide exact chunk
+  // dedup — the suffix-array-free approximation of exact-substring dedup.
+  // Chunk keys are the portable 60-bit md5; counts/lengths are integral.
+  private def qCdcDup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.dupSpanStats(
+        docs(s, dir).where(length(col("text")) > 0), "doc_id", "text",
+        n = 12, modulus = 8, minDocs = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val oCdcDup: String = {
+    val pw = graft.functions.RollingFingerprint.powerConstants(12)
+      .map(v => s"CAST($v AS BIGINT)").mkString("[", ",", "]")
+    s"""WITH cps AS (SELECT doc_id, text,
+         list_transform(generate_series(1, length(text)),
+           i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cp,
+         length(text) AS L FROM documents WHERE length(text) > 0),
+       anch AS (SELECT doc_id, text, L,
+         list_prepend(CAST(1 AS BIGINT),
+           list_filter(generate_series(1, greatest(L - 11, 1)), i -> i > 1 AND
+             (coalesce(list_aggregate(list_transform(generate_series(0, least(12, L) - 1), j ->
+               (cp[i + j] * ($pw[least(12, L) - j])) % 1000000007), 'sum'), 0)
+              % 1000000007) % 8 = 0)) AS ss
+         FROM cps),
+       chunks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ss)), j ->
+           struct_pack(
+             ck := ('0x' || substr(md5(substr(text, CAST(ss[j] AS INTEGER),
+               CAST((CASE WHEN j < len(ss) THEN ss[j+1] ELSE L + 1 END) - ss[j] AS INTEGER))), 1, 15))::BIGINT,
+             clen := (CASE WHEN j < len(ss) THEN ss[j+1] ELSE L + 1 END) - ss[j]))) AS c
+         FROM anch),
+       flat AS (SELECT doc_id, c.ck AS ck, c.clen AS clen FROM chunks),
+       hot AS (SELECT ck FROM flat GROUP BY ck HAVING count(DISTINCT doc_id) >= 2)
+       SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN hot.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+         CAST(sum(clen) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN hot.ck IS NOT NULL THEN clen ELSE 0 END) AS BIGINT) AS dup_chars
+       FROM flat LEFT JOIN hot ON flat.ck = hot.ck
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   // ------------------------------------------------------------------- vocab
   // Top-100 tokens by document frequency (ties by token) with term
   // frequency — the TF-IDF/stopword-induction head. TakeOrderedAndProject
@@ -1321,6 +1363,7 @@ object Queries {
     "q_normalize" -> qNormalize _,
     "q_anchors" -> qAnchors _,
     "q_vocab" -> qVocab _,
+    "q_cdc_dup" -> qCdcDup _,
     "q_asof" -> qAsof _,
     "q_range_join" -> qRangeJoin _,
     "q_incremental" -> qIncremental _,
@@ -1376,6 +1419,7 @@ object Queries {
     "q_normalize" -> oNormalize,
     "q_anchors" -> oAnchors,
     "q_vocab" -> oVocab,
+    "q_cdc_dup" -> oCdcDup,
     "q_asof" -> oAsof,
     "q_range_join" -> oRangeJoin,
     "q_incremental" -> oIncremental

@@ -116,6 +116,49 @@ object TextDedup {
         min(col("id")).as("min_id"))
       .where(col("n_docs") >= minDocs)
 
+  /** Generator form of content-defined chunking: one row (idx, chunk) per
+    * CDC chunk (boundaries at rolling-hash anchors — see
+    * [[graft.functions.CdcChunksGenerator]]).
+    */
+  def cdcChunkRows(text: Column, n: Int, modulus: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CdcChunksGenerator(
+        org.apache.spark.sql.GraftBridge.expression(text), n, modulus))
+
+  /** Per-document duplicated-span statistics via CDC chunk dedup — the
+    * scalable approximation of exact-substring dedup (Lee et al. 2022)
+    * without a suffix array: chunk every document at content-defined
+    * boundaries, exact-dedup the chunk hashes corpus-wide, and report per
+    * document how many chunks/chars are shared with ≥ `minDocs` documents.
+    * A doc with a high `dup_chars`/`total_chars` ratio is boilerplate or a
+    * near-copy; the chars themselves localize WHICH spans (unlike MinHash,
+    * which only scores the pair).
+    *
+    * Scale shape: scan emits ~chars/modulus chunk rows; the hot-chunk set
+    * is a two-phase distinct aggregate on the 60-bit chunk hash (skew-safe
+    * for ubiquitous chunks, same argument as [[sharedAnchors]]); marking is
+    * an equi-join back on the hash — the aggregated hot side is small
+    * (boilerplate only), so AQE typically demotes it to broadcast — then
+    * one final aggregate per doc. No pairwise comparison anywhere.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 50, modulus: Int = 64, minDocs: Int = 2): DataFrame = {
+    val chunks = df
+      .select(col(idCol).as("id"), cdcChunkRows(col(textCol), n, modulus))
+      .select(col("id"), portableHash(col("chunk")).as("ck"),
+        length(col("chunk")).cast("long").as("clen"))
+    val hot = chunks.groupBy("ck")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("ck"), lit(1L).as("__hot"))
+    chunks.join(hot, Seq("ck"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(col("clen")).as("total_chars"),
+        sum(when(col("__hot").isNotNull, col("clen")).otherwise(0L)).as("dup_chars"))
+  }
+
   /** Exact dedup: group by a hash of the full text, keep the first id as
     * the canonical representative. Scales: one shuffle on the 60-bit key.
     */

@@ -106,6 +106,15 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
   }
 
+  test("q_cdc_dup: span dedup is hash aggregates + an equi-join — no pairwise comparison") {
+    val p = plan("q_cdc_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"CDC dup stats must never compare documents pairwise:\n$p")
+    // hot-chunk detection is the skew-safe two-phase distinct on (ck, id)
+    assert("HashAggregate\\(keys=\\[ck#\\d+L, id#\\d+L\\]".r.findFirstIn(p).isDefined,
+      s"hot-chunk distinct count must spread hot hashes by (ck, id):\n$p")
+  }
+
   test("q_asof: as-of join is ONE sorted window pass — no join operator at all") {
     val p = plan("q_asof")
     assert(p.contains("Window"), s"expected the union sort-merge window:\n$p")
