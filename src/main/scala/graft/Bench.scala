@@ -38,7 +38,8 @@ object Bench {
     "q_cosine_topk", "q_ann_lsh", "q_ann_topk", "q_ivf_topk",
     "q_embed_neardup", "q_multimodal",
     "q_repetition", "q_decontam", "q_pii_redact", "q_normalize", "q_host_cap",
-    "q_anchors", "q_vocab", "q_cdc_dup", "q_asof", "q_range_join", "q_incremental")
+    "q_anchors", "q_vocab", "q_cdc_dup", "q_quality_cut", "q_semdedup",
+    "q_asof", "q_range_join", "q_incremental")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

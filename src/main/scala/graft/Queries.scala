@@ -561,6 +561,35 @@ object Queries {
            FROM documents))
        ORDER BY doc_id"""
 
+  // --------------------------------------------------- group-relative quality
+  // Per-source top-20% quality cut (Sampling.topFracByGroup): group sizes
+  // aggregated tiny + broadcast back, rank within group by (quality DESC,
+  // doc_id), keep rank <= ceil(0.2 * n). The quality arithmetic is the
+  // q_quality contract (already hash-green), so this row pins the
+  // SELECTION semantics: quota arithmetic, tie-break, at-least-one-row.
+  private def qQualityCut(s: SparkSession, dir: String): DataFrame =
+    Sampling.topFracByGroup(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        TextStats.qualityScore(col("text")).as("quality")),
+      "source", "doc_id", "quality", frac = 0.2)
+      .select("doc_id", "source", "quality").orderBy("doc_id")
+
+  private val oQualityCut =
+    """SELECT doc_id, source, quality FROM (
+         SELECT doc_id, source, quality,
+           row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk,
+           count(*) OVER (PARTITION BY source) AS gn
+         FROM (SELECT doc_id, source,
+           least(length(text)::DOUBLE / 400.0, 1.0) * 0.4 + least(sr * 10.0, 1.0) * 0.4 +
+             (1.0 - least(pr * 5.0, 1.0)) * 0.2 AS quality
+           FROM (SELECT doc_id, source, text,
+             len(list_filter(str_split(text, ' '),
+               x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x)))::DOUBLE /
+               len(str_split(text, ' ')) AS sr,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS pr
+             FROM documents)))
+       WHERE rk <= ceil(gn::DOUBLE * 0.2) ORDER BY doc_id"""
+
   // ------------------------------------------------------ word-ngram jaccard
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.3,
@@ -718,6 +747,65 @@ object Queries {
          FROM cand)
        SELECT query_id, nbr_id, score, rank FROM ranked WHERE rank <= 5
        ORDER BY query_id, rank"""
+
+  // ------------------------------------------------------------- SemDeDup
+  // Semantic dedup (Abbas et al. 2023): IVF-cell clustering (the q_ivf_topk
+  // coarse quantizer, bit-identical both engines), within-cell cosine
+  // near-dup edges, connected components (the q_dedup_clusters reachability
+  // contract), canonical-keep. One row per vector: cell, component rep,
+  // keep decision. The oracle recomputes the full chain — assignment,
+  // edges, recursive reachability — so both the clustering and the
+  // retention decision are verified end to end.
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    VectorSim.semDedup(embs(s, dir), "vec_id", "embedding",
+        minCosine = 0.3, c = 8)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  private val oSemDedup =
+    """WITH RECURSIVE qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor((x::DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+         FROM embeddings),
+       seeds AS (SELECT vec_id AS cid, v AS cv FROM qv ORDER BY vec_id LIMIT 8),
+       a1 AS (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+         FROM (
+           SELECT x.vec_id, s.cid,
+             (SELECT sum(x.v[g.i] * s.cv[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+             (sqrt((SELECT sum(x.v[g.i] * x.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+              sqrt((SELECT sum(s.cv[g.i] * s.cv[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+           FROM qv x, seeds s)),
+       sums AS (
+         SELECT a.cid, g.i AS pos, sum(x.v[g.i]) AS sm, count(*) AS cnt
+         FROM (SELECT vec_id, cid FROM a1 WHERE rk = 1) a
+         JOIN qv x ON x.vec_id = a.vec_id, generate_series(1, 64) g(i)
+         GROUP BY a.cid, g.i),
+       cents AS (SELECT cid, list(CAST(floor(sm::DOUBLE / cnt + 0.5) AS BIGINT) ORDER BY pos) AS cv
+         FROM sums GROUP BY cid),
+       a2 AS (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+         FROM (
+           SELECT x.vec_id, s.cid,
+             (SELECT sum(x.v[g.i] * s.cv[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+             (sqrt((SELECT sum(x.v[g.i] * x.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+              sqrt((SELECT sum(s.cv[g.i] * s.cv[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+           FROM qv x, cents s)),
+       cells AS (SELECT vec_id, cid FROM a2 WHERE rk = 1),
+       e AS (
+         SELECT ca.vec_id AS src, cb.vec_id AS dst
+         FROM cells ca JOIN cells cb ON ca.cid = cb.cid AND ca.vec_id <> cb.vec_id
+         JOIN qv a ON a.vec_id = ca.vec_id JOIN qv b ON b.vec_id = cb.vec_id
+         WHERE (SELECT sum(a.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+           (sqrt((SELECT sum(a.v[g.i] * a.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+            sqrt((SELECT sum(b.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) >= 0.3),
+       reach(id, r) AS (
+         SELECT DISTINCT src, src FROM e
+         UNION
+         SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+       SELECT c.vec_id, c.cid, coalesce(m.rep, c.vec_id) AS rep,
+         (coalesce(m.rep, c.vec_id) = c.vec_id) AS keep
+       FROM cells c LEFT JOIN comp m ON m.id = c.vec_id
+       ORDER BY c.vec_id"""
 
   // ----------------------------------------------------- embedding near-dups
   // Spark side: the block-replicated theta join (equi-join on block-pair
@@ -1344,6 +1432,8 @@ object Queries {
     "q_sample_hash" -> qSampleHash _,
     "q_sample_split" -> qSampleSplit _,
     "q_sample_strata" -> qSampleStrata _,
+    "q_quality_cut" -> qQualityCut _,
+    "q_semdedup" -> qSemDedup _,
     "q_pack" -> qPack _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_cosine_topk" -> qCosineTopK _,
@@ -1400,6 +1490,8 @@ object Queries {
     "q_sample_hash" -> oSampleHash,
     "q_sample_split" -> oSampleSplit,
     "q_sample_strata" -> oSampleStrata,
+    "q_quality_cut" -> oQualityCut,
+    "q_semdedup" -> oSemDedup,
     "q_pack" -> oPack,
     "q_ngram_jaccard" -> oNgramJaccard,
     "q_cosine_topk" -> oCosineTopK,

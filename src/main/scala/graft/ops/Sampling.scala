@@ -94,4 +94,35 @@ object Sampling {
       .where(col("rk") <= n)
       .drop("rk")
   }
+
+  /** Group-RELATIVE quality cut: keep the top `frac` fraction of each
+    * group's rows by (scoreCol DESC, idCol ASC). Absolute score thresholds
+    * misfire across groups whose score distributions differ (a punctuation
+    * ratio that is noise in English is normal in code; one crawl source
+    * runs longer documents than another) — the CCNet/FineWeb-style
+    * per-group percentile cut self-calibrates. Quota =
+    * ceil(frac · group_size), so every non-empty group keeps at least one
+    * row and boundary ties resolve deterministically by id.
+    *
+    * Scale shape: group sizes are ONE tiny aggregate (n_groups rows,
+    * map-side partial combine) broadcast back onto the rows; membership
+    * then needs exactly one exchange+sort on the group key for the rank.
+    * The data-dependent quota cannot be WindowGroupLimit-pushed the way
+    * [[stratifiedQuota]]'s static `n` is — the per-group sort is the
+    * honest price of an EXACT percentile contract. When row-exact
+    * reproducibility of the boundary is not required, the approximate
+    * variant (broadcast per-group quantile-sketch thresholds, scan-side
+    * filter, zero shuffles of the big side) is the 100 TB default.
+    */
+  def topFracByGroup(df: DataFrame, groupCol: String, idCol: String,
+                     scoreCol: String, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.join(broadcast(sizes), Seq(groupCol))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= ceil(col("__gn").cast("double") * frac))
+      .select(df.columns.map(col): _*) // join put groupCol first; restore input order
+  }
 }

@@ -217,6 +217,73 @@ object VectorSim {
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** SemDeDup candidate edges: near-duplicate pairs restricted to vectors
+    * sharing an IVF cell — the stage that makes semantic dedup sub-quadratic.
+    * Returns (id_a, id_b) with id_a < id_b and exact quantized cosine ≥
+    * `minCosine`, where both ids sit in the same cell of the deterministic
+    * coarse quantizer ([[ivfCentroids]] + nearest-cell assignment).
+    *
+    * Plan shape: the only nested loop is the broadcast cross against the
+    * ≤c-row centroid table (the coarse quantizer itself); the pair join is
+    * a plain shuffled EQUI-join on the cell id, so comparisons are
+    * Θ(Σ |cell|²) instead of Θ(n²) — the cells ARE the blocks, adapted to
+    * the data distribution. A mega-cell is an ordinary hot shuffle key
+    * (AQE skew-split applies); at corpus scale you raise c so cells stay
+    * bounded, exactly as SemDeDup prescribes (k ∝ corpus size).
+    */
+  def semDedupEdges(corpus: DataFrame, idCol: String, embCol: String,
+                    minCosine: Double, c: Int = 8, scale: Int = 1000): DataFrame =
+    edgesWithinCells(semDedupCells(corpus, idCol, embCol, c, scale), minCosine)
+
+  /** Cell assignment for [[semDedup]]: (id, v, nv, cid) via the
+    * deterministic coarse quantizer.
+    */
+  private def semDedupCells(corpus: DataFrame, idCol: String, embCol: String,
+                            c: Int, scale: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, embCol, c, scale)
+    val base = corpus.select(col(idCol).as("id"), quantize(col(embCol), scale).as("v"))
+      .withColumn("nv", norm(col("v")))
+    assignNearest(base, cents)
+  }
+
+  private def edgesWithinCells(cells: DataFrame, minCosine: Double): DataFrame = {
+    val a = cells.alias("a"); val b = cells.alias("b")
+    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineWithNorms(dot(col("a.v"), col("b.v")), col("a.nv"), col("b.nv")).as("score"))
+      .where(col("score") >= minCosine)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by clustering embeddings with the deterministic IVF coarse quantizer,
+    * finding cosine near-duplicates ONLY within each cell
+    * ([[semDedupEdges]]), and resolving the near-dup graph to connected
+    * components with canonical-keep retention (min id per component — the
+    * deterministic stand-in for the paper's "keep one random point per
+    * group"). Returns one row per input vector:
+    * (id, cid, rep, keep) — its cell, its component representative (itself
+    * when it has no near-dup in its cell), and whether it survives the cut.
+    *
+    * The within-cell restriction is the published method's approximation:
+    * a cross-cell near-dup pair is missed by design (raise c slower than
+    * corpus growth, or probe adjacent cells, to trade recall for cost).
+    * Component resolution reuses [[TextDedup.dedupClusters]] — the
+    * pointer-jumping CC operator — so retention is consistent with the
+    * text-dedup path's semantics.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, embCol: String,
+               minCosine: Double, c: Int = 8, scale: Int = 1000): DataFrame = {
+    val cells = semDedupCells(corpus, idCol, embCol, c, scale)
+    val edges = edgesWithinCells(cells, minCosine)
+    val clusters = TextDedup.dedupClusters(edges) // (id, cluster) — only ids with edges
+    cells.select(col("id"), col("cid"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(col("cluster"), col("id")).as("rep"),
+        (coalesce(col("cluster"), col("id")) === col("id")).as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. Brute-force
     * O(n^2) formulation: the join has no equi key, so Catalyst plans a
     * BroadcastNestedLoopJoin — kept ONLY as the small-scale reference

@@ -85,4 +85,42 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("shard") === "A").orderBy("doc_id").collect().map(_.getLong(3))
     assert(aPacks.sameElements(aPacks.sorted))
   }
+
+  test("topFracByGroup: exact ceil quota, tie-break by id, partitioning-invariant") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31)
+    // three groups of different sizes, scores with deliberate ties
+    val rows = (0L until 700L).map { i =>
+      val g = if (i < 500) "big" else if (i < 690) "mid" else "tiny"
+      (i, g, (rnd.nextInt(20) / 10.0)) // heavy ties: 20 distinct scores
+    }
+    val df = rows.toDF("doc_id", "grp", "score")
+    val got = Sampling.topFracByGroup(df, "grp", "doc_id", "score", frac = 0.23)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+
+    // quota = ceil(frac * n) exactly, per group
+    val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val byGrp = got.groupBy(_._2)
+    for ((g, n) <- sizes)
+      assert(byGrp(g).length == math.ceil(0.23 * n).toLong,
+        s"group $g: got ${byGrp(g).length} of $n")
+
+    // selection = brute-force top quota by (score desc, id asc)
+    for ((g, picked) <- byGrp) {
+      val exp = rows.filter(_._2 == g).sortBy(r => (-r._3, r._1))
+        .take(picked.length).map(_._1).toSet
+      assert(picked.map(_._1).toSet == exp, s"group $g selection mismatch")
+    }
+
+    // invariant under repartitioning (a reproducibility contract)
+    val again = Sampling.topFracByGroup(df.repartition(13), "grp", "doc_id", "score", 0.23)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == got.map(r => (r._1, r._2)).toSet)
+
+    // every non-empty group keeps at least one row, even at tiny frac
+    val one = Sampling.topFracByGroup(df, "grp", "doc_id", "score", frac = 0.0001)
+      .collect().map(r => r.getString(1))
+    assert(one.groupBy(identity).view.mapValues(_.length).toMap ==
+      Map("big" -> 1, "mid" -> 1, "tiny" -> 1))
+  }
 }

@@ -115,6 +115,36 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hot-chunk distinct count must spread hot hashes by (ck, id):\n$p")
   }
 
+  test("q_quality_cut: group sizes broadcast, rank is the only big-side exchange") {
+    val p = plan("q_quality_cut")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny group-size table must broadcast, not shuffle the rows:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Window"), s"expected the per-group rank window:\n$p")
+  }
+
+  test("semDedup edge stage: within-cell pairs meet in an EQUI-join on the cell id") {
+    // the stage that makes semantic dedup sub-quadratic; the only nested
+    // loops allowed are the two broadcast crosses of the <=c-row centroid
+    // table (the coarse quantizer itself — every vector scores every
+    // centroid by construction).
+    assume(Files.exists(Paths.get(s"$sf/embeddings.parquet")), "driver testdata missing")
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.ops.VectorSim.semDedupEdges(embs, "vec_id", "embedding",
+      minCosine = 0.3, c = 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    // any nested loop must be a broadcast build (the <=c-row centroid/seed
+    // table) — a shuffled nested loop over the corpus side is the bug
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")),
+      s"every nested loop must broadcast its (tiny) right side:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid#\\d+L?\\]".r
+      .findFirstIn(p).isDefined,
+      s"the pair join must be an equi-join keyed on the cell id:\n$p")
+  }
+
   test("q_asof: as-of join is ONE sorted window pass — no join operator at all") {
     val p = plan("q_asof")
     assert(p.contains("Window"), s"expected the union sort-merge window:\n$p")
