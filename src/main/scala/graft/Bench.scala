@@ -37,8 +37,11 @@ object Bench {
     "q_simhash", "q_simhash_pairs", "q_ngram_jaccard", "q_fingerprint",
     "q_cosine_topk", "q_ann_lsh", "q_ann_topk", "q_ivf_topk",
     "q_embed_neardup", "q_multimodal",
-    "q_repetition", "q_decontam", "q_pii_redact", "q_normalize", "q_host_cap",
-    "q_anchors", "q_vocab", "q_cdc_dup", "q_quality_cut", "q_semdedup",
+    "q_repetition", "q_gopher_gate", "q_decontam", "q_pii_redact", "q_normalize", "q_host_cap",
+    // q_semdedup / q_dedup_clusters are excluded like every iterative-CC
+    // query: at bench scale their wall time is per-round fixed job overhead
+    // (localCheckpoint materialization), not data throughput
+    "q_anchors", "q_vocab", "q_cdc_dup", "q_quality_cut",
     "q_asof", "q_range_join", "q_incremental")
 
   private def session(cores: Int): SparkSession = {

@@ -980,6 +980,33 @@ object Queries {
        FROM lists l JOIN cov c ON l.doc_id = c.doc_id
        ORDER BY l.doc_id"""
 
+  // ------------------------------------------------------ Gopher gate (keep)
+  // The composite curation DECISION: conjunction of the Gopher-style rules
+  // (length band, mean token length, function words, 2-gram repetition),
+  // per-rule verdict columns included — the row a filter report aggregates.
+  // All scan-side; the oracle recomputes every rule with exact list ops.
+  private def qGopherGate(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.gopherGate(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val oGopherGate =
+    """SELECT doc_id, ok_len, ok_tok_len, ok_stop, ok_dup2,
+         (ok_len AND ok_tok_len AND ok_stop AND ok_dup2) AS keep
+       FROM (
+         SELECT doc_id,
+           (nt BETWEEN 50 AND 100000) AS ok_len,
+           (mtl >= 3.0 AND mtl <= 10.0) AS ok_tok_len,
+           (sh >= 2) AS ok_stop,
+           (CASE WHEN nt < 2 THEN true
+             ELSE ((len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)) <= 0.3 END) AS ok_dup2
+         FROM (SELECT doc_id, len(t) AS nt,
+             list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS mtl,
+             len(list_filter(t, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) AS sh,
+             list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS g2
+           FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)))
+       ORDER BY doc_id"""
+
   // --------------------------------------------------------- decontamination
   // GPT-3-style benchmark decontamination at n=13: the benchmark set is a
   // deterministic 5% hash sample of the corpus (so contamination provably
@@ -1447,6 +1474,7 @@ object Queries {
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
     "q_repetition" -> qRepetition _,
+    "q_gopher_gate" -> qGopherGate _,
     "q_decontam" -> qDecontam _,
     "q_host_cap" -> qHostCap _,
     "q_pii_redact" -> qPiiRedact _,
@@ -1505,6 +1533,7 @@ object Queries {
     "q_token_count" -> oTokenCount,
     "q_fingerprint" -> oFingerprint,
     "q_repetition" -> oRepetition,
+    "q_gopher_gate" -> oGopherGate,
     "q_decontam" -> oDecontam,
     "q_host_cap" -> oHostCap,
     "q_pii_redact" -> oPiiRedact,

@@ -66,6 +66,43 @@ object CorpusSignals {
           .as(s"top${topN}_frac")): _*)
   }
 
+  /** The composite Gopher-style KEEP decision (Rae et al. 2021 §A1.1, the
+    * constants adapted to this pipeline's signals — the exact arithmetic is
+    * the contract, oracle-verified): a document survives iff
+    *   - ok_len:     50 ≤ whitespace tokens ≤ 100000
+    *   - ok_tok_len: mean token length in [3, 10]
+    *   - ok_stop:    ≥ 2 stopword hits (the "function word" rule)
+    *   - ok_dup2:    duplicate word-2-gram fraction ≤ 0.3 (vacuously true
+    *                 below 2 tokens, where no 2-gram exists)
+    * Returns one row per doc with each rule's verdict AND the conjunction —
+    * per-rule columns are what a curation run reports (which rule fires how
+    * often per source decides threshold tuning).
+    *
+    * Scan-side only: the simple rules are Column arithmetic over TextStats;
+    * the repetition rule rides the one-pass gram_stats kernel through an
+    * inline(array(...)) Generate boundary so the kernel runs ONCE per row
+    * (projecting two struct fields through a collapsed projection would run
+    * it twice). No shuffle anywhere.
+    */
+  def gopherGate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val staged = df.select(
+      col(idCol).as("id"),
+      TextStats.tokenCount(t).cast("long").as("n_tokens"),
+      TextStats.tokenCount(t).between(50, 100000).as("ok_len"),
+      (TextStats.meanTokenLen(t) >= 3.0 && TextStats.meanTokenLen(t) <= 10.0)
+        .as("ok_tok_len"),
+      (TextStats.stopwordHits(t) >= 2).as("ok_stop"),
+      inline(array(gramStats(t, 2))))
+    staged.select(
+      col("id"), col("ok_len"), col("ok_tok_len"), col("ok_stop"),
+      when(col("n_tokens") < 2, lit(true))
+        .otherwise((col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams") <= 0.3).as("ok_dup2"))
+      .withColumn("keep",
+        col("ok_len") && col("ok_tok_len") && col("ok_stop") && col("ok_dup2"))
+  }
+
   // ------------------------------------------------------------------ PII
   // Patterns restricted to the regex intersection of java.util.regex and
   // RE2 (no backrefs, no lookaround) so the DuckDB oracle runs the SAME

@@ -125,4 +125,26 @@ object Sampling {
       .where(col("__rk") <= ceil(col("__gn").cast("double") * frac))
       .select(df.columns.map(col): _*) // join put groupCol first; restore input order
   }
+
+  /** The 100 TB variant of [[topFracByGroup]]: per-group score thresholds
+    * from a mergeable quantile sketch (percentile_approx — Greenwald-Khanna,
+    * constant size per group per task, combined map-side), broadcast back,
+    * membership decided by a SCAN-SIDE comparison. No sort anywhere, no
+    * big-side exchange beyond the sketch partials — the trade is the
+    * boundary: rank error is bounded by group_size/accuracy rows, and rows
+    * tied with the threshold value are all kept (a value threshold cannot
+    * split a tie the way topFracByGroup's (score, id) rank does). Exact on
+    * tie-free groups smaller than `accuracy` — pinned against the exact
+    * operator in SamplingSpec.
+    */
+  def topFracByGroupApprox(df: DataFrame, groupCol: String, scoreCol: String,
+                           frac: Double, accuracy: Int = 10000): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val thr = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - frac), lit(accuracy)).as("__thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .where(col(scoreCol) >= col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -123,4 +123,37 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.groupBy(identity).view.mapValues(_.length).toMap ==
       Map("big" -> 1, "mid" -> 1, "tiny" -> 1))
   }
+
+  test("topFracByGroupApprox: sketch cut ≈ exact cut, no sort in the plan") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(53)
+    // tie-free scores: the value threshold selects an exact prefix
+    val rows = (0L until 900L).map { i =>
+      val g = if (i < 600) "big" else "small"
+      (i, g, rnd.nextDouble())
+    }
+    val df = rows.toDF("doc_id", "grp", "score")
+    val q = Sampling.topFracByGroupApprox(df, "grp", "score",
+      frac = 0.25, accuracy = 100000)
+    val got = q.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+
+    for ((g, picked) <- got.groupBy(_._2)) {
+      val all = rows.filter(_._2 == g).sortBy(-_._3)
+      // prefix property: a value threshold on tie-free scores keeps exactly
+      // the top-|picked| rows — whatever rank the sketch lands on
+      assert(picked.map(_._1).toSet == all.take(picked.length).map(_._1).toSet,
+        s"group $g: kept set is not a top-score prefix")
+      // with accuracy >> n the landed rank is within one row of the quota
+      assert(math.abs(picked.length - 0.25 * all.length) <= 1.0,
+        s"group $g: kept ${picked.length} of ${all.length}")
+    }
+
+    // the scale contract: no per-group sort, no window — sketch aggregate
+    // plus broadcast join plus scan-side filter
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"approx cut must not rank:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$p")
+    assert(p.contains("partial_percentile_approx"),
+      s"sketch must combine map-side before the exchange:\n$p")
+  }
 }

@@ -78,7 +78,7 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q_repetition / q_pii_redact / q_normalize: scan-side signals, no exchange before the final sort") {
-    Seq("q_repetition", "q_pii_redact", "q_normalize").foreach { q =>
+    Seq("q_repetition", "q_pii_redact", "q_normalize", "q_gopher_gate").foreach { q =>
       val p = plan(q)
       val exchanges = p.linesIterator.count(l =>
         l.contains("Exchange") && !l.contains("rangepartitioning"))
