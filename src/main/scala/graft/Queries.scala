@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{CorpusSignals, Decontam, Incremental, Sampling, Temporal, TextDedup, TextStats, VectorSim}
+import graft.ops.{CorpusSignals, Curation, Decontam, Incremental, Sampling, Temporal, TextDedup, TextStats, VectorSim}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1007,6 +1007,68 @@ object Queries {
            FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)))
        ORDER BY doc_id"""
 
+  // ------------------------------------------------------- curation pipeline
+  // The six-stage end-to-end curation flow (ops/Curation.scala): NFC canon →
+  // PII redaction → Gopher gate → exact dedup → per-source quality cut →
+  // token packing. Every stage is the arithmetic its standalone green row
+  // verifies; THIS row verifies the composition, so stage boundaries can't
+  // drift apart silently.
+  private def qCurate(s: SparkSession, dir: String): DataFrame =
+    Curation.curate(docs(s, dir), "doc_id", "text", "source",
+        keepFrac = 0.5, budget = 2000L)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("grp", "source")
+      .orderBy("doc_id")
+
+  private val oCurate = {
+    val em = CorpusSignals.EmailRe
+    val ip4 = CorpusSignals.Ipv4Re
+    val ph = CorpusSignals.PhoneRe
+    val ws = "\\s+"
+    val punctClass = "[A-Za-z0-9\\s]"
+    val stop = "['the','a','an','of','and','to','in','is','it','for']"
+    s"""WITH canon AS (
+         SELECT doc_id AS id, source AS grp,
+           regexp_replace(regexp_replace(regexp_replace(
+             trim(regexp_replace(nfc_normalize(text), '$ws', ' ', 'g')),
+             '$em', '<EMAIL>', 'g'), '$ip4', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS t
+         FROM documents),
+       g2t AS (SELECT id, grp, t, tk,
+           list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1]) AS g2
+         FROM (SELECT id, grp, t, str_split(t, ' ') AS tk FROM canon)),
+       gated AS (
+         SELECT id, grp, t, CAST(len(tk) AS BIGINT) AS n_tokens
+         FROM g2t
+         WHERE len(tk) BETWEEN 50 AND 100000
+           AND (list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)) BETWEEN 3.0 AND 10.0
+           AND len(list_filter(tk, x -> list_contains($stop, x))) >= 2
+           AND (len(tk) < 2 OR ((len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)) <= 0.3)),
+       dedup AS (
+         SELECT id, grp, t, n_tokens FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY ('0x' || substr(md5(t), 1, 15))::BIGINT ORDER BY id) AS rk
+           FROM gated) WHERE rk = 1),
+       scored AS (
+         SELECT id, grp, n_tokens,
+           least(length(t)::DOUBLE / 400.0, 1.0) * 0.4 + least(sr * 10.0, 1.0) * 0.4 +
+             (1.0 - least(pr * 5.0, 1.0)) * 0.2 AS quality
+         FROM (SELECT *,
+           len(list_filter(str_split(t, ' '), x -> list_contains($stop, x)))::DOUBLE /
+             len(str_split(t, ' ')) AS sr,
+           length(regexp_replace(t, '$punctClass', '', 'g'))::DOUBLE / length(t) AS pr
+           FROM dedup)),
+       cut AS (
+         SELECT id, grp, n_tokens, quality FROM (
+           SELECT *, row_number() OVER (PARTITION BY grp ORDER BY quality DESC, id) AS rk,
+             count(*) OVER (PARTITION BY grp) AS gn
+           FROM scored)
+         WHERE rk <= ceil(gn::DOUBLE * 0.5))
+       SELECT id AS doc_id, grp AS source, n_tokens, quality,
+         (sum(n_tokens) OVER (PARTITION BY grp ORDER BY id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000 AS pack
+       FROM cut ORDER BY doc_id"""
+  }
+
   // --------------------------------------------------------- decontamination
   // GPT-3-style benchmark decontamination at n=13: the benchmark set is a
   // deterministic 5% hash sample of the corpus (so contamination provably
@@ -1475,6 +1537,7 @@ object Queries {
     "q_fingerprint" -> qFingerprint _,
     "q_repetition" -> qRepetition _,
     "q_gopher_gate" -> qGopherGate _,
+    "q_curate" -> qCurate _,
     "q_decontam" -> qDecontam _,
     "q_host_cap" -> qHostCap _,
     "q_pii_redact" -> qPiiRedact _,
@@ -1534,6 +1597,7 @@ object Queries {
     "q_fingerprint" -> oFingerprint,
     "q_repetition" -> oRepetition,
     "q_gopher_gate" -> oGopherGate,
+    "q_curate" -> oCurate,
     "q_decontam" -> oDecontam,
     "q_host_cap" -> oHostCap,
     "q_pii_redact" -> oPiiRedact,

@@ -104,26 +104,28 @@ object Sampling {
     * ceil(frac · group_size), so every non-empty group keeps at least one
     * row and boundary ties resolve deterministically by id.
     *
-    * Scale shape: group sizes are ONE tiny aggregate (n_groups rows,
-    * map-side partial combine) broadcast back onto the rows; membership
-    * then needs exactly one exchange+sort on the group key for the rank.
-    * The data-dependent quota cannot be WindowGroupLimit-pushed the way
-    * [[stratifiedQuota]]'s static `n` is — the per-group sort is the
-    * honest price of an EXACT percentile contract. When row-exact
-    * reproducibility of the boundary is not required, the approximate
-    * variant (broadcast per-group quantile-sketch thresholds, scan-side
-    * filter, zero shuffles of the big side) is the 100 TB default.
+    * Scale shape: ONE exchange+sort on the group key — the group size is a
+    * whole-partition count window riding the SAME exchange as the rank, so
+    * the input subtree runs once (the aggregate-and-join-back alternative
+    * re-executes the entire upstream plan for the size table: Spark does
+    * not dedupe common subplans — measured on q_curate, it doubled the
+    * scan AND the dedup shuffle). The data-dependent quota cannot be
+    * WindowGroupLimit-pushed the way [[stratifiedQuota]]'s static `n` is —
+    * the per-group sort is the honest price of an EXACT percentile
+    * contract. When row-exact reproducibility of the boundary is not
+    * required, [[topFracByGroupApprox]] (per-group quantile-sketch
+    * thresholds, scan-side filter, no sort) is the 100 TB default.
     */
   def topFracByGroup(df: DataFrame, groupCol: String, idCol: String,
                      scoreCol: String, frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
-    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
-    val w = Window.partitionBy(col(groupCol))
+    val wRank = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc, col(idCol))
-    df.join(broadcast(sizes), Seq(groupCol))
-      .withColumn("__rk", row_number().over(w))
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("__rk", row_number().over(wRank))
+      .withColumn("__gn", count(lit(1)).over(wAll))
       .where(col("__rk") <= ceil(col("__gn").cast("double") * frac))
-      .select(df.columns.map(col): _*) // join put groupCol first; restore input order
+      .select(df.columns.map(col): _*)
   }
 
   /** The 100 TB variant of [[topFracByGroup]]: per-group score thresholds

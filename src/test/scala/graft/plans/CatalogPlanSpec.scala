@@ -115,12 +115,18 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hot-chunk distinct count must spread hot hashes by (ck, id):\n$p")
   }
 
-  test("q_quality_cut: group sizes broadcast, rank is the only big-side exchange") {
+  test("q_quality_cut: ONE exchange — rank and group-size windows share it, no join") {
     val p = plan("q_quality_cut")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the tiny group-size table must broadcast, not shuffle the rows:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the size must NOT come from an aggregate joined back: Spark does not
+    // dedupe common subplans, so that shape re-executes the whole upstream
+    // plan (scan included) just to count rows per group
+    assert(!p.contains("Join"), s"group size must ride the rank's window, not a join:\n$p")
     assert(p.contains("Window"), s"expected the per-group rank window:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning") &&
+        !l.contains("REUSE"))
+    // AQE prints final + initial plan; each shows the single hash exchange
+    assert(exchanges <= 2, s"the rank and count windows must share one exchange:\n$p")
   }
 
   test("semDedup edge stage: within-cell pairs meet in an EQUI-join on the cell id") {
@@ -143,6 +149,22 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid#\\d+L?\\]".r
       .findFirstIn(p).isDefined,
       s"the pair join must be an equi-join keyed on the cell id:\n$p")
+  }
+
+  test("q_curate: six stages, ONE scan, two big-side exchanges, dedup bound pushed") {
+    val p = plan("q_curate")
+    assert(!p.contains("Join"), s"no join anywhere in the pipeline:\n$p")
+    // dedup's rank-1 bound must combine map-side before its exchange
+    assert(p.contains("row_number(), 1, Partial"),
+      s"dedup rank-1 must push below the exchange (WindowGroupLimit Partial):\n$p")
+    val initIdx = p.indexOf("== Initial Plan ==")
+    val finalPlan = if (initIdx >= 0) p.substring(0, initIdx) else p
+    assert(finalPlan.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"the corpus must be scanned exactly once:\n$p")
+    val exchanges = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(exchanges == 2,
+      s"exactly two big-side exchanges (dedup hash, group key):\n$p")
   }
 
   test("q_asof: as-of join is ONE sorted window pass — no join operator at all") {
