@@ -1007,6 +1007,61 @@ object Queries {
            FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)))
        ORDER BY doc_id"""
 
+  // ------------------------------------------------------ URL canonicalization
+  // canonUrl over synthesized URLs exercising every rule: scheme/host case,
+  // default vs real ports, tracking params mixed with real ones (must sort),
+  // fragments. The oracle re-parses generically with regexps (no parse_url
+  // in DuckDB — the q_host_cap mirror precedent) and rebuilds with the same
+  // param filter + byte sort.
+  private def qUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val url = concat(
+      when(pmod(d, lit(2)) === 0, lit("HTTPS")).otherwise(lit("http")),
+      lit("://Ex"), pmod(d, lit(13)).cast("string"), lit(".Example.COM"),
+      when(pmod(d, lit(7)) === 0, lit(":8080"))
+        .when(pmod(d, lit(2)) === 0, lit(":443")).otherwise(lit(":80")),
+      lit("/Doc/"), d.cast("string"),
+      when(pmod(d, lit(3)) === 0, lit("?utm_source=tw&b=2&a=1&gclid=g1"))
+        .when(pmod(d, lit(3)) === 1, lit("?fbclid=f9&utm_campaign=c"))
+        .otherwise(lit("")),
+      when(pmod(d, lit(5)) === 0, lit("#frag")).otherwise(lit("")))
+    docs(s, dir).select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        CorpusSignals.canonUrl(col("url")).as("curl"))
+      .orderBy("doc_id")
+  }
+
+  private val oUrlCanon = {
+    val track = "^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+    s"""WITH u AS (
+         SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+           '://Ex' || (doc_id % 13)::VARCHAR || '.Example.COM' ||
+           (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+                 WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ||
+           '/Doc/' || doc_id::VARCHAR ||
+           (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=tw&b=2&a=1&gclid=g1'
+                 WHEN doc_id % 3 = 1 THEN '?fbclid=f9&utm_campaign=c' ELSE '' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+         FROM documents),
+       parts AS (
+         SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS proto,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+           coalesce(list_aggregate(list_sort(list_filter(
+             str_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '$track'))), 'string_agg', '&'), '') AS cq
+         FROM u)
+       SELECT doc_id, url,
+         proto || '://' ||
+         (CASE WHEN proto = 'http' THEN regexp_replace(auth0, ':80$$', '')
+               WHEN proto = 'https' THEN regexp_replace(auth0, ':443$$', '')
+               ELSE auth0 END) || path ||
+         (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS curl
+       FROM parts ORDER BY doc_id"""
+  }
+
   // ------------------------------------------------------- curation pipeline
   // The six-stage end-to-end curation flow (ops/Curation.scala): NFC canon →
   // PII redaction → Gopher gate → exact dedup → per-source quality cut →
@@ -1538,6 +1593,7 @@ object Queries {
     "q_repetition" -> qRepetition _,
     "q_gopher_gate" -> qGopherGate _,
     "q_curate" -> qCurate _,
+    "q_url_canon" -> qUrlCanon _,
     "q_decontam" -> qDecontam _,
     "q_host_cap" -> qHostCap _,
     "q_pii_redact" -> qPiiRedact _,
@@ -1598,6 +1654,7 @@ object Queries {
     "q_repetition" -> oRepetition,
     "q_gopher_gate" -> oGopherGate,
     "q_curate" -> oCurate,
+    "q_url_canon" -> oUrlCanon,
     "q_decontam" -> oDecontam,
     "q_host_cap" -> oHostCap,
     "q_pii_redact" -> oPiiRedact,

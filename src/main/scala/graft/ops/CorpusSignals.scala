@@ -158,6 +158,38 @@ object CorpusSignals {
     */
   def host(url: Column): Column = lower(parse_url(url, lit("HOST")))
 
+  /** Query params dropped by [[canonUrl]]: tracking keys that vary per
+    * click without changing the resource — the reason one page shows up as
+    * thousands of "distinct" URLs in a crawl.
+    */
+  val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+
+  /** URL canonicalization — the identity key for URL-level dedup and
+    * host-level statistics. Without it a crawl counts the same page once
+    * per click-tracking variant and once per scheme/host case variant.
+    *   - scheme and authority lowercased (path/query case is significant)
+    *   - default ports stripped (http :80, https :443; others kept)
+    *   - fragment dropped (client-side only, never reaches the server)
+    *   - tracking params removed ([[TrackingParamRe]]), the rest sorted
+    *     byte-wise and rejoined; a now-empty query drops its '?'
+    * Scan-side Column chain over parse_url (codegen'd) + one small array
+    * HOF for the param set; the oracle re-parses with generic regexps over
+    * well-formed URLs (the parse_url-mirror precedent of q_host_cap).
+    */
+  def canonUrl(url: Column): Column = {
+    val proto = lower(parse_url(url, lit("PROTOCOL")))
+    val auth0 = lower(parse_url(url, lit("AUTHORITY")))
+    val auth = when(proto === "http", regexp_replace(auth0, ":80$", ""))
+      .when(proto === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val path = coalesce(parse_url(url, lit("PATH")), lit(""))
+    val kept = filter(split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
+      x => !x.rlike(TrackingParamRe) && x =!= "")
+    val canonQ = array_join(array_sort(kept), "&")
+    concat(proto, lit("://"), auth, path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+  }
+
   /** Cap each host at `k` documents, chosen by deterministic hash priority
     * (smallest (hash(id, salt), id) first) — RefinedWeb-style host-level
     * quota. One shuffle on the host key; Spark 4's WindowGroupLimit bounds

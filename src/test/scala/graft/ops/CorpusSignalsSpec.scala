@@ -119,6 +119,36 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.distinct.length == 1)
   }
 
+  test("canonUrl: case, default ports, fragments, tracking params, param sort") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      // scheme/host lowered, default https port stripped, fragment dropped,
+      // tracking params removed, survivors byte-sorted
+      "HTTPS://Ex.Example.COM:443/Doc/1?utm_source=tw&b=2&a=1&gclid=g1#frag" ->
+        "https://ex.example.com/Doc/1?a=1&b=2",
+      // http default port stripped; tracking-only query loses its '?'
+      "http://A.com:80/p?fbclid=x&utm_campaign=c" -> "http://a.com/p",
+      // NON-default port survives; path case is significant
+      "http://A.com:8080/CaseSensitive/Path" -> "http://a.com:8080/CaseSensitive/Path",
+      // :8080 must not be mistaken for :80 by the suffix strip
+      "http://a.com:8080/p" -> "http://a.com:8080/p",
+      // no query, no port, already canonical — identity
+      "https://a.com/p" -> "https://a.com/p",
+      // https default-port strip is scheme-aware (http keeps :443)
+      "http://a.com:443/p" -> "http://a.com:443/p")
+    val got = cases.map(_._1).toDF("url")
+      .select(CorpusSignals.canonUrl(col("url"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+    // the point of the exercise: click variants collide on one dedup key
+    val variants = Seq(
+      "https://Site.com/page?utm_source=a",
+      "HTTPS://site.COM:443/page?utm_source=b&fbclid=z",
+      "https://site.com/page#top")
+    val keys = variants.toDF("url")
+      .select(CorpusSignals.canonUrl(col("url"))).as[String].collect()
+    assert(keys.distinct.length == 1 && keys.head == "https://site.com/page")
+  }
+
   test("hostCap: lowercased host, at most k docs per host, deterministic") {
     val s = spark; import s.implicits._
     val docs = (0L until 40L).map(i =>
