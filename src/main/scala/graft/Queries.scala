@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{CorpusSignals, Curation, Decontam, Incremental, Sampling, Temporal, TextDedup, TextStats, VectorSim}
+import graft.ops.{CorpusSignals, Curation, Decontam, Incremental, Ranking, Sampling, Temporal, TextDedup, TextStats, VectorSim}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1007,6 +1007,42 @@ object Queries {
            FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)))
        ORDER BY doc_id"""
 
+  // ------------------------------------------------------------ BM25 ranking
+  // Retrieval scoring against a 3-term query (ops/Ranking.scala). The
+  // contract is the transcendental-free BM25 (rational idf, exact binary
+  // constants k1=1.5 b=0.75): every float op is an IEEE +,*,/ and every
+  // aggregated double is integral, so the score is bit-reproducible and
+  // the oracle recomputes it with the IDENTICAL parenthesization.
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    Ranking.bm25(docs(s, dir), "doc_id", "text",
+        terms = Seq("spark", "hash", "window"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val oBm25 = {
+    def w(i: Int) =
+      s"""((n - df$i + 0.5) / (df$i + 0.5)) *
+          ((tf$i * 2.5) / (tf$i + 1.5 * (0.25 + 0.75 * (dl / (sdl / n)))))"""
+    val terms = Seq("spark", "hash", "window")
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(t, x -> x = '$t'))::DOUBLE AS tf$i" }.mkString(",\n           ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+    s"""WITH base AS (
+         SELECT doc_id, len(t)::DOUBLE AS dl,
+           $tfs
+         FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)),
+       stats AS (
+         SELECT count(*)::DOUBLE AS n, sum(dl) AS sdl, $dfs FROM base)
+       SELECT doc_id,
+         ((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END))::BIGINT AS n_terms,
+         ${w(0)} + ${w(1)} + ${w(2)} AS score
+       FROM base, stats
+       WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+       ORDER BY doc_id"""
+  }
+
   // ------------------------------------------------------ URL canonicalization
   // canonUrl over synthesized URLs exercising every rule: scheme/host case,
   // default vs real ports, tracking params mixed with real ones (must sort),
@@ -1594,6 +1630,7 @@ object Queries {
     "q_gopher_gate" -> qGopherGate _,
     "q_curate" -> qCurate _,
     "q_url_canon" -> qUrlCanon _,
+    "q_bm25" -> qBm25 _,
     "q_decontam" -> qDecontam _,
     "q_host_cap" -> qHostCap _,
     "q_pii_redact" -> qPiiRedact _,
@@ -1655,6 +1692,7 @@ object Queries {
     "q_gopher_gate" -> oGopherGate,
     "q_curate" -> oCurate,
     "q_url_canon" -> oUrlCanon,
+    "q_bm25" -> oBm25,
     "q_decontam" -> oDecontam,
     "q_host_cap" -> oHostCap,
     "q_pii_redact" -> oPiiRedact,
