@@ -41,7 +41,7 @@ object Bench {
     // q_semdedup / q_dedup_clusters are excluded like every iterative-CC
     // query: at bench scale their wall time is per-round fixed job overhead
     // (localCheckpoint materialization), not data throughput
-    "q_url_canon", "q_bm25", "q_anchors", "q_vocab", "q_cdc_dup", "q_quality_cut", "q_curate",
+    "q_url_canon", "q_bm25", "q_report", "q_anchors", "q_vocab", "q_cdc_dup", "q_quality_cut", "q_curate",
     "q_asof", "q_range_join", "q_incremental")
 
   private def session(cores: Int): SparkSession = {

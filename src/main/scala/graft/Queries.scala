@@ -1007,6 +1007,48 @@ object Queries {
            FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)))
        ORDER BY doc_id"""
 
+  // ------------------------------------------------------------- data card
+  // The per-(source, lang) corpus report: every aggregated value integral
+  // (quality in micro-units), ratios as fixed-order divisions — the report
+  // hashes identically cross-engine. One scan + one aggregate.
+  private def qReport(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.corpusReport(docs(s, dir), "text", Seq("source", "lang"))
+      .orderBy("source", "lang")
+
+  private val oReport =
+    """SELECT source, lang,
+         count(*)::BIGINT AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS n_tokens,
+         CAST(sum(chars) AS BIGINT) AS n_chars,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         (sum(q6)::DOUBLE / count(*)) / 1000000.0 AS mean_quality,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*) AS keep_rate,
+         CASE WHEN sum(g2) = 0 THEN 0.0
+              ELSE (sum(g2) - sum(g2d))::DOUBLE / sum(g2) END AS dup2_frac,
+         CAST(sum(em) AS BIGINT) AS n_emails,
+         CAST(sum(ip) AS BIGINT) AS n_ips,
+         CAST(sum(ph) AS BIGINT) AS n_phones
+       FROM (
+         SELECT source, lang, tok, chars, q6, g2, g2d, em, ip, ph,
+           (tok BETWEEN 50 AND 100000) AND okmtl AND okstop AND
+             (tok < 2 OR ((g2 - g2d)::DOUBLE / g2) <= 0.3) AS keep
+         FROM (
+           SELECT source, lang,
+             CAST(len(t) AS BIGINT) AS tok,
+             CAST(length(text) AS BIGINT) AS chars,
+             CAST(floor((least(length(text)::DOUBLE / 400.0, 1.0) * 0.4 +
+               least((len(list_filter(t, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x)))::DOUBLE / len(t)) * 10.0, 1.0) * 0.4 +
+               (1.0 - least((length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text)) * 5.0, 1.0)) * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS q6,
+             (list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)) BETWEEN 3.0 AND 10.0 AS okmtl,
+             len(list_filter(t, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) >= 2 AS okstop,
+             CAST(greatest(len(t) - 1, 0) AS BIGINT) AS g2,
+             CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) AS BIGINT) AS g2d,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS em,
+             CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ip,
+             CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS ph
+           FROM (SELECT source, lang, text, str_split(text, ' ') AS t FROM documents)))
+       GROUP BY source, lang ORDER BY source, lang"""
+
   // ------------------------------------------------------------ BM25 ranking
   // Retrieval scoring against a 3-term query (ops/Ranking.scala). The
   // contract is the transcendental-free BM25 (rational idf, exact binary
@@ -1631,6 +1673,7 @@ object Queries {
     "q_curate" -> qCurate _,
     "q_url_canon" -> qUrlCanon _,
     "q_bm25" -> qBm25 _,
+    "q_report" -> qReport _,
     "q_decontam" -> qDecontam _,
     "q_host_cap" -> qHostCap _,
     "q_pii_redact" -> qPiiRedact _,
@@ -1693,6 +1736,7 @@ object Queries {
     "q_curate" -> oCurate,
     "q_url_canon" -> oUrlCanon,
     "q_bm25" -> oBm25,
+    "q_report" -> oReport,
     "q_decontam" -> oDecontam,
     "q_host_cap" -> oHostCap,
     "q_pii_redact" -> oPiiRedact,

@@ -132,6 +132,65 @@ object CorpusSignals {
     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
     size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
 
+  /** The corpus data card: one row per group (e.g. source × lang) with the
+    * counts a curation run publishes — documents, tokens, chars, gate pass
+    * count, mean quality, corpus-level 2-gram duplication, PII counts.
+    *
+    * Determinism discipline: every aggregated value is INTEGRAL (counts,
+    * token sums, quality quantized to micro-units scan-side), so double
+    * sums are exact and aggregation-order-independent — the report hashes
+    * identically on any engine or partitioning. Derived ratios are single
+    * fixed-order divisions on top. avg(quality) directly would NOT be
+    * reproducible: non-integral double sums round differently per
+    * partition order.
+    *
+    * Plan: one scan (all signals are scan-side Columns; the gram kernel
+    * rides a Generate boundary, once per row) + ONE hash aggregate with
+    * map-side partial combine. Nothing else.
+    */
+  def corpusReport(df: DataFrame, textCol: String,
+                   groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corpusReport: need at least one group column")
+    val t = col(textCol)
+    val staged = df.select(groupCols.map(col) ++ Seq(
+      TextStats.tokenCount(t).cast("long").as("__tok"),
+      length(t).cast("long").as("__chars"),
+      floor(TextStats.qualityScore(t) * 1000000.0 + 0.5).cast("long").as("__q6"),
+      (TextStats.meanTokenLen(t) >= 3.0 && TextStats.meanTokenLen(t) <= 10.0)
+        .as("__okMtl"),
+      (TextStats.stopwordHits(t) >= 2).as("__okStop"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("__em"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("__ip"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("__ph"),
+      inline(array(gramStats(t, 2)))): _*)
+    val keep = col("__tok").between(50L, 100000L) && col("__okMtl") &&
+      col("__okStop") &&
+      (col("__tok") < 2 ||
+        (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams") <= 0.3)
+    staged.withColumn("__keep", keep)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"),
+        sum(col("__keep").cast("long")).as("n_keep"),
+        sum(col("__q6")).as("__q6sum"),
+        sum(col("n_grams")).as("__g2"),
+        sum(col("n_distinct")).as("__g2d"),
+        sum(col("__em")).as("n_emails"),
+        sum(col("__ip")).as("n_ips"),
+        sum(col("__ph")).as("n_phones"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_keep"),
+        ((col("__q6sum").cast("double") / col("n_docs")) / 1000000.0)
+          .as("mean_quality"),
+        (col("n_keep").cast("double") / col("n_docs")).as("keep_rate"),
+        when(col("__g2") === 0, 0.0)
+          .otherwise((col("__g2") - col("__g2d")).cast("double") / col("__g2"))
+          .as("dup2_frac"),
+        col("n_emails"), col("n_ips"), col("n_phones")): _*)
+  }
+
   // ----------------------------------------------------------------- vocab
   /** Corpus vocabulary head: top-k tokens by document frequency (ties by
     * token), with term frequency — the df table TF-IDF and stopword-list

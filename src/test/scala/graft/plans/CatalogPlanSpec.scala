@@ -206,6 +206,17 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"), s"cap must push before the exchange:\n$p")
   }
 
+  test("q_report: one scan, one aggregate with map-side partial combine") {
+    val p = plan("q_report")
+    assert(!p.contains("Join"), s"the data card must not join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"report sums must combine map-side before the exchange:\n$p")
+    val initIdx = p.indexOf("== Initial Plan ==")
+    val finalPlan = if (initIdx >= 0) p.substring(0, initIdx) else p
+    assert(finalPlan.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"one scan:\n$p")
+  }
+
   test("q_stats / q_token_count: partial aggregation before the exchange (map-side combine)") {
     Seq("q_stats", "q_token_count").foreach { q =>
       val p = plan(q)
