@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{CorpusSignals, Curation, Decontam, Incremental, Ranking, Sampling, Temporal, TextDedup, TextStats, VectorSim}
+import graft.ops.{CorpusSignals, Curation, Decontam, Incremental, Ranking, Sampling, Temporal, TextDedup, TextStats, VectorSim, WebGraph}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1402,6 +1402,131 @@ object Queries {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // -------------------------------------------------------------- line dedup
+  // C4-style corpus-level line dedup (Raffel et al. 2020 §2.2) over fixed
+  // 7-word line units: every line keeps exactly its first (doc_id, line_no)
+  // occurrence corpus-wide, documents are reassembled from the survivors.
+  // A shared 7-word boilerplate prefix gives every doc a guaranteed
+  // duplicate line (the realistic case line dedup exists for); documents
+  // whose every line occurred earlier elsewhere (exact-dup docs in the
+  // table) vanish entirely — in BOTH engines.
+  private val LineBoiler = "copyright footer terms privacy contact site map "
+
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    def lineArray(t: Column): Column = {
+      val ts = split(t, " ")
+      val n = ((size(ts) + lit(6)) / lit(7)).cast("int")
+      transform(sequence(lit(0), n - 1),
+        i => array_join(slice(ts, i * lit(7) + 1, lit(7)), " "))
+    }
+    TextDedup.lineDedup(
+        docs(s, dir).select(col("doc_id"),
+          concat(lit(LineBoiler), col("text")).as("t2")),
+        "doc_id", "t2", lineArray, sep = " ", hash = ph)
+      .orderBy("doc_id")
+  }
+
+  private val oLineDedup =
+    s"""WITH toks AS (
+         SELECT doc_id, str_split('$LineBoiler' || text, ' ') AS ts
+         FROM documents),
+       lines AS (
+         SELECT doc_id,
+           unnest(generate_series(0, CAST((len(ts)+6)//7 AS BIGINT) - 1)) AS line_no,
+           unnest(list_transform(generate_series(0, CAST((len(ts)+6)//7 AS BIGINT) - 1),
+                  i -> array_to_string(ts[i*7+1 : i*7+7], ' '))) AS line
+         FROM toks),
+       r AS (
+         SELECT doc_id, line_no, line,
+           row_number() OVER (PARTITION BY ('0x' || substr(md5(line), 1, 15))::BIGINT
+                              ORDER BY doc_id, line_no) AS rk
+         FROM lines)
+       SELECT r.doc_id,
+         count(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY line_no) AS text_dedup,
+         CAST((len(t.ts)+6)//7 AS BIGINT) - count(*) AS n_dropped
+       FROM r JOIN toks t ON t.doc_id = r.doc_id
+       WHERE rk = 1
+       GROUP BY r.doc_id, len(t.ts)
+       ORDER BY r.doc_id"""
+
+  // --------------------------------------------------------------- web graph
+  // Outlink harvesting + host-graph PageRank. The Spark side runs the REAL
+  // streaming HTML tokenizer over synthesized pages that exercise case-folded
+  // tag/attr names, both quote styles, href-less anchors, and entity-encoded
+  // hrefs; the oracle regenerates the links arithmetically from doc_id (it
+  // knows the generator) — a true differential test of the tokenizer path.
+  private def linkPages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val pop =
+          if (id % 3 == 0) "<a href=\"https://popular.example.org/\">pop</a>"
+          else ""
+        val html =
+          s"""<HTML><body><NAV><A HREF="https://h${(id + 1) % 37}.example.com/doc/${id + 1}">next</A></NAV>
+             |<p>$text</p>
+             |<a class='m' href='https://h${id % 7}.example.com/'>hub</a>
+             |<a name="x">anchor, not a link</a>
+             |<a href="/self?ref=$id&amp;src=nav">self</a>
+             |$pop</body></html>""".stripMargin
+        (id, s"https://h${id % 37}.example.com/doc/$id", html)
+      }.toDF("doc_id", "url", "html")
+  }
+
+  private def qOutlinks(s: SparkSession, dir: String): DataFrame =
+    WebGraph.outlinks(linkPages(s, dir), "doc_id", "url", "html")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_links"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("link_no"), col("href")))),
+            x => x.getField("href")), "|").as("hrefs"))
+      .orderBy("doc_id")
+
+  private val oOutlinks =
+    """SELECT doc_id,
+         CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_links,
+         'https://h' || ((doc_id+1) % 37)::VARCHAR || '.example.com/doc/' || (doc_id+1)::VARCHAR
+           || '|https://h' || (doc_id % 7)::VARCHAR || '.example.com/'
+           || '|/self?ref=' || doc_id::VARCHAR || '&src=nav'
+           || CASE WHEN doc_id % 3 = 0 THEN '|https://popular.example.org/' ELSE '' END AS hrefs
+       FROM documents ORDER BY doc_id"""
+
+  // Host-level PageRank over the harvested link graph: outlinks → hostEdges
+  // (absolute hrefs to their host, relative hrefs to the source host) →
+  // 4 iterations of the exact integer recurrence (WebGraph.pagerank). The
+  // oracle replays the identical BIGINT floor-division arithmetic, unrolled.
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val links = WebGraph.outlinks(linkPages(s, dir), "doc_id", "url", "html")
+    WebGraph.pagerank(WebGraph.hostEdges(links, "url"), iters = 4)
+      .select(col("id").as("host"), col("pr"))
+      .orderBy("host")
+  }
+
+  private val oPagerank: String = {
+    val iter = (k: Int) =>
+      s"""r$k AS (SELECT nd.id,
+           CAST((15::BIGINT * 1000000000) // (100 * (SELECT n FROM nn))
+            + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS id, CAST(SUM(p.pr // o.deg) AS BIGINT) AS s
+            FROM edges e JOIN r${k - 1} p ON p.id = e.src JOIN od o ON o.src = e.src
+            GROUP BY e.dst) c ON c.id = nd.id)"""
+    s"""WITH d AS (SELECT doc_id, 'h' || (doc_id % 37)::VARCHAR || '.example.com' AS src FROM documents),
+       eall AS (
+         SELECT src, 'h' || ((doc_id+1) % 37)::VARCHAR || '.example.com' AS dst FROM d
+         UNION ALL SELECT src, 'h' || (doc_id % 7)::VARCHAR || '.example.com' FROM d
+         UNION ALL SELECT src, src FROM d
+         UNION ALL SELECT src, 'popular.example.org' FROM d WHERE doc_id % 3 = 0),
+       edges AS (SELECT DISTINCT src, dst FROM eall),
+       nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
+       nn AS (SELECT count(*) AS n FROM nodes),
+       od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       r0 AS (SELECT id, CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS pr FROM nodes),
+       ${(1 to 4).map(iter).mkString(",\n")}
+       SELECT id AS host, pr FROM r4 ORDER BY host"""
+  }
+
   // ------------------------------------------------------------------- vocab
   // Top-100 tokens by document frequency (ties by token) with term
   // frequency — the TF-IDF/stopword-induction head. TakeOrderedAndProject
@@ -1681,6 +1806,9 @@ object Queries {
     "q_anchors" -> qAnchors _,
     "q_vocab" -> qVocab _,
     "q_cdc_dup" -> qCdcDup _,
+    "q_line_dedup" -> qLineDedup _,
+    "q_outlinks" -> qOutlinks _,
+    "q_pagerank" -> qPagerank _,
     "q_asof" -> qAsof _,
     "q_range_join" -> qRangeJoin _,
     "q_incremental" -> qIncremental _,
@@ -1744,6 +1872,9 @@ object Queries {
     "q_anchors" -> oAnchors,
     "q_vocab" -> oVocab,
     "q_cdc_dup" -> oCdcDup,
+    "q_line_dedup" -> oLineDedup,
+    "q_outlinks" -> oOutlinks,
+    "q_pagerank" -> oPagerank,
     "q_asof" -> oAsof,
     "q_range_join" -> oRangeJoin,
     "q_incremental" -> oIncremental

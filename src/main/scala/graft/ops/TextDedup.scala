@@ -609,4 +609,49 @@ object TextDedup {
     docs.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .where(col("cluster").isNull || col("cluster") === col(idCol))
       .drop("cluster")
+
+  /** C4-style corpus-level line deduplication: every line that occurs more
+    * than once ACROSS the corpus keeps exactly its first occurrence (by
+    * (id, position) order) and loses the rest; documents are rewritten from
+    * their surviving lines (C4, Raffel et al. 2020 §2.2 — "we discarded all
+    * but one of any three-sentence span occurring more than once").
+    *
+    * `lineArray` maps the text column to the array of line units (real
+    * newline-split lines, sentence spans, or fixed word windows — the unit
+    * is the caller's policy, the dedup is this function's).
+    *
+    * Plan at 100 TB: ONE exchange on the 8-byte line hash. The keep
+    * decision is `row_number() = 1`, which Spark rewrites to
+    * WindowGroupLimit with a map-side Partial pass — a boilerplate line
+    * repeated on a billion pages contributes at most one row PER MAP TASK
+    * to the shuffle, so hot lines (the entire point of line dedup) cannot
+    * become hot shuffle keys. Reassembly is a second exchange on the doc
+    * id; per-doc line totals ride the scan (`size(lineArray)`), so dropped
+    * counts need no second pass over the losing rows. Collisions of the
+    * 60-bit portable hash conflate distinct lines; at real corpus scale use
+    * a 128-bit hash (e.g. full md5) for `hash` — the operator is agnostic.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                lineArray: Column => Column, sep: String,
+                hash: Column => Column = portableHash): DataFrame = {
+    val id = col(idCol)
+    val lines = df
+      .select(id, size(lineArray(col(textCol))).as("n_lines"),
+        posexplode(lineArray(col(textCol))).as(Seq("line_no", "line")))
+      .withColumn("lh", hash(col("line")))
+    val w = Window.partitionBy(col("lh")).orderBy(id, col("line_no"))
+    val kept = lines
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1) // -> WindowGroupLimit (partial map-side)
+    kept.groupBy(id)
+      .agg(
+        first(col("n_lines")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s.getField("line")),
+          sep).as("text_dedup"))
+      .withColumn("n_dropped", col("n_lines") - col("n_kept"))
+      .drop("n_lines")
+  }
 }

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.html.{Tokenizer, TStart}
+
+/** Crawl-graph operators: outlink harvesting from raw HTML, host-level
+  * edge aggregation, and a bit-reproducible fixed-point PageRank.
+  *
+  * The reference extracts per-document content only; a crawl pipeline at
+  * corpus scale also needs the LINK STRUCTURE — for frontier scheduling,
+  * spam/host authority scoring, and link-based quality priors (Page et al.
+  * 1999). These operators reuse the library's own HTML tokenizer (the one
+  * sanctioned opaque region) for harvesting and keep everything downstream
+  * pure Catalyst.
+  */
+object WebGraph {
+
+  /** Harvest `<a href=...>` outlinks per page with the real streaming HTML
+    * tokenizer (case-folded tag/attr names, quote styles, entity-decoded
+    * attribute values — regex href-scraping gets all of these wrong).
+    * Emits one row per anchor in document order: (id, url, link_no, href).
+    * Anchors without an href attribute are not links and are skipped.
+    *
+    * Plan: narrow scan-stage flatMap (the tokenizer region), no exchange.
+    */
+  def outlinks(df: DataFrame, idCol: String, urlCol: String,
+               htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(urlCol).cast("string"),
+        col(htmlCol).cast("string"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, url, html) =>
+        Tokenizer.tokenize(html).iterator
+          .collect { case TStart("a", attrs, _) if attrs.contains("href") =>
+            attrs("href")
+          }
+          .zipWithIndex
+          .map { case (href, i) => (id, url, i.toLong, href) }
+      }
+      .toDF(idCol, urlCol, "link_no", "href")
+  }
+
+  /** Collapse page-level links to host-level weighted edges. Absolute
+    * http(s) hrefs resolve to their own host; everything else (relative
+    * paths, fragments, query-only) stays on the source host. One exchange
+    * on (src, dst) — host-pair cardinality, not page cardinality.
+    */
+  def hostEdges(links: DataFrame, urlCol: String,
+                hrefCol: String = "href"): DataFrame = {
+    val src = lower(parse_url(col(urlCol), lit("HOST")))
+    val dst = when(col(hrefCol).rlike("^[Hh][Tt][Tt][Pp][Ss]?://"),
+      lower(parse_url(col(hrefCol), lit("HOST")))).otherwise(src)
+    links
+      .select(src.as("src"), dst.as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+  }
+
+  /** Fixed-point integer PageRank over an unweighted edge set, exact and
+    * bit-reproducible across engines, partitionings and cluster sizes:
+    * every quantity is a BIGINT and every division is floor division, so
+    * there is no float accumulation order to disagree about.
+    *
+    *   r_0(v)     = scale div n
+    *   r_{t+1}(v) = (15*scale) div (100*n)
+    *              + (85 * sum_{u->v} (r_t(u) div out(u))) div 100
+    *
+    * (d = 0.85 as in Page et al. 1999; dangling-node mass is dropped, the
+    * standard power-iteration simplification — the contract is the exact
+    * integer recurrence above, which a DuckDB oracle replays verbatim.)
+    *
+    * Plan per iteration: contribution join on `src` (rank table × static
+    * out-degree table — both host-cardinality, tiny next to the corpus;
+    * AQE broadcasts them when they fit), one aggregation exchange on `dst`,
+    * one left join back to the node set. Each round is `localCheckpoint`ed:
+    * an iterative self-referencing plan otherwise grows super-linearly in
+    * Catalyst planning time (measured on dedupClusters: a 12-round lineage
+    * took 13 minutes to PLAN; truncated, seconds).
+    */
+  def pagerank(edges0: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", iters: Int = 4,
+               scale: Long = 1000000000L): DataFrame = {
+    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pagerank over an empty graph")
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val teleport = (15L * scale) / (100L * n)
+    var r = nodes.withColumn("pr", lit(scale / n))
+    var i = 0
+    while (i < iters) {
+      val contrib = edges
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("pr div deg")).as("c"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr("(85 * coalesce(c, 0L)) div 100")).as("pr"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    r
+  }
+}
