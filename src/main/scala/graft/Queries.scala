@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{CorpusSignals, Curation, Decontam, Incremental, Ranking, Sampling, Temporal, TextDedup, TextStats, VectorSim, WebGraph}
+import graft.ops.{CorpusSignals, Curation, Decontam, Incremental, QualityModel, Ranking, Sampling, Temporal, TextDedup, TextStats, VectorSim, WebGraph}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1527,6 +1527,67 @@ object Queries {
        SELECT id AS host, pr FROM r4 ORDER BY host"""
   }
 
+  // ---------------------------------------------------------- model scoring
+  // fastText-shape hashed linear quality classifier: the weight VECTOR is a
+  // table (the way a learned model arrives at corpus scale), tokens hash
+  // into its feature space, score = Σ tf·w[fid]. The weights here are a
+  // deterministic hash-derived stand-in — the contract under test is the
+  // scoring plumbing (hashing trick, broadcast model join, tf pre-agg),
+  // which is identical whatever the weights say.
+  private val MlDim = 4096
+
+  private def qMlQuality(s: SparkSession, dir: String): DataFrame = {
+    val weights = s.range(0, MlDim.toLong).select(col("id").as("fid"),
+      (((col("id") * lit(2654435761L)) % lit(P)) % 2001L - 1000L).as("w"))
+    QualityModel.scoreHashed(docs(s, dir), "doc_id", "text",
+        weights, MlDim, hash = ph)
+      .orderBy("doc_id")
+  }
+
+  private val oMlQuality =
+    s"""WITH wts AS (SELECT i AS fid, ((i * 2654435761) % $P) % 2001 - 1000 AS w
+               FROM generate_series(0, ${MlDim - 1}) t(i)),
+       toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+       tf AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT % $MlDim AS fid,
+                count(*) AS tf
+              FROM toks GROUP BY 1, 2)
+       SELECT doc_id, CAST(SUM(tf * COALESCE(w,0)) AS BIGINT) AS score,
+              CAST(SUM(tf) AS BIGINT) AS n_tokens,
+              CAST(SUM(tf * COALESCE(w,0)) AS BIGINT) > 0 AS keep
+       FROM tf LEFT JOIN wts USING (fid) GROUP BY doc_id ORDER BY doc_id"""
+
+  // CCNet-shape bigram LM scoring: train add-one-smoothed bigram counts on
+  // a hash-sampled trusted subset, score every document with the integer
+  // rational floor(1e6·(c2+1)/(c1+V)) per bigram — transcendental-free so
+  // the sum is order-insensitive and the oracle replays it exactly.
+  private def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    QualityModel.lmScore(d, Sampling.hashSample(d, "doc_id", 0.25, salt = "lm"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val oLmScore =
+    """WITH ref AS (SELECT * FROM documents
+               WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'lm'),1,15))::BIGINT % 1000000 < 250000),
+       rt AS (SELECT doc_id, str_split(text,' ') AS ts FROM ref),
+       dt AS (SELECT doc_id, str_split(text,' ') AS ts FROM documents),
+       c1 AS (SELECT tok AS w1, count(*) AS c1 FROM (SELECT unnest(ts) AS tok FROM rt) GROUP BY 1),
+       vv AS (SELECT count(*) AS v FROM c1),
+       bgr AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+                SELECT unnest(list_transform(generate_series(1, len(ts)-1),
+                       i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS b FROM rt)),
+       c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgr GROUP BY 1,2),
+       bgd AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+                SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-1),
+                       i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS b FROM dt)),
+       sc AS (SELECT d.doc_id,
+               (1000000 * (COALESCE(c2.c2,0)+1)) // (COALESCE(c1.c1,0) + (SELECT v FROM vv)) AS s
+              FROM bgd d LEFT JOIN c2 USING (w1,w2) LEFT JOIN c1 USING (w1))
+       SELECT doc_id, CAST(SUM(s) AS BIGINT) AS lm_sum, count(*) AS n_bigrams,
+              CAST(SUM(s) AS BIGINT) // count(*) AS lm_avg
+       FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
   // ------------------------------------------------------------------- vocab
   // Top-100 tokens by document frequency (ties by token) with term
   // frequency — the TF-IDF/stopword-induction head. TakeOrderedAndProject
@@ -1809,6 +1870,8 @@ object Queries {
     "q_line_dedup" -> qLineDedup _,
     "q_outlinks" -> qOutlinks _,
     "q_pagerank" -> qPagerank _,
+    "q_ml_quality" -> qMlQuality _,
+    "q_lm_score" -> qLmScore _,
     "q_asof" -> qAsof _,
     "q_range_join" -> qRangeJoin _,
     "q_incremental" -> qIncremental _,
@@ -1875,6 +1938,8 @@ object Queries {
     "q_line_dedup" -> oLineDedup,
     "q_outlinks" -> oOutlinks,
     "q_pagerank" -> oPagerank,
+    "q_ml_quality" -> oMlQuality,
+    "q_lm_score" -> oLmScore,
     "q_asof" -> oAsof,
     "q_range_join" -> oRangeJoin,
     "q_incremental" -> oIncremental
