@@ -42,9 +42,9 @@ object Bench {
     // query: at bench scale their wall time is per-round fixed job overhead
     // (localCheckpoint materialization), not data throughput
     "q_url_canon", "q_bm25", "q_report", "q_anchors", "q_vocab", "q_cdc_dup", "q_quality_cut", "q_curate",
-    // q_pagerank is excluded for the same reason (4 checkpointed rounds of
-    // fixed job overhead on a 38-node host graph); q_outlinks is the
-    // throughput-bearing half of that pipeline and IS timed
+    // q_pagerank / q_bpe(_tokens) are excluded for the same reason (k
+    // checkpointed rounds of fixed job overhead); q_outlinks is the
+    // throughput-bearing half of the graph pipeline and IS timed
     "q_line_dedup", "q_outlinks", "q_ml_quality", "q_lm_score",
     "q_asof", "q_range_join", "q_incremental")
 

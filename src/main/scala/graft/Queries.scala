@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{CorpusSignals, Curation, Decontam, Incremental, QualityModel, Ranking, Sampling, Temporal, TextDedup, TextStats, VectorSim, WebGraph}
+import graft.ops.{Bpe, CorpusSignals, Curation, Decontam, Incremental, QualityModel, Ranking, Sampling, Temporal, TextDedup, TextStats, VectorSim, WebGraph}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1588,6 +1588,73 @@ object Queries {
               CAST(SUM(s) AS BIGINT) // count(*) AS lm_avg
        FROM sc GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------------------------------------- BPE
+  // Distributed BPE merge training (k=8) + corpus tokenization with the
+  // learned pieces. The oracle replays the Sennrich algorithm with the
+  // SAME determinism contract (frequency then lexicographic tie-break,
+  // left-to-right non-overlapping rewrite) via k unrolled list_reduce
+  // rounds — the fold is expressible in DuckDB 1.0, so even this stateful
+  // iterative operator gets a full value-level oracle.
+  private val BpeK = 8
+
+  private def qBpe(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainMerges(docs(s, dir), "text", BpeK)._1.orderBy("round")
+
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val seg = Bpe.trainMerges(d, "text", BpeK)._2
+    Bpe.tokenize(d, "doc_id", "text", seg)
+      .select(col("doc_id"), col("n_tokens"), md5(col("tokens")).as("toks_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared CTE chain: v0 (char-split vocab) then k rounds of (m_r top-1
+    * merge, v_r rewritten segmentation).
+    */
+  private def bpeCtes(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""m$r AS (
+           SELECT l, rr, f FROM (
+             SELECT b.l AS l, b.rr AS rr, CAST(SUM(n) AS BIGINT) AS f
+             FROM (SELECT n, unnest(list_transform(generate_series(1, len(ss)-1),
+                    i -> struct_pack(l := ss[i], rr := ss[i+1]))) AS b FROM v${r - 1})
+             GROUP BY 1, 2)
+           ORDER BY f DESC, l, rr LIMIT 1),
+         v$r AS (
+           SELECT word, n,
+             list_reduce([CAST([] AS VARCHAR[])] || list_transform(ss, s -> [s]),
+               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.l AND x[1] = m.rr
+                           THEN acc[1:len(acc)-1] || [m.l || m.rr]
+                           ELSE acc || x END) AS ss
+           FROM v${r - 1}, m$r m)"""
+    }
+    s"""v0 AS (
+         SELECT word, count(*)::BIGINT AS n,
+                str_split(word, '') || ['</w>'] AS ss
+         FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+         WHERE len(word) > 0 GROUP BY word),
+       ${rounds.mkString(",\n")}"""
+  }
+
+  private val oBpe: String = {
+    val sel = (1 to BpeK)
+      .map(r => s"SELECT $r AS round, l, rr, f FROM m$r").mkString(" UNION ALL ")
+    s"""WITH ${bpeCtes(BpeK)}
+       SELECT CAST(round AS BIGINT) AS round, l AS "left", rr AS "right", f AS freq
+       FROM ($sel) ORDER BY round"""
+  }
+
+  private val oBpeTokens: String =
+    s"""WITH ${bpeCtes(BpeK)},
+       dt AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+       dw AS (SELECT doc_id, unnest(generate_series(1, len(ts))) AS pos,
+                     unnest(ts) AS word FROM dt)
+       SELECT d.doc_id, CAST(SUM(len(v.ss)) AS BIGINT) AS n_tokens,
+              md5(string_agg(array_to_string(v.ss, ' '), ' ' ORDER BY d.pos)) AS toks_md5
+       FROM dw d JOIN v$BpeK v USING (word)
+       WHERE len(d.word) > 0
+       GROUP BY d.doc_id ORDER BY d.doc_id"""
+
   // ------------------------------------------------------------------- vocab
   // Top-100 tokens by document frequency (ties by token) with term
   // frequency — the TF-IDF/stopword-induction head. TakeOrderedAndProject
@@ -1872,6 +1939,8 @@ object Queries {
     "q_pagerank" -> qPagerank _,
     "q_ml_quality" -> qMlQuality _,
     "q_lm_score" -> qLmScore _,
+    "q_bpe" -> qBpe _,
+    "q_bpe_tokens" -> qBpeTokens _,
     "q_asof" -> qAsof _,
     "q_range_join" -> qRangeJoin _,
     "q_incremental" -> qIncremental _,
@@ -1940,6 +2009,8 @@ object Queries {
     "q_pagerank" -> oPagerank,
     "q_ml_quality" -> oMlQuality,
     "q_lm_score" -> oLmScore,
+    "q_bpe" -> oBpe,
+    "q_bpe_tokens" -> oBpeTokens,
     "q_asof" -> oAsof,
     "q_range_join" -> oRangeJoin,
     "q_incremental" -> oIncremental

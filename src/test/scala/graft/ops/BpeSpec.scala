@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer contracts, pinned against a hand-run of the Sennrich
+  * algorithm: frequency-then-lexicographic merge selection, left-to-right
+  * non-overlapping rewrite, </w> end-marker semantics, vocab-level (not
+  * corpus-level) iteration, and tokenization via the learned segmentation.
+  */
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("trainMerges reproduces a hand-run of the algorithm") {
+    val s = spark
+    import s.implicits._
+    // corpus: "low" x3, "lowest" x2  (one doc per occurrence)
+    val df = (Seq.fill(3)("low") ++ Seq.fill(2)("lowest")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    // hand-run, pair counts over {low:3, lowest:2}:
+    //  r1: (l,o)=5, (o,w)=5, (w,</w>)=3, (w,e)=2, ... -> tie 5: (l,o) < (o,w) -> merge lo
+    //  r2: (lo,w)=5 wins -> merge low
+    //  r3: (low,</w>)=3 vs (low,e)=2 ... -> merge low</w>
+    val (merges, seg) = Bpe.trainMerges(df, "text", k = 3)
+    val got = merges.orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "l", "o", 5L),
+      (2L, "lo", "w", 5L),
+      (3L, "low", "</w>", 3L)))
+    val segs = seg.orderBy("word").collect()
+      .map(r => (r.getString(0), r.getSeq[String](2).toList)).toMap
+    assert(segs("low") == List("low</w>"))
+    assert(segs("lowest") == List("low", "e", "s", "t", "</w>"))
+  }
+
+  test("rewrite is left-to-right non-overlapping ('aaa' + merge(a,a) -> [aa, a])") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val (merges, seg) = Bpe.trainMerges(df, "text", k = 1)
+    val m = merges.collect().map(r => (r.getString(1), r.getString(2))).head
+    assert(m == ("a", "a")) // (a,a)=4 beats (a,</w>)=2
+    val syms = seg.collect().map(_.getSeq[String](2).toList).head
+    assert(syms == List("aa", "a", "</w>"))
+  }
+
+  test("tokenize: per-doc reassembly in word order with learned pieces") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "low low low lowest lowest")).toDF("doc_id", "text")
+    val (_, seg) = Bpe.trainMerges(train, "text", k = 3)
+    val docs = Seq((7L, "lowest low")).toDF("doc_id", "text")
+    val toks = Bpe.tokenize(docs, "doc_id", "text", seg).collect().head
+    assert(toks.getLong(1) == 6L) // [low e s t </w>] + [low</w>]
+    assert(toks.getString(2) == "low e s t </w> low</w>")
+  }
+
+  test("determinism across partitionings (ties, fold, reassembly)") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 60L).map(i => (i, s"pack my box with w${i % 7} judge"))
+      .toDF("doc_id", "text")
+    val (m1, _) = Bpe.trainMerges(df, "text", k = 4)
+    val (m2, _) = Bpe.trainMerges(df.repartition(13), "text", k = 4)
+    val a = m1.collect().map(_.toString).sorted.toSeq
+    val b = m2.collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+}
