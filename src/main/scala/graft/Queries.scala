@@ -1588,6 +1588,38 @@ object Queries {
               CAST(SUM(s) AS BIGINT) // count(*) AS lm_avg
        FROM sc GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- source mix
+  // Mixture assembly: downsample over-weighted sources so token mass
+  // matches a target weight vector (weight of srcK = K mod 5 — weight-0
+  // sources drop entirely). Exact integer threshold arithmetic; tokens hit
+  // targets in expectation (hash sampling is doc-granular, see Scaladoc).
+  private def qMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    val weights = (0 until 20).map(i => s"src$i" -> (i % 5).toLong).toMap
+    Sampling.mixByTokenBudget(d, "doc_id", "toks", "source", weights,
+        salt = "mix", hash = ph)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  private val oMix =
+    """WITH d AS (SELECT doc_id, source, len(str_split(text, ' '))::BIGINT AS toks FROM documents),
+       w AS (SELECT source, (substr(source, 4)::BIGINT % 5) AS w
+             FROM (SELECT DISTINCT source FROM d)),
+       tot AS (SELECT d.source, CAST(SUM(toks) AS BIGINT) AS tok, any_value(w.w) AS w
+               FROM d JOIN w USING (source) WHERE w.w > 0 GROUP BY d.source),
+       thr AS (SELECT source,
+                 least(1000000,
+                   (((w * (SELECT CAST(SUM(tok) AS BIGINT) FROM tot))
+                     // (SELECT CAST(SUM(w) AS BIGINT) FROM tot)) * 1000000) // tok) AS thr
+               FROM tot)
+       SELECT d.source, count(*) AS n_docs, CAST(SUM(d.toks) AS BIGINT) AS n_tokens
+       FROM d JOIN thr USING (source)
+       WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT % 1000000 < thr.thr
+       GROUP BY d.source ORDER BY d.source"""
+
   // --------------------------------------------------------------------- BPE
   // Distributed BPE merge training (k=8) + corpus tokenization with the
   // learned pieces. The oracle replays the Sennrich algorithm with the
@@ -1941,6 +1973,7 @@ object Queries {
     "q_lm_score" -> qLmScore _,
     "q_bpe" -> qBpe _,
     "q_bpe_tokens" -> qBpeTokens _,
+    "q_mix" -> qMix _,
     "q_asof" -> qAsof _,
     "q_range_join" -> qRangeJoin _,
     "q_incremental" -> qIncremental _,
@@ -2011,6 +2044,7 @@ object Queries {
     "q_lm_score" -> oLmScore,
     "q_bpe" -> oBpe,
     "q_bpe_tokens" -> oBpeTokens,
+    "q_mix" -> oMix,
     "q_asof" -> oAsof,
     "q_range_join" -> oRangeJoin,
     "q_incremental" -> oIncremental

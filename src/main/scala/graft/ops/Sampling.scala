@@ -149,4 +149,53 @@ object Sampling {
       .where(col(scoreCol) >= col("__thr"))
       .select(df.columns.map(col): _*)
   }
+
+  /** Source mixing to target token proportions — the corpus-assembly step
+    * that downsamples over-represented sources so the mixture matches a
+    * weight vector (the static-weights shape of DoReMi/RedPajama mixes).
+    *
+    * Exact integer contract: with per-source token totals tok_s, weighted
+    * total T = Σ tok_s over weighted sources, weight sum W,
+    *   target_s    = (w_s · T) div W
+    *   threshold_s = min(M, (target_s · M) div tok_s)
+    * and a doc survives iff hash(id, salt) mod M < threshold_s. Sources
+    * under their target keep everything (threshold = M); sources with no
+    * weight are dropped. Token targets are met in EXPECTATION (hash
+    * sampling is doc-granular); for exact doc quotas use
+    * [[stratifiedQuota]], for exact token budgets [[packBudget]].
+    *
+    * Plan at 100 TB: one per-source aggregate (|sources| rows), threshold
+    * arithmetic as whole-table windows over that tiny table, broadcast
+    * back, scan-side filter — the corpus pays one aggregate and one
+    * filter, no sort, no repartition. Overflow guard: target_s · M must
+    * fit a BIGINT, i.e. per-source token totals below ~9·10^12 at M=10^6;
+    * beyond that run the threshold arithmetic in DECIMAL (the corpus-side
+    * plan is unchanged).
+    */
+  def mixByTokenBudget(df: DataFrame, idCol: String, tokCol: String,
+                       srcCol: String, weights: Map[String, Long],
+                       salt: String = "",
+                       hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0L) &&
+      weights.values.sum > 0L, "weights must be non-negative, not all zero")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(srcCol, "__w")
+    val all = Window.partitionBy()
+    // NB: the analyzer is case-insensitive by default — accumulator names
+    // must not differ from "__w"/"__tok" by case alone
+    val thr = df.groupBy(col(srcCol)).agg(sum(col(tokCol)).as("__tok"))
+      .join(broadcast(wdf), Seq(srcCol)) // inner: unweighted sources drop
+      .where(col("__w") > 0)
+      .withColumn("__tsum", sum(col("__tok")).over(all))
+      .withColumn("__wsum", sum(col("__w")).over(all))
+      .withColumn("__target", expr("(__w * __tsum) div __wsum"))
+      .withColumn("__thr", least(lit(M),
+        expr(s"CASE WHEN __tok = 0 THEN 0L ELSE (__target * ${M}L) div __tok END")))
+      .select(col(srcCol), col("__thr"))
+    df.join(broadcast(thr), Seq(srcCol))
+      .where(pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
+        < col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -156,4 +156,44 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_percentile_approx"),
       s"sketch must combine map-side before the exchange:\n$p")
   }
+
+  test("mixByTokenBudget: exact threshold arithmetic on hand-computed totals") {
+    val s = spark
+    import s.implicits._
+    // an "identity" hash (the id itself) makes the kept set predictable:
+    // ids are spread over the hash deciles
+    val idHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => c.cast("long")
+    val a = (0 until 10).map(i => (i * 100000L, "A", 10L))
+    val b = (0 until 10).map(i => (2000000L + i, "B", 10L))
+    val df = (a ++ b).toDF("doc_id", "source", "toks")
+    // tok_A = tok_B = 100, T = 200, W = 4:
+    //   A: target = 200/4 = 50  -> thr = 50*1e6/100 = 500000 -> ids 0..4e5 keep
+    //   B: target = 150 >= 100  -> thr = M (keep everything)
+    val kept = Sampling.mixByTokenBudget(df, "doc_id", "toks", "source",
+        Map("A" -> 1L, "B" -> 3L), hash = idHash)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(kept == (a.take(5).map(r => ("A", r._1)) ++ b.map(r => ("B", r._1))).toSet)
+  }
+
+  test("mixByTokenBudget: weight-0 sources drop; result is a deterministic subset") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 600L)
+      .map(i => (i, s"s${i % 3}", 5L + i % 7)).toDF("doc_id", "source", "toks")
+    val out = Sampling.mixByTokenBudget(df, "doc_id", "toks", "source",
+      Map("s0" -> 0L, "s1" -> 1L, "s2" -> 2L), salt = "m")
+    val got = out.collect().map(_.getLong(0)).toSet
+    assert(!out.select("source").distinct().collect().map(_.getString(0)).contains("s0"))
+    assert(got.subsetOf((0L until 600L).toSet) && got.nonEmpty)
+    val again = Sampling.mixByTokenBudget(df.repartition(11), "doc_id", "toks",
+      "source", Map("s0" -> 0L, "s1" -> 1L, "s2" -> 2L), salt = "m")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == got)
+    // s1 is under-weighted 1:2 vs s2 over roughly equal token mass — it
+    // must be downsampled harder
+    def fracKept(src: String) =
+      got.count(_ % 3 == src.last.toString.toInt).toDouble / 200.0
+    assert(fracKept("s1") < fracKept("s2") || fracKept("s2") == 1.0)
+  }
 }
