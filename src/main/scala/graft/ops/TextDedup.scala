@@ -610,6 +610,26 @@ object TextDedup {
       .where(col("cluster").isNull || col("cluster") === col(idCol))
       .drop("cluster")
 
+  /** Quality-aware retention: keep the HIGHEST-scoring document per
+    * near-dup cluster (ties by lowest id) — what curation actually wants
+    * (keep the best copy, not the canonical-id one). Docs without a
+    * cluster row are kept. The rank=1 keep decision rides WindowGroupLimit
+    * (map-side partial), and unclustered docs bypass the window entirely —
+    * they must: putting them in the window would collapse every
+    * unclustered doc into one NULL-key partition.
+    */
+  def dedupResolveBy(docs: DataFrame, clusters: DataFrame, idCol: String,
+                     scoreCol: String): DataFrame = {
+    val joined = docs.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    joined.where(col("cluster").isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk", "cluster")
+      .unionByName(joined.where(col("cluster").isNull).drop("cluster"))
+  }
+
   /** C4-style corpus-level line deduplication: every line that occurs more
     * than once ACROSS the corpus keeps exactly its first occurrence (by
     * (id, position) order) and loses the rest; documents are rewritten from

@@ -404,6 +404,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     TextDedup.releaseCaches()
   }
 
+  test("dedupResolveBy: keeps the highest-scoring doc per cluster, unclustered pass through") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+    // scores: cluster {1,2,3} -> 2 wins; {20,21} tie on score -> lower id 20
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (4L, 1L), (20L, 3L), (21L, 3L))
+      .toDF("doc_id", "score")
+    val byQ = TextDedup.dedupResolveBy(docs, TextDedup.dedupClusters(pairs),
+      "doc_id", "score")
+    assert(byQ.collect().map(_.getLong(0)).toSet == Set(2L, 4L, 20L))
+    val plan = byQ.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"retention rank must push map-side:\n$plan")
+    TextDedup.releaseCaches()
+  }
+
   test("dedupClusters: a 12-node path converges within diameter rounds; bound fails loudly") {
     val s = spark; import s.implicits._
     val pairs = (0 until 11).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
