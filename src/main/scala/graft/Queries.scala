@@ -748,6 +748,48 @@ object Queries {
        SELECT query_id, nbr_id, score, rank FROM ranked WHERE rank <= 5
        ORDER BY query_id, rank"""
 
+  // ----------------------------------------------------------- IVF training
+  // Full Lloyd's iteration for the IVF coarse quantizer (3 rounds, c=8):
+  // the single-step quantizer q_ivf_topk uses is the r=1 special case; the
+  // oracle replays every round's assignment (exact integer dot, ties to
+  // lower cid) and floor(sum/count + .5) centroid re-quantization, so the
+  // whole iterative trainer is value-level verified.
+  private def qIvfTrain(s: SparkSession, dir: String): DataFrame =
+    VectorSim.ivfCentroids(embs(s, dir), "vec_id", "embedding",
+        c = 8, iters = 3)
+      .select(col("cid"), array_join(col("cv"), ",").as("cv_str"))
+      .orderBy("cid")
+
+  private val oIvfTrain: String = {
+    val dot64 = (a: String, b: String) =>
+      s"(SELECT sum($a[g.i] * $b[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE"
+    def assign(r: Int, cents: String) =
+      s"""a$r AS (
+           SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+           FROM (
+             SELECT x.vec_id, s.cid,
+               ${dot64("x.v", "s.cv")} /
+               (sqrt(${dot64("x.v", "x.v")}) * sqrt(${dot64("s.cv", "s.cv")})) AS score
+             FROM qv x, $cents s))"""
+    def means(r: Int) =
+      s"""c$r AS (
+           SELECT cid, list(CAST(floor(sm::DOUBLE / cnt + 0.5) AS BIGINT) ORDER BY pos) AS cv
+           FROM (
+             SELECT a.cid, g.i AS pos, sum(x.v[g.i]) AS sm, count(*) AS cnt
+             FROM (SELECT vec_id, cid FROM a$r WHERE rk = 1) a
+             JOIN qv x ON x.vec_id = a.vec_id, generate_series(1, 64) g(i)
+             GROUP BY a.cid, g.i)
+           GROUP BY cid)"""
+    val rounds = (1 to 3).map(r =>
+      assign(r, if (r == 1) "seeds" else s"c${r - 1}") + ",\n" + means(r))
+      .mkString(",\n")
+    s"""WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor((x::DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+         FROM embeddings),
+       seeds AS (SELECT vec_id AS cid, v AS cv FROM qv ORDER BY vec_id LIMIT 8),
+       $rounds
+       SELECT cid, array_to_string(cv, ',') AS cv_str FROM c3 ORDER BY cid"""
+  }
+
   // ------------------------------------------------------------- SemDeDup
   // Semantic dedup (Abbas et al. 2023): IVF-cell clustering (the q_ivf_topk
   // coarse quantizer, bit-identical both engines), within-cell cosine
@@ -1974,6 +2016,7 @@ object Queries {
     "q_bpe" -> qBpe _,
     "q_bpe_tokens" -> qBpeTokens _,
     "q_mix" -> qMix _,
+    "q_ivf_train" -> qIvfTrain _,
     "q_asof" -> qAsof _,
     "q_range_join" -> qRangeJoin _,
     "q_incremental" -> qIncremental _,
@@ -2045,6 +2088,7 @@ object Queries {
     "q_bpe" -> oBpe,
     "q_bpe_tokens" -> oBpeTokens,
     "q_mix" -> oMix,
+    "q_ivf_train" -> oIvfTrain,
     "q_asof" -> oAsof,
     "q_range_join" -> oRangeJoin,
     "q_incremental" -> oIncremental

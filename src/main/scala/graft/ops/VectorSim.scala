@@ -133,13 +133,15 @@ object VectorSim {
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** IVF coarse quantizer (one k-means Lloyd step, fully deterministic):
-    * seeds are the `c` corpus vectors with the smallest ids; every vector
-    * is assigned to its nearest seed by exact-integer cosine (ties → lower
-    * centroid id); centroids are the element-wise means of each cluster,
-    * re-quantized as floor(sum/count + 0.5) — one exact double division
-    * per dimension, so both engines round identically. Returns
-    * (cid, cv: array<bigint>, cn: double). Empty clusters drop out.
+  /** IVF coarse quantizer (`iters` k-means Lloyd rounds, fully
+    * deterministic): seeds are the `c` corpus vectors with the smallest
+    * ids; each round assigns every vector to its nearest centroid by
+    * exact-integer cosine (ties → lower centroid id) and recomputes
+    * centroids as element-wise means re-quantized floor(sum/count + 0.5) —
+    * one exact double division per dimension, so both engines round
+    * identically round after round. Returns (cid, cv: array<bigint>,
+    * cn: double). A cluster that empties drops out and stays out
+    * (standard Lloyd's on a fixed seed set).
     *
     * Plan shape: the n×c scoring is a broadcast of the c-row seed table
     * against the corpus scan (the same BroadcastNestedLoop-BuildRight shape
@@ -149,20 +151,30 @@ object VectorSim {
     * shuffles the corpus payload more than once.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, embCol: String,
-                   c: Int = 8, scale: Int = 1000): DataFrame = {
+                   c: Int = 8, scale: Int = 1000, iters: Int = 1): DataFrame = {
+    require(iters >= 1, "at least one Lloyd step")
     val base = corpus.select(col(idCol).as("id"), quantize(col(embCol), scale).as("v"))
-    val seeds = base.orderBy("id").limit(c)
+      .withColumn("nv", norm(col("v")))
+    var cents = base.orderBy("id").limit(c)
       .select(col("id").as("cid"), col("v").as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val assigned = assignNearest(base.withColumn("nv", norm(col("v"))), seeds)
-    val sums = assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos")
-      .agg(sum(col("x")).as("sm"), count(lit(1)).as("cnt"))
-    sums.groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("pos"),
-        floor(col("sm").cast("double") / col("cnt") + 0.5).cast("long").as("m")))).as("pm"))
-      .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("cv"))
-      .withColumn("cn", norm(col("cv")))
+    var r = 0
+    while (r < iters) {
+      val assigned = assignNearest(base, cents)
+      val sums = assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x")).as("sm"), count(lit(1)).as("cnt"))
+      cents = sums.groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"),
+          floor(col("sm").cast("double") / col("cnt") + 0.5).cast("long").as("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+      // truncate lineage between rounds (the dedupClusters lesson) —
+      // but leave the iters=1 path exactly as it always planned
+      if (iters > 1) cents = cents.localCheckpoint(true)
+      r += 1
+    }
+    cents
   }
 
   /** Nearest centroid per vector: broadcast the centroid table, score by

@@ -404,6 +404,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     TextDedup.releaseCaches()
   }
 
+  test("ivfCentroids: Lloyd iterations converge the two-cluster fixture and stay deterministic") {
+    def around(base: Seq[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val clusterA = Seq(1f, 0f, 0f, 0f); val clusterB = Seq(0f, 0f, 1f, 0f)
+    val rows = (0L until 6L).map(i => i -> around(clusterA, 0.01f * (i + 1))) ++
+      (6L until 12L).map(i => i -> around(clusterB, 0.01f * (i + 1)))
+    val df = embDf(rows: _*)
+    def cents(it: Int, d: org.apache.spark.sql.DataFrame) =
+      VectorSim.ivfCentroids(d, "vec_id", "embedding", c = 2, iters = it)
+        .orderBy("cid").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+    // both seeds (ids 0, 1) start inside cluster A, so ONE Lloyd step
+    // leaves centroid 1 a mixed mean — iteration is what separates them
+    val c1 = cents(1, df)
+    val c3 = cents(3, df)
+    assert(c1.toSeq != c3.toSeq, "iteration must improve the mixed round-1 quantizer")
+    // converged: centroid 0 is the pure cluster-A mean, centroid 1 pure B
+    assert(c3.toSeq == Seq(
+      0L -> List(1035L, -35L, 35L, -35L),
+      1L -> List(95L, -95L, 1095L, -95L)))
+    // fixpoint after convergence, and partitioning-invariant (integer
+    // dots, deterministic ties, exact means)
+    assert(cents(4, df).toSeq == c3.toSeq)
+    assert(cents(3, df.repartition(7)).toSeq == c3.toSeq)
+  }
+
   test("dedupResolveBy: keeps the highest-scoring doc per cluster, unclustered pass through") {
     val s = spark; import s.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id_a", "id_b")

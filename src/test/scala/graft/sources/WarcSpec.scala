@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC source contracts: exact record framing (Content-Length bytes, CRLF
+  * blank-line separators), HTTP body split, multi-member gzip (the Common
+  * Crawl layout), damage tolerance with magic-resync, and the Spark
+  * readPages table shape.
+  */
+class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val work = Files.createTempDirectory("graft_warc").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def rec(tpe: String, uri: Option[String], payload: Array[Byte],
+                  date: String = "2026-08-18T00:00:00Z",
+                  declaredLen: Option[Int] = None): Array[Byte] = {
+    val h = new StringBuilder
+    h.append("WARC/1.0\r\n")
+    h.append(s"WARC-Type: $tpe\r\n")
+    uri.foreach(u => h.append(s"WARC-Target-URI: $u\r\n"))
+    h.append(s"WARC-Date: $date\r\n")
+    h.append(s"Content-Length: ${declaredLen.getOrElse(payload.length)}\r\n\r\n")
+    h.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def http(html: String): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html).getBytes(UTF_8)
+
+  private def gz(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos); g.write(bytes); g.close()
+    bos.toByteArray
+  }
+
+  test("plain WARC: framing, case-folded headers, HTTP body split") {
+    val file = rec("warcinfo", None, "software: test\r\n".getBytes(UTF_8)) ++
+      rec("response", Some("https://a.example.com/x"), http("<html>A</html>")) ++
+      rec("request", Some("https://a.example.com/x"), "GET /x HTTP/1.1\r\n".getBytes(UTF_8))
+    val rs = Warc.records(file).toVector
+    assert(rs.map(_.recordType) == Vector("warcinfo", "response", "request"))
+    val resp = rs(1)
+    assert(resp.targetUri.contains("https://a.example.com/x"))
+    assert(resp.date.contains("2026-08-18T00:00:00Z"))
+    assert(new String(resp.httpBody, UTF_8) == "<html>A</html>")
+    // a record body may itself contain the record separator — framing is
+    // by Content-Length, never by scanning
+    val tricky = "X\r\n\r\nWARC/1.0 fake\r\n\r\nY"
+    val rs2 = Warc.records(rec("resource", None, tricky.getBytes(UTF_8))).toVector
+    assert(rs2.length == 1 && new String(rs2.head.body, UTF_8) == tricky)
+  }
+
+  test("multi-member gzip (Common Crawl layout) parses identically") {
+    val r1 = rec("response", Some("https://b.example.com/1"), http("<p>one</p>"))
+    val r2 = rec("response", Some("https://b.example.com/2"), http("<p>two</p>"))
+    val plain = Warc.records(r1 ++ r2).toVector
+    val gzd = Warc.records(gz(r1) ++ gz(r2)).toVector // one member per record
+    assert(gzd.map(_.targetUri) == plain.map(_.targetUri))
+    assert(gzd.map(r => new String(r.httpBody, UTF_8)) ==
+      plain.map(r => new String(r.httpBody, UTF_8)))
+  }
+
+  test("damaged record is skipped and parsing resyncs on the next magic") {
+    val good1 = rec("response", Some("https://c.example.com/ok1"), http("<i>1</i>"))
+    val bad = rec("response", Some("https://c.example.com/bad"), http("<i>x</i>"),
+      declaredLen = Some(1 << 28)) // truncated: length overruns the file
+    val good2 = rec("response", Some("https://c.example.com/ok2"), http("<i>2</i>"))
+    val rs = Warc.records(good1 ++ bad ++ good2).toVector
+    assert(rs.flatMap(_.targetUri) ==
+      Vector("https://c.example.com/ok1", "https://c.example.com/ok2"))
+  }
+
+  test("readPages: input-hint table shape from a .warc file on disk") {
+    val file = rec("warcinfo", None, "software: test\r\n".getBytes(UTF_8)) ++
+      rec("response", Some("https://d.example.com/p"), http("<html><p>hello</p></html>")) ++
+      rec("request", Some("https://d.example.com/p"), "GET /p\r\n".getBytes(UTF_8)) ++
+      rec("response", Some("https://d.example.com/q"), http("<html><p>bye</p></html>"))
+    val p = Paths.get(work, "test.warc")
+    Files.write(p, file)
+    val df = Warc.readPages(spark, p.toString)
+    assert(df.columns.toSeq == Seq("url", "warc_ts", "html", "text", "lang"))
+    val rows = df.orderBy("url").collect()
+    assert(rows.length == 2) // responses only
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("https://d.example.com/p", "https://d.example.com/q"))
+    assert(rows.forall(_.getTimestamp(1).toInstant.toString
+      == "2026-08-18T00:00:00Z"))
+    assert(new String(rows(0).getAs[Array[Byte]](2), UTF_8)
+      == "<html><p>hello</p></html>")
+    assert(rows.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+}
