@@ -655,9 +655,14 @@ object TextDedup {
                 lineArray: Column => Column, sep: String,
                 hash: Column => Column = portableHash): DataFrame = {
     val id = col(idCol)
+    // materialize the line array in its own projection: HOF lambdas run
+    // interpreted and get NO common-subexpression elimination — naming
+    // size(...) and posexplode(...) over the same lineArray expression
+    // would evaluate the whole chunking fold twice per row
     val lines = df
-      .select(id, size(lineArray(col(textCol))).as("n_lines"),
-        posexplode(lineArray(col(textCol))).as(Seq("line_no", "line")))
+      .select(id, lineArray(col(textCol)).as("la"))
+      .select(id, size(col("la")).as("n_lines"),
+        posexplode(col("la")).as(Seq("line_no", "line")))
       .withColumn("lh", hash(col("line")))
     val w = Window.partitionBy(col("lh")).orderBy(id, col("line_no"))
     val kept = lines
