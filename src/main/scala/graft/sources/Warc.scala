@@ -142,6 +142,19 @@ object Warc {
     * target URI become rows; text/lang are left null for the extraction
     * pipeline to fill. `path` accepts globs; .warc and .warc.gz both work.
     */
+  /** WARC → extraction-pipeline input: bucket by url-hash (the pipeline's
+    * resumable per-bucket unit, same derivation as the synthetic corpus)
+    * and write partitioned Parquet. Returns the row count, read back from
+    * the written files' footers (no second scan of the data pages).
+    */
+  def writeBucketedPages(spark: SparkSession, warcPath: String,
+                         outPath: String, buckets: Int): Long = {
+    readPages(spark, warcPath)
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
   def readPages(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)

@@ -106,4 +106,44 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       == "<html><p>hello</p></html>")
     assert(rows.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
+
+  test("end to end: WARC container in, byte-identical golden extraction out") {
+    import graft.fixtures.{CorpusIO, PayloadGen}
+    import graft.pipeline.Extract
+    // real golden corpus docs whose payload is an HTTP-deliverable byte
+    // stream (html/pdf), wrapped as WARC response records
+    val docs = CorpusIO.load()
+      .filter(d => d.mode == "standard" && (d.payload == "html" || d.payload == "pdf"))
+      .take(6)
+    assert(docs.nonEmpty)
+    val warc = docs.flatMap { d =>
+      val (url, _, html, _, _) = PayloadGen.row(d)
+      // a real response record: HTTP header block + raw payload bytes
+      val body = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        .getBytes(UTF_8) ++ html
+      rec("response", Some(url), body)
+    }.toArray
+    val wPath = Paths.get(work, "cc.warc.gz")
+    Files.write(wPath, gz(warc))
+    val pagesPath = s"$work/warc_pages"
+    val n = Warc.writeBucketedPages(spark, wPath.toString, pagesPath, buckets = 2)
+    assert(n == docs.length.toLong)
+    val outRoot = s"$work/warc_out"
+    Extract.run(spark, pagesPath, outRoot,
+      Extract.Config(mode = "standard", buckets = 2, parallelism = 2,
+        ocrEngine = "fake"))
+    val got = Extract.readSnapshot(spark, outRoot)
+      .select("url", "extracted_json", "error").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got.size == docs.length)
+    val goldenDir = Seq("src/test/resources/golden", "/root/repo/src/test/resources/golden")
+      .find(p => Files.exists(Paths.get(p))).get
+    docs.foreach { d =>
+      val (json, err) = got(d.url)
+      assert(err == null, s"${d.url}: $err")
+      val expect = new String(Files.readAllBytes(
+        Paths.get(goldenDir, CorpusIO.docId(d.url) + ".json")), UTF_8)
+      assert(json == expect, s"${d.url} [${d.payload}] WARC-ingested output != golden")
+    }
+  }
 }
