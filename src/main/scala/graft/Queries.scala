@@ -1662,6 +1662,43 @@ object Queries {
        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT % 1000000 < thr.thr
        GROUP BY d.source ORDER BY d.source"""
 
+  // ------------------------------------------------------------------ robots
+  // RFC 9309 longest-match decision over a synthesized per-host rules
+  // table: every host disallows /doc/ on hosts ≡ 0 (mod 3), and a longer
+  // /doc/1 Allow overrides for paths starting with '1' — so the decision
+  // exercises both the longest-match rule and the no-match default.
+  private def qRobots(s: SparkSession, dir: String): DataFrame = {
+    val pages = docs(s, dir).select(col("doc_id"),
+      concat(lit("https://h"), pmod(col("doc_id"), lit(37)).cast("string"),
+        lit(".example.com/doc/"), col("doc_id").cast("string")).as("url"))
+    val hostCol = concat(lit("h"), col("id").cast("string"), lit(".example.com"))
+    val rules = s.range(0, 37)
+      .select(hostCol.as("host"), lit("/doc/").as("prefix"),
+        (pmod(col("id"), lit(3)) =!= 0).as("allow"))
+      .union(s.range(0, 37)
+        .select(hostCol.as("host"), lit("/doc/1").as("prefix"), lit(true).as("allow")))
+    graft.ops.Robots.allowedDecision(pages, "url", rules)
+      .select(col("doc_id"), col("allowed"))
+      .orderBy("doc_id")
+  }
+
+  private val oRobots =
+    """WITH u AS (SELECT doc_id, 'h' || (doc_id % 37)::VARCHAR || '.example.com' AS host,
+                '/doc/' || doc_id::VARCHAR AS path FROM documents),
+       r AS (
+         SELECT 'h' || i::VARCHAR || '.example.com' AS host, '/doc/' AS prefix,
+                (i % 3 <> 0) AS allow FROM generate_series(0, 36) t(i)
+         UNION ALL
+         SELECT 'h' || i::VARCHAR || '.example.com', '/doc/1', true
+         FROM generate_series(0, 36) t(i)),
+       j AS (SELECT u.doc_id, coalesce(len(r.prefix), -1) AS l,
+                    coalesce(r.allow, true) AS a
+             FROM u LEFT JOIN r ON r.host = u.host AND starts_with(u.path, r.prefix)),
+       rk AS (SELECT doc_id, a,
+                row_number() OVER (PARTITION BY doc_id ORDER BY l DESC, a DESC) AS rn
+              FROM j)
+       SELECT doc_id, a AS allowed FROM rk WHERE rn = 1 ORDER BY doc_id"""
+
   // --------------------------------------------------------------------- BPE
   // Distributed BPE merge training (k=8) + corpus tokenization with the
   // learned pieces. The oracle replays the Sennrich algorithm with the
@@ -2017,6 +2054,7 @@ object Queries {
     "q_bpe_tokens" -> qBpeTokens _,
     "q_mix" -> qMix _,
     "q_ivf_train" -> qIvfTrain _,
+    "q_robots" -> qRobots _,
     "q_asof" -> qAsof _,
     "q_range_join" -> qRangeJoin _,
     "q_incremental" -> qIncremental _,
@@ -2089,6 +2127,7 @@ object Queries {
     "q_bpe_tokens" -> oBpeTokens,
     "q_mix" -> oMix,
     "q_ivf_train" -> oIvfTrain,
+    "q_robots" -> oRobots,
     "q_asof" -> oAsof,
     "q_range_join" -> oRangeJoin,
     "q_incremental" -> oIncremental

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt compliance (RFC 9309, the Robots Exclusion Protocol) — the
+  * politeness gate between a crawl frontier and the extraction pipeline.
+  *
+  * Two pieces: a from-scratch robots.txt parser (group selection by
+  * most-specific user-agent, Allow/Disallow rule harvest) and a
+  * corpus-scale decision operator: pages join a (host, prefix, allow)
+  * rules table and the LONGEST matching prefix wins, ties to Allow, no
+  * match means allowed — RFC 9309 §2.2.2 semantics, expressed as a
+  * broadcast join + map-side argmax (rules tables are host-cardinality;
+  * the corpus is never shuffled).
+  */
+object Robots {
+
+  final case class Rule(prefix: String, allow: Boolean)
+
+  /** Parse one robots.txt body for `agent`: pick the group whose
+    * user-agent token is the longest case-insensitive substring-prefix of
+    * `agent` ("*" matches anything, specificity 0), then return its rules.
+    * Empty Disallow ("Disallow:") means allow-all and contributes no rule,
+    * per the RFC. Wildcard-bearing rules (*, $) are kept verbatim — the
+    * SQL decision operator below handles literal prefixes, which is what
+    * the overwhelming majority of real rules are; route wildcard rules to
+    * [[matches]] for per-record evaluation.
+    */
+  def parseRules(content: String, agent: String): Vector[Rule] = {
+    val lc = agent.toLowerCase
+    final case class Group(agents: Vector[String], rules: Vector[Rule])
+    var groups = Vector.empty[Group]
+    var curAgents = Vector.empty[String]
+    var curRules = Vector.empty[Rule]
+    var inRules = false
+    def flush(): Unit = {
+      if (curAgents.nonEmpty) groups :+= Group(curAgents, curRules)
+      curAgents = Vector.empty; curRules = Vector.empty; inRules = false
+    }
+    content.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush()
+            curAgents :+= value.toLowerCase
+          case "allow" | "disallow" =>
+            inRules = true
+            if (value.nonEmpty) curRules :+= Rule(value, key == "allow")
+          case _ => () // crawl-delay, sitemap, unknown: ignored here
+        }
+      }
+    }
+    flush()
+    def specificity(g: Group): Int =
+      g.agents.collect {
+        case "*" => 0
+        case a if lc.startsWith(a) || a.startsWith(lc) => a.length
+      }.maxOption.getOrElse(-1)
+    groups.filter(specificity(_) >= 0)
+      .sortBy(g => -specificity(g))
+      .headOption.map(_.rules).getOrElse(Vector.empty)
+  }
+
+  /** Single-rule match with RFC wildcards: '*' spans anything, '$' anchors
+    * the end. Used for the minority of wildcard rules; literal prefixes go
+    * through the SQL operator.
+    */
+  def matches(path: String, rulePrefix: String): Boolean = {
+    val anchored = rulePrefix.endsWith("$")
+    val body = if (anchored) rulePrefix.dropRight(1) else rulePrefix
+    val pat = body.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*")
+    path.matches("^" + pat + (if (anchored) "$" else ".*"))
+  }
+
+  /** Per-page allow decision against a (host, prefix, allow) rules table:
+    * adds an `allowed` column. Longest matching prefix wins, ties go to
+    * allow, hosts/paths with no matching rule are allowed.
+    *
+    * Plan: broadcast the rules table, theta-join on host equality +
+    * startswith (each page meets only its host's few rules), then the
+    * argmax collapses map-side as a max-of-struct aggregate — the shuffle
+    * carries one row per page, and the corpus is never repartitioned.
+    */
+  def allowedDecision(pages: DataFrame, urlCol: String,
+                      rules: DataFrame): DataFrame = {
+    val host = lower(parse_url(col(urlCol), lit("HOST")))
+    val path = coalesce(parse_url(col(urlCol), lit("PATH")), lit("/"))
+    val p = pages.withColumn("__host", host).withColumn("__path", path)
+    val r = rules.select(col("host").as("__rhost"), col("prefix"), col("allow"))
+    p.join(broadcast(r),
+        col("__host") === col("__rhost") && col("__path").startsWith(col("prefix")),
+        "left")
+      .groupBy(pages.columns.map(col): _*)
+      // unmatched rows coalesce to (-1, allow): outranked by any real rule
+      .agg(max(struct(
+        coalesce(length(col("prefix")), lit(-1)).as("l"),
+        coalesce(col("allow"), lit(true)).as("a"))).as("best"))
+      .withColumn("allowed", col("best.a"))
+      .drop("best", "__host", "__path")
+  }
+
+  /** Keep only robots-allowed pages. */
+  def filterAllowed(pages: DataFrame, urlCol: String, rules: DataFrame): DataFrame =
+    allowedDecision(pages, urlCol, rules).where(col("allowed")).drop("allowed")
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 9309 contracts: group selection by most-specific user-agent,
+  * empty-Disallow = allow-all, longest-match decision with ties to Allow,
+  * no-rule default allow, wildcard matcher, and the broadcast plan shape.
+  */
+class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("parseRules: group selection, comments, empty Disallow") {
+    val txt =
+      """# robots for example.com
+        |User-agent: *
+        |Disallow: /private/
+        |Allow: /private/ok
+        |
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Disallow: /only-for-graft/   # trailing comment
+        |
+        |User-agent: unrelated
+        |Disallow: /
+        |""".stripMargin
+    // most-specific group wins outright (no merging across groups, per RFC)
+    assert(Robots.parseRules(txt, "graftbot") ==
+      Vector(Robots.Rule("/only-for-graft/", allow = false)))
+    assert(Robots.parseRules(txt, "somebot") ==
+      Vector(Robots.Rule("/private/", allow = false),
+        Robots.Rule("/private/ok", allow = true)))
+    // empty Disallow contributes nothing (allow-all)
+    assert(Robots.parseRules("User-agent: *\nDisallow:\n", "x").isEmpty)
+    // a second user-agent line AFTER rules starts a new group
+    assert(Robots.parseRules(txt, "unrelated") ==
+      Vector(Robots.Rule("/", allow = false)))
+  }
+
+  test("matches: RFC wildcards * and $") {
+    assert(Robots.matches("/a/b.pdf", "/a/"))
+    assert(Robots.matches("/a/b.pdf", "/*.pdf"))
+    assert(Robots.matches("/a/b.pdf", "/*.pdf$"))
+    assert(!Robots.matches("/a/b.pdfx", "/*.pdf$"))
+    assert(Robots.matches("/a/b.pdfx", "/*.pdf"))
+    assert(!Robots.matches("/c/b.gif", "/*.pdf"))
+  }
+
+  test("allowedDecision: longest match wins, ties to Allow, no rule allows") {
+    val s = spark
+    import s.implicits._
+    val rules = Seq(
+      ("h.example.com", "/doc/", false),
+      ("h.example.com", "/doc/pub", true),
+      ("h.example.com", "/tie/", true), // same-length tie:
+      ("h.example.com", "/tie-", false) // different prefixes, no tie here
+    ).toDF("host", "prefix", "allow")
+    val pages = Seq(
+      (1L, "https://h.example.com/doc/secret"),   // /doc/ -> deny
+      (2L, "https://h.example.com/doc/public-1"), // longest /doc/pub -> allow
+      (3L, "https://h.example.com/other"),        // no rule -> allow
+      (4L, "https://other.example.com/doc/x")     // other host -> allow
+    ).toDF("id", "url")
+    val got = Robots.allowedDecision(pages, "url", rules)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(got.toSeq == Seq((1L, false), (2L, true), (3L, true), (4L, true)))
+    val kept = Robots.filterAllowed(pages, "url", rules)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+    // exact same-length tie goes to Allow (RFC 9309 §2.2.2)
+    val tie = Seq(("t.example.com", "/p/", true), ("t.example.com", "/p/", false))
+      .toDF("host", "prefix", "allow")
+    val one = Seq((9L, "https://t.example.com/p/x")).toDF("id", "url")
+    assert(Robots.allowedDecision(one, "url", tie).head().getBoolean(2))
+    // plan: rules broadcast, corpus never repartitioned
+    val plan = Robots.allowedDecision(pages, "url", rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"rules must broadcast:\n$plan")
+  }
+}
