@@ -1662,6 +1662,34 @@ object Queries {
        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT % 1000000 < thr.thr
        GROUP BY d.source ORDER BY d.source"""
 
+  // -------------------------------------------------------------- crawl diff
+  // Snapshot delta: prev is missing every 10th doc (→ added in curr), curr
+  // is missing doc_id ≡ 3 (mod 10) (→ removed), docs ≡ 0 (mod 7) carry
+  // modified text (→ changed, unless already added/removed — the CASE
+  // order is part of the contract and mirrored in the oracle).
+  private def qCrawlDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val prev = d.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id"), col("text"))
+    val curr = d.where(pmod(col("doc_id"), lit(10)) =!= 3)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    Incremental.crawlDiff(prev, curr, "doc_id", "text").orderBy("doc_id")
+  }
+
+  private val oCrawlDiff =
+    """WITH p AS (SELECT doc_id, md5(text) AS hp FROM documents WHERE doc_id % 10 <> 0),
+       c AS (SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS hc
+             FROM documents WHERE doc_id % 10 <> 3)
+       SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+         CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN hp = hc THEN 'unchanged' ELSE 'changed' END AS status
+       FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
+       ORDER BY doc_id"""
+
   // ------------------------------------------------------------------ robots
   // RFC 9309 longest-match decision over a synthesized per-host rules
   // table: every host disallows /doc/ on hosts ≡ 0 (mod 3), and a longer
@@ -2055,6 +2083,7 @@ object Queries {
     "q_mix" -> qMix _,
     "q_ivf_train" -> qIvfTrain _,
     "q_robots" -> qRobots _,
+    "q_crawl_diff" -> qCrawlDiff _,
     "q_asof" -> qAsof _,
     "q_range_join" -> qRangeJoin _,
     "q_incremental" -> qIncremental _,
@@ -2128,6 +2157,7 @@ object Queries {
     "q_mix" -> oMix,
     "q_ivf_train" -> oIvfTrain,
     "q_robots" -> oRobots,
+    "q_crawl_diff" -> oCrawlDiff,
     "q_asof" -> oAsof,
     "q_range_join" -> oRangeJoin,
     "q_incremental" -> oIncremental

@@ -58,4 +58,23 @@ object Incremental {
       .join(seen.select(col(key)).distinct(), Seq(key), "left_anti")
     definitelyNew.unionByName(residual)
   }
+
+  /** Crawl delta between two snapshots: one full-outer join on `key`,
+    * status ∈ {added, removed, changed, unchanged} — the report a rolling
+    * crawl reads before deciding what to re-extract. Contents compare by
+    * md5, computed scan-side BEFORE the join, so wide payloads never ship
+    * through the exchange — the shuffle carries (key, 32-char hash). One
+    * shuffle on the key; zero with both snapshots bucketed on it.
+    */
+  def crawlDiff(prev: DataFrame, curr: DataFrame, key: String,
+                contentCol: String): DataFrame = {
+    val p = prev.select(col(key), md5(col(contentCol).cast("binary")).as("__hp"))
+    val c = curr.select(col(key), md5(col(contentCol).cast("binary")).as("__hc"))
+    p.join(c, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__hp").isNull, "added")
+          .when(col("__hc").isNull, "removed")
+          .when(col("__hp") === col("__hc"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

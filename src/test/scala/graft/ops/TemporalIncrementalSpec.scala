@@ -143,6 +143,20 @@ class TemporalIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti"), s"residual must be an anti-join:\n$p")
   }
 
+  test("crawlDiff: added/removed/changed/unchanged partition the key union") {
+    val s = spark; import s.implicits._
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("url", "text")
+    val curr = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("url", "text")
+    val got = Incremental.crawlDiff(prev, curr, "url", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // the join's output schema carries only (key, hash, hash) — the
+    // payload column is projected away below the exchange by construction
+    val joined = Incremental.crawlDiff(prev, curr, "url", "text")
+    assert(!joined.queryExecution.analyzed.toString.contains("text#") ||
+      joined.columns.toSeq == Seq("url", "status"))
+  }
+
   test("bloomAntiJoin argument guards") {
     val s = spark; import s.implicits._
     val d = Seq(1L).toDF("key")
