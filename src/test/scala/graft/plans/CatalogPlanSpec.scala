@@ -235,4 +235,36 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Generate") || p.contains("inline"),
       s"fingerprint must not explode grams:\n$p")
   }
+
+  test("q_line_dedup: keep decision rides WindowGroupLimit on the real catalog query") {
+    val p = plan("q_line_dedup")
+    assert(p.contains("WindowGroupLimit"),
+      s"hot boilerplate lines must be capped map-side:\n$p")
+  }
+
+  test("q_robots / q_mix: decision tables broadcast, corpus never repartitions") {
+    Seq("q_robots", "q_mix").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the tiny rule/threshold table must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: the corpus must not sort-merge against a host-cardinality table:\n$p")
+    }
+  }
+
+  test("q_lm_score: model joins are equi-joins, no cartesian against the corpus") {
+    val p = plan("q_lm_score")
+    assert(!p.contains("CartesianProduct"), s"q_lm_score must not cartesian:\n$p")
+    assert(p.contains("partial_"),
+      s"model counts must combine map-side before their exchange:\n$p")
+  }
+
+  test("q_ml_quality: tf pre-aggregates before the broadcast model join") {
+    val p = plan("q_ml_quality")
+    assert(p.contains("BroadcastHashJoin"), s"model table must broadcast:\n$p")
+    val join = p.indexOf("BroadcastHashJoin")
+    val agg = p.indexOf("partial_count")
+    assert(agg >= 0 && agg > join,
+      s"tf partial aggregate must sit below (after in toString) the join:\n$p")
+  }
 }
