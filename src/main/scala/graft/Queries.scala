@@ -1662,6 +1662,43 @@ object Queries {
        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT % 1000000 < thr.thr
        GROUP BY d.source ORDER BY d.source"""
 
+  // ------------------------------------------------------------- reg. domain
+  // Public-suffix registered-domain extraction over a host mix that
+  // exercises all three branches: plain .com/.org (suffix+1), two-label
+  // suffixes (co.uk, com.au → suffix+1 = THREE labels), and bare 2-label
+  // hosts passing through.
+  private def qRegDomain(s: SparkSession, dir: String): DataFrame = {
+    val m4 = pmod(col("doc_id"), lit(4))
+    val host =
+      when(m4 === 0, concat(lit("a"), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(".example.com")))
+        .when(m4 === 1, concat(lit("s"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".shop.co.uk")))
+        .when(m4 === 2, lit("example.org"))
+        .otherwise(concat(lit("x.y"), pmod(col("doc_id"), lit(3)).cast("string"),
+          lit(".com.au")))
+    docs(s, dir).select(col("doc_id"), host.as("host"))
+      .withColumn("reg_domain", CorpusSignals.registeredDomain(col("host")))
+      .orderBy("doc_id")
+  }
+
+  private val oRegDomain: String = {
+    val suf = CorpusSignals.MultiLabelSuffixes.map(s => s"'$s'").mkString(", ")
+    s"""WITH h AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN 'a' || (doc_id % 5)::VARCHAR || '.example.com'
+                WHEN doc_id % 4 = 1 THEN 's' || (doc_id % 5)::VARCHAR || '.shop.co.uk'
+                WHEN doc_id % 4 = 2 THEN 'example.org'
+                ELSE 'x.y' || (doc_id % 3)::VARCHAR || '.com.au' END AS host
+         FROM documents),
+       p AS (SELECT doc_id, host, str_split(host, '.') AS ts FROM h)
+       SELECT doc_id, host,
+         CASE WHEN len(ts) <= 2 THEN host
+              WHEN (ts[-2] || '.' || ts[-1]) IN ($suf)
+                THEN ts[-3] || '.' || ts[-2] || '.' || ts[-1]
+              ELSE ts[-2] || '.' || ts[-1] END AS reg_domain
+       FROM p ORDER BY doc_id"""
+  }
+
   // -------------------------------------------------------------- crawl diff
   // Snapshot delta: prev is missing every 10th doc (→ added in curr), curr
   // is missing doc_id ≡ 3 (mod 10) (→ removed), docs ≡ 0 (mod 7) carry
@@ -2084,6 +2121,7 @@ object Queries {
     "q_ivf_train" -> qIvfTrain _,
     "q_robots" -> qRobots _,
     "q_crawl_diff" -> qCrawlDiff _,
+    "q_reg_domain" -> qRegDomain _,
     "q_asof" -> qAsof _,
     "q_range_join" -> qRangeJoin _,
     "q_incremental" -> qIncremental _,
@@ -2158,6 +2196,7 @@ object Queries {
     "q_ivf_train" -> oIvfTrain,
     "q_robots" -> oRobots,
     "q_crawl_diff" -> oCrawlDiff,
+    "q_reg_domain" -> oRegDomain,
     "q_asof" -> oAsof,
     "q_range_join" -> oRangeJoin,
     "q_incremental" -> oIncremental

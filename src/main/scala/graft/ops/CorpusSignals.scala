@@ -217,6 +217,35 @@ object CorpusSignals {
     */
   def host(url: Column): Column = lower(parse_url(url, lit("HOST")))
 
+  /** Multi-label public suffixes for [[registeredDomain]] — a working
+    * subset of the Public Suffix List. The PSL proper is a data file a
+    * deployment ships and feeds here; the ALGORITHM (longest matching
+    * suffix + one label) is what this function pins, and what grouping
+    * "by domain" actually needs: co.uk sites are NOT one domain.
+    */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "or.jp", "ne.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "co.za", "com.ar", "com.tr")
+
+  /** Registered (pay-level) domain of a host: the public-suffix algorithm
+    * over [[MultiLabelSuffixes]] — suffix plus one label. Hosts with ≤2
+    * labels (or that ARE a listed suffix) pass through unchanged. CCNet
+    * groups, host caps, and crawl politeness all key on THIS, not the raw
+    * host: sub.a.example.co.uk and b.example.co.uk are one publisher.
+    * Scan-side Column arithmetic; no UDF.
+    */
+  def registeredDomain(hostCol: Column): Column = {
+    val parts = split(hostCol, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".", element_at(parts, -3), element_at(parts, -2),
+      element_at(parts, -1))
+    when(n <= 2, hostCol)
+      .when(last2.isin(MultiLabelSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
   /** Query params dropped by [[canonUrl]]: tracking keys that vary per
     * click without changing the resource — the reason one page shows up as
     * thousands of "distinct" URLs in a crawl.

@@ -161,4 +161,20 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byHost.keySet == Set("host0.example.com", "host1.example.com", "host2.example.com"))
     assert(byHost.values.forall(_.size == 4))
   }
+
+  test("registeredDomain: public-suffix algorithm, all branches and edges") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      "deep.sub.example.com" -> "example.com",   // 1-label suffix
+      "b.example.co.uk" -> "example.co.uk",      // 2-label suffix
+      "sub.a.example.co.uk" -> "example.co.uk",  // depth-invariant
+      "example.org" -> "example.org",            // bare registrable
+      "co.uk" -> "co.uk",                        // host IS a suffix: pass-through
+      "localhost" -> "localhost",                // single label
+      "x.y0.com.au" -> "y0.com.au")
+    val got = cases.map(_._1).toDF("host")
+      .select(col("host"), CorpusSignals.registeredDomain(col("host")).as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) => assert(got(h) == want, s"host $h") }
+  }
 }
