@@ -1662,6 +1662,25 @@ object Queries {
        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT % 1000000 < thr.thr
        GROUP BY d.source ORDER BY d.source"""
 
+  // ----------------------------------------------------------------- z-order
+  // Morton z-value over two quantized dimensions — the data-layout key for
+  // multi-column row-group pruning. Pure bit arithmetic, exact both sides;
+  // the layout effect itself (tight per-file ranges on EVERY interleaved
+  // column) is pinned in ZOrderSpec.
+  private def qZorder(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        graft.ops.ZOrder.zValue(
+          Seq(pmod(col("doc_id"), lit(256L)), pmod(col("n_chars"), lit(256L))),
+          bits = 8).as("z"))
+      .orderBy("doc_id")
+
+  private val oZorder =
+    """SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 7), b ->
+           ((((doc_id % 256) >> b) & 1) << (2*b))
+           + ((((n_chars % 256) >> b) & 1) << (2*b + 1)))) AS BIGINT) AS z
+       FROM documents ORDER BY doc_id"""
+
   // ------------------------------------------------------------- reg. domain
   // Public-suffix registered-domain extraction over a host mix that
   // exercises all three branches: plain .com/.org (suffix+1), two-label
@@ -2122,6 +2141,7 @@ object Queries {
     "q_robots" -> qRobots _,
     "q_crawl_diff" -> qCrawlDiff _,
     "q_reg_domain" -> qRegDomain _,
+    "q_zorder" -> qZorder _,
     "q_asof" -> qAsof _,
     "q_range_join" -> qRangeJoin _,
     "q_incremental" -> qIncremental _,
@@ -2197,6 +2217,7 @@ object Queries {
     "q_robots" -> oRobots,
     "q_crawl_diff" -> oCrawlDiff,
     "q_reg_domain" -> oRegDomain,
+    "q_zorder" -> oZorder,
     "q_asof" -> oAsof,
     "q_range_join" -> oRangeJoin,
     "q_incremental" -> oIncremental
