@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *
   * Distribution shape: one WARC file = one task (`binaryFile` source) —
   * exactly the Common Crawl unit of parallelism (~1 GB gz files); the
-  * record iterator is lazy over the byte array so the task never holds
-  * more than the file plus one record.
+  * record iterator is lazy over the byte array. Honest memory note: gz
+  * input is decompressed whole into the task (a CC file inflates ~4×);
+  * that bounds executor sizing at ~5 GB/task. The streaming upgrade —
+  * parse records directly off a GZIPInputStream member by member — slots
+  * behind this same record-iterator interface when that bound bites.
   */
 object Warc {
 
