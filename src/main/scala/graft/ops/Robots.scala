@@ -78,22 +78,44 @@ object Robots {
   }
 
   /** Per-page allow decision against a (host, prefix, allow) rules table:
-    * adds an `allowed` column. Longest matching prefix wins, ties go to
-    * allow, hosts/paths with no matching rule are allowed.
+    * adds an `allowed` column. Longest matching rule wins (specificity =
+    * rule length, the Googlebot interpretation of RFC 9309's "most
+    * octets"), ties go to allow, hosts/paths with no matching rule are
+    * allowed. Rules may carry the RFC wildcards: '*' spans anything, a
+    * trailing '$' anchors the end — literal rules (the overwhelming
+    * majority) match via startswith; wildcard rules compile to an
+    * anchored regex column and match via RLIKE, all inside the same
+    * broadcast join.
     *
     * Plan: broadcast the rules table, theta-join on host equality +
-    * startswith (each page meets only its host's few rules), then the
-    * argmax collapses map-side as a max-of-struct aggregate — the shuffle
-    * carries one row per page, and the corpus is never repartitioned.
+    * match predicate (each page meets only its host's few rules), then
+    * the argmax collapses map-side as a max-of-struct aggregate — the
+    * shuffle carries one row per page, and the corpus is never
+    * repartitioned.
     */
   def allowedDecision(pages: DataFrame, urlCol: String,
                       rules: DataFrame): DataFrame = {
     val host = lower(parse_url(col(urlCol), lit("HOST")))
     val path = coalesce(parse_url(col(urlCol), lit("PATH")), lit("/"))
     val p = pages.withColumn("__host", host).withColumn("__path", path)
-    val r = rules.select(col("host").as("__rhost"), col("prefix"), col("allow"))
+    // wildcard rules → anchored regex, built COLUMN-side so the rules
+    // table stays data: strip a trailing '$' (anchor), quote every regex
+    // metacharacter except '*', then widen '*' to '.*'
+    val anchored = col("prefix").endsWith("$")
+    val body = when(anchored, expr("substring(prefix, 1, length(prefix) - 1)"))
+      .otherwise(col("prefix"))
+    val quoted = regexp_replace(body,
+      lit("([\\\\.\\[\\]\\{\\}\\(\\)\\+\\-\\^\\$\\?\\|])"), lit("\\\\$1"))
+    val pattern = concat(lit("^"), regexp_replace(quoted, lit("\\*"), lit(".*")),
+      when(anchored, lit("$")).otherwise(lit("")))
+    val isWild = col("prefix").contains("*") || anchored
+    val r = rules.select(col("host").as("__rhost"), col("prefix"), col("allow"),
+      isWild.as("__wild"), pattern.as("__pat"))
+    val matchPred =
+      when(col("__wild"), regexp_like(col("__path"), col("__pat")))
+        .otherwise(col("__path").startsWith(col("prefix")))
     p.join(broadcast(r),
-        col("__host") === col("__rhost") && col("__path").startsWith(col("prefix")),
+        col("__host") === col("__rhost") && matchPred,
         "left")
       .groupBy(pages.columns.map(col): _*)
       // unmatched rows coalesce to (-1, allow): outranked by any real rule

@@ -90,4 +90,25 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"rules must broadcast:\n$plan")
   }
+
+  test("allowedDecision: RFC wildcard rules run through the same broadcast join") {
+    val s = spark
+    import s.implicits._
+    val rules = Seq(
+      ("w.example.com", "/*.pdf$", false), // anchored wildcard deny, len 7
+      ("w.example.com", "/pub/", true),    // literal allow, len 5
+      ("w.example.com", "/p+q/*.x", false) // regex metachars stay literal
+    ).toDF("host", "prefix", "allow")
+    val pages = Seq(
+      (1L, "https://w.example.com/docs/a.pdf"),  // wildcard deny
+      (2L, "https://w.example.com/docs/a.pdfx"), // $ anchor: no match -> allow
+      (3L, "https://w.example.com/pub/b.pdf"),   // deny (len 7) beats allow (len 5)
+      (4L, "https://w.example.com/p+q/m.x"),     // '+' is literal, '*' spans
+      (5L, "https://w.example.com/ppq/m.x")      // '+' must NOT mean regex 'p+'
+    ).toDF("id", "url")
+    val got = Robots.allowedDecision(pages, "url", rules)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (1L, false), (2L, true), (3L, false), (4L, false), (5L, true)))
+  }
 }
