@@ -145,6 +145,30 @@ object Warc {
     * target URI become rows; text/lang are left null for the extraction
     * pipeline to fill. `path` accepts globs; .warc and .warc.gz both work.
     */
+  /** WET companion reader: Common Crawl's *.warc.wet.gz files are WARC
+    * containers whose `conversion` records carry already-extracted plain
+    * text (no HTTP block). Emits the input-table shape with `text` filled
+    * and `html` null — the entry point for pipelines that trust CC's own
+    * extraction and start at the curation stages instead of ours.
+    */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { fileBytes =>
+        records(fileBytes)
+          .filter(r => r.recordType == "conversion" && r.targetUri.isDefined)
+          .map(r => (r.targetUri.get, r.date.orNull,
+            new String(r.body, StandardCharsets.UTF_8)))
+      }
+      .toDF("url", "warc_date", "text")
+      .select(col("url"),
+        to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_ts"),
+        lit(null).cast("binary").as("html"),
+        col("text"), lit(null: String).as("lang"))
+  }
+
   /** WARC → extraction-pipeline input: bucket by url-hash (the pipeline's
     * resumable per-bucket unit, same derivation as the synthetic corpus)
     * and write partitioned Parquet. Returns the row count, read back from

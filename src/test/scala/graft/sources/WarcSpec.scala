@@ -107,6 +107,23 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
 
+  test("readWet: conversion records land as text rows, html null") {
+    val file = rec("warcinfo", None, "software: wet\r\n".getBytes(UTF_8)) ++
+      rec("conversion", Some("https://e.example.com/1"),
+        "already extracted text\nsecond line".getBytes(UTF_8)) ++
+      rec("response", Some("https://e.example.com/skip"), http("<p>raw</p>")) ++
+      rec("conversion", Some("https://e.example.com/2"), "more text".getBytes(UTF_8))
+    val p = Paths.get(work, "test.warc.wet.gz")
+    Files.write(p, gz(file))
+    val rows = Warc.readWet(spark, p.toString).orderBy("url").collect()
+    assert(rows.length == 2) // conversion records only
+    assert(rows(0).getString(0) == "https://e.example.com/1")
+    assert(rows(0).isNullAt(2)) // html null
+    assert(rows(0).getString(3) == "already extracted text\nsecond line")
+    assert(Warc.readWet(spark, p.toString).columns.toSeq ==
+      Seq("url", "warc_ts", "html", "text", "lang"))
+  }
+
   test("end to end: WARC container in, byte-identical golden extraction out") {
     import graft.fixtures.{CorpusIO, PayloadGen}
     import graft.pipeline.Extract
