@@ -169,6 +169,41 @@ object Warc {
         col("text"), lit(null: String).as("lang"))
   }
 
+  /** WAT companion reader: *.warc.wat.gz containers hold `metadata`
+    * records whose JSON envelope carries, among other things, the page's
+    * outlinks as CC already extracted them. Emits (url, warc_ts, href)
+    * one row per link — a drop-in feed for [[graft.ops.WebGraph.hostEdges]]
+    * and PageRank without touching the raw HTML. The envelope is parsed
+    * with `from_json` against the minimal schema (unknown fields ignored),
+    * so the JSON decode runs codegen'd in the scan stage, not in the
+    * record iterator.
+    */
+  def readWat(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val linkSchema = "STRUCT<Envelope: STRUCT<`Payload-Metadata`: STRUCT<" +
+      "`HTTP-Response-Metadata`: STRUCT<`HTML-Metadata`: STRUCT<" +
+      "Links: ARRAY<STRUCT<url: STRING>>>>>>>"
+    spark.read.format("binaryFile").load(path)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { fileBytes =>
+        records(fileBytes)
+          .filter(r => r.recordType == "metadata" && r.targetUri.isDefined)
+          .map(r => (r.targetUri.get, r.date.orNull,
+            new String(r.body, StandardCharsets.UTF_8)))
+      }
+      .toDF("url", "warc_date", "wat_json")
+      .select(col("url"),
+        to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_ts"),
+        explode(coalesce(
+          from_json(col("wat_json"), linkSchema, Map.empty[String, String])
+            .getField("Envelope").getField("Payload-Metadata")
+            .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
+            .getField("Links").getField("url"),
+          array())).as("href"))
+      .where(col("href").isNotNull)
+  }
+
   /** WARC → extraction-pipeline input: bucket by url-hash (the pipeline's
     * resumable per-bucket unit, same derivation as the synthetic corpus)
     * and write partitioned Parquet. Returns the row count, read back from

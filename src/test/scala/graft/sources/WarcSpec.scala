@@ -124,6 +124,31 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("url", "warc_ts", "html", "text", "lang"))
   }
 
+  test("readWat: metadata-record link envelopes explode into (url, href) rows") {
+    val wat1 =
+      """{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":{
+        |"HTML-Metadata":{"Links":[{"url":"https://t1.example.com/a","text":"x"},
+        |{"url":"/rel/b"}]}}}},"Container":{"ignored":true}}""".stripMargin.replace("\n", "")
+    val wat2 = """{"Envelope":{"Payload-Metadata":{}}}""" // no links: zero rows
+    val file = rec("metadata", Some("https://f.example.com/p"), wat1.getBytes(UTF_8)) ++
+      rec("metadata", Some("https://f.example.com/q"), wat2.getBytes(UTF_8)) ++
+      rec("response", Some("https://f.example.com/skip"), http("<p>r</p>"))
+    val p = Paths.get(work, "test.warc.wat.gz")
+    Files.write(p, gz(file))
+    val rows = Warc.readWat(spark, p.toString).orderBy("href").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      "https://f.example.com/p" -> "/rel/b",
+      "https://f.example.com/p" -> "https://t1.example.com/a"))
+    // the WAT feed drops into the host-graph pipeline unchanged
+    val edges = graft.ops.WebGraph.hostEdges(
+      Warc.readWat(spark, p.toString), "url").orderBy("dst").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(edges.toSeq == Seq(
+      ("f.example.com", "f.example.com", 1L), // relative link -> source host
+      ("f.example.com", "t1.example.com", 1L)))
+  }
+
   test("end to end: WARC container in, byte-identical golden extraction out") {
     import graft.fixtures.{CorpusIO, PayloadGen}
     import graft.pipeline.Extract
