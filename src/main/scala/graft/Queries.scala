@@ -1783,6 +1783,42 @@ object Queries {
               FROM j)
        SELECT doc_id, a AS allowed FROM rk WHERE rn = 1 ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- mix epochs
+  // Upsampling mixture: the same weight vector as q_mix but with whole
+  // epochs — source s appears copies_s (+1 for the hash-selected
+  // fractional remainder) times. The oracle recomputes per-doc copy counts
+  // arithmetically; the aggregate compares row and token mass per source.
+  private def qMixEpochs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    val weights = (0 until 20).map(i => s"src$i" -> (i % 5).toLong).toMap
+    Sampling.mixEpochs(d, "doc_id", "toks", "source", weights, salt = "mixe",
+        hash = ph)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"), sum(col("toks")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  private val oMixEpochs =
+    """WITH d AS (SELECT doc_id, source, len(str_split(text, ' '))::BIGINT AS toks FROM documents),
+       w AS (SELECT source, (substr(source, 4)::BIGINT % 5) AS w
+             FROM (SELECT DISTINCT source FROM d)),
+       tot AS (SELECT d.source, CAST(SUM(toks) AS BIGINT) AS tok, any_value(w.w) AS w
+               FROM d JOIN w USING (source) WHERE w.w > 0 GROUP BY d.source),
+       thr AS (SELECT source,
+                 ((w * (SELECT CAST(SUM(tok) AS BIGINT) FROM tot))
+                  // (SELECT CAST(SUM(w) AS BIGINT) FROM tot)) AS target, tok
+               FROM tot),
+       cr AS (SELECT source, target // tok AS copies,
+                     ((target % tok) * 1000000) // tok AS rem FROM thr),
+       n AS (SELECT d.source, d.toks,
+               cr.copies + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || 'mixe'), 1, 15))::BIGINT % 1000000 < cr.rem
+                           THEN 1 ELSE 0 END AS n
+             FROM d JOIN cr USING (source))
+       SELECT source, CAST(SUM(n) AS BIGINT) AS n_rows,
+              CAST(SUM(n * toks) AS BIGINT) AS n_tokens
+       FROM n WHERE n > 0 GROUP BY source ORDER BY source"""
+
   // --------------------------------------------------------------------- BPE
   // Distributed BPE merge training (k=8) + corpus tokenization with the
   // learned pieces. The oracle replays the Sennrich algorithm with the
@@ -2137,6 +2173,7 @@ object Queries {
     "q_bpe" -> qBpe _,
     "q_bpe_tokens" -> qBpeTokens _,
     "q_mix" -> qMix _,
+    "q_mix_epochs" -> qMixEpochs _,
     "q_ivf_train" -> qIvfTrain _,
     "q_robots" -> qRobots _,
     "q_crawl_diff" -> qCrawlDiff _,
@@ -2213,6 +2250,7 @@ object Queries {
     "q_bpe" -> oBpe,
     "q_bpe_tokens" -> oBpeTokens,
     "q_mix" -> oMix,
+    "q_mix_epochs" -> oMixEpochs,
     "q_ivf_train" -> oIvfTrain,
     "q_robots" -> oRobots,
     "q_crawl_diff" -> oCrawlDiff,

@@ -198,4 +198,49 @@ object Sampling {
         < col("__thr"))
       .select(df.columns.map(col): _*)
   }
+
+  /** Source mixing WITH upsampling — the full "epochs per source" contract
+    * of corpus assembly (RedPajama/Llama-style mixes repeat small trusted
+    * sources several times): each doc of source s appears
+    *
+    *   copies_s + [hash(id, salt) mod M < rem_s]   times, where
+    *   copies_s = target_s div tok_s               (whole epochs)
+    *   rem_s    = ((target_s mod tok_s) · M) div tok_s  (fractional epoch)
+    *
+    * and target_s = (w_s · T) div W exactly as [[mixByTokenBudget]] (which
+    * is the copies ≤ 1 projection of this operator). Output rows carry an
+    * `epoch` column (0-based copy index) so downstream shuffles/packing
+    * can keep repeated copies distinguishable and spread.
+    *
+    * Plan: the same tiny broadcast threshold table; the repetition is a
+    * scan-side `explode(sequence(...))` — each row expands to its own copy
+    * count with no shuffle, no driver loop.
+    */
+  def mixEpochs(df: DataFrame, idCol: String, tokCol: String,
+                srcCol: String, weights: Map[String, Long],
+                salt: String = "",
+                hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0L) &&
+      weights.values.sum > 0L, "weights must be non-negative, not all zero")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(srcCol, "__w")
+    val all = Window.partitionBy()
+    val thr = df.groupBy(col(srcCol)).agg(sum(col(tokCol)).as("__tok"))
+      .join(broadcast(wdf), Seq(srcCol))
+      .where(col("__w") > 0 && col("__tok") > 0)
+      .withColumn("__tsum", sum(col("__tok")).over(all))
+      .withColumn("__wsum", sum(col("__w")).over(all))
+      .withColumn("__target", expr("(__w * __tsum) div __wsum"))
+      .withColumn("__copies", expr("__target div __tok"))
+      .withColumn("__rem", expr(s"((__target % __tok) * ${M}L) div __tok"))
+      .select(col(srcCol), col("__copies"), col("__rem"))
+    val h = pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
+    val n = (col("__copies") + when(h < col("__rem"), 1L).otherwise(0L)).cast("int")
+    df.join(broadcast(thr), Seq(srcCol))
+      .withColumn("__n", n)
+      .where(col("__n") > 0)
+      .select(df.columns.map(col) :+
+        (explode(sequence(lit(0), col("__n") - 1))).as("epoch"): _*)
+  }
 }

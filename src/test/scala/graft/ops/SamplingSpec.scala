@@ -176,6 +176,32 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == (a.take(5).map(r => ("A", r._1)) ++ b.map(r => ("B", r._1))).toSet)
   }
 
+  test("mixEpochs: whole epochs plus hash-selected fractional epoch, exact arithmetic") {
+    val s = spark
+    import s.implicits._
+    val idHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => c.cast("long")
+    val a = (0 until 10).map(i => (i * 100000L, "A", 10L))
+    val b = (0 until 10).map(i => (3000000L + i * 100000L, "B", 10L))
+    val df = (a ++ b).toDF("doc_id", "source", "toks")
+    // tok_A = tok_B = 100, T = 200, W = 4:
+    //   A (w=3): target 150 -> copies 1, rem 500000: ids<5e5 get 2 epochs
+    //   B (w=1): target 50  -> copies 0, rem 500000: ids<5e5 kept once
+    val out = Sampling.mixEpochs(df, "doc_id", "toks", "source",
+      Map("A" -> 3L, "B" -> 1L), hash = idHash)
+    val got = out.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+    val expect =
+      a.take(5).flatMap(r => Seq(("A", r._1, 0), ("A", r._1, 1))) ++
+        a.drop(5).map(r => ("A", r._1, 0)) ++
+        b.take(5).map(r => ("B", r._1, 0))
+    assert(got == expect.toSet)
+    // token mass lands EXACTLY on target when hash deciles align
+    val byleSrc = out.groupBy("source").agg(sum("toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byleSrc == Map("A" -> 150L, "B" -> 50L))
+  }
+
   test("mixByTokenBudget: weight-0 sources drop; result is a deterministic subset") {
     val s = spark
     import s.implicits._
