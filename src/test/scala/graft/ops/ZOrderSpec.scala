@@ -45,6 +45,12 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(masked == 27L)
     intercept[IllegalArgumentException](ZOrder.zValue(Nil))
     intercept[IllegalArgumentException](ZOrder.zValue(Seq(col("x")), bits = 64))
+    // three lanes: column i's bit b lands at 3b+i
+    // x=1 -> pos 0; y=1 -> pos 1; t=3 (11) -> pos 2 and pos 5
+    val three = Seq((1L, 1L, 3L)).toDF("x", "y", "t")
+      .select(ZOrder.zValue(Seq(col("x"), col("y"), col("t")), bits = 2))
+      .head().getLong(0)
+    assert(three == (1L | 2L | 4L | 32L))
   }
 
   test("zorderWrite: every interleaved column gets tight per-file ranges") {
