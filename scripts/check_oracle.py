@@ -10,6 +10,17 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Result types that survive duckdb's python fetchall() as plain ints but turn
+# into decimal128/float64 when fetched through arrow/pandas (the driver path).
+# An oracle query outputting one of these hash-mismatches on the driver even
+# when every value is bit-identical — fail loudly here instead.
+BANNED_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+def banned_cols(con, sql):
+    desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+    return [(name, typ) for name, typ, *_ in desc
+            if any(b in typ.upper() for b in BANNED_TYPES)]
+
 def canon(val):
     if isinstance(val, float):
         # repr gives shortest round-trip; distinguishes any bit difference
@@ -40,12 +51,19 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no result parquet"); n_bad += 1; continue
         try:
+            leaks = banned_cols(con, sql)
+            if leaks:
+                print(f"FAIL {name}: oracle type leak (driver-visible): "
+                      + ", ".join(f"{c}:{t}" for c, t in leaks)
+                      + " — CAST to BIGINT/DOUBLE in the oracle SQL")
+                n_bad += 1; continue
             actual = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
             a_cols = [c for c in actual.columns]
             a_rows = actual.fetchall()
-            expected = con.sql(sql)
-            e_cols = [c for c in expected.columns]
-            e_rows = expected.fetchall()
+            # fetch the oracle through arrow to mirror the driver's typed path
+            e_tab = con.sql(sql).arrow()
+            e_cols = e_tab.column_names
+            e_rows = [tuple(d[c] for c in e_cols) for d in e_tab.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: {str(e).splitlines()[0]}"); n_bad += 1; continue
         if sorted(a_cols) != sorted(e_cols):

@@ -552,7 +552,7 @@ object Queries {
       .select("doc_id", "source", "pack").orderBy("doc_id")
 
   private val oPack =
-    """SELECT doc_id, source, cb // 2000 AS pack FROM (
+    """SELECT doc_id, source, CAST(cb // 2000 AS BIGINT) AS pack FROM (
          SELECT doc_id, source,
            sum(toks) OVER (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS cb
@@ -983,8 +983,8 @@ object Queries {
            % 1000000007) AS h
          FROM cps)
        SELECT doc_id,
-         list_aggregate(h, 'min') AS fp_min,
-         list_aggregate(h, 'max') AS fp_max,
+         CAST(list_aggregate(h, 'min') AS BIGINT) AS fp_min,
+         CAST(list_aggregate(h, 'max') AS BIGINT) AS fp_max,
          CAST(len(list_distinct(h)) AS BIGINT) AS n_grams
        FROM g ORDER BY doc_id"""
   }
@@ -1239,8 +1239,8 @@ object Queries {
            FROM scored)
          WHERE rk <= ceil(gn::DOUBLE * 0.5))
        SELECT id AS doc_id, grp AS source, n_tokens, quality,
-         (sum(n_tokens) OVER (PARTITION BY grp ORDER BY id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000 AS pack
+         CAST((sum(n_tokens) OVER (PARTITION BY grp ORDER BY id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000 AS BIGINT) AS pack
        FROM cut ORDER BY doc_id"""
   }
 
@@ -1395,11 +1395,11 @@ object Queries {
              (cp[i + j] * ($pw[least(12, L) - j])) % 1000000007), 'sum'), 0)
            % 1000000007)) AS h
          FROM cps)
-       SELECT h, count(DISTINCT doc_id) AS n_docs,
+       SELECT CAST(h AS BIGINT) AS h, count(DISTINCT doc_id) AS n_docs,
          count(*) AS n_occ, min(doc_id) AS min_id
        FROM g WHERE h % 8 = 0
-       GROUP BY h HAVING count(DISTINCT doc_id) >= 2
-       ORDER BY h"""
+       GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+       ORDER BY 1"""
   }
 
   // ------------------------------------------------------ CDC dup-span stats
