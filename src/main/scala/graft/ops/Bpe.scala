@@ -56,10 +56,11 @@ object Bpe {
     require(k >= 1, "k merges >= 1")
     var vocab = wordVocab(df, textCol)
       .withColumn("syms", initSyms(col("word")))
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate)
     var merges = Vector.empty[DataFrame]
     var r = 1
-    while (r <= k) {
+    var exhausted = false
+    while (r <= k && !exhausted) {
       val n1 = greatest(size(col("syms")) - 1, lit(0))
       val pair = zip_with(
         slice(col("syms"), lit(1), n1), slice(col("syms"), lit(2), n1),
@@ -71,17 +72,31 @@ object Bpe {
         .orderBy(desc("freq"), asc("left"), asc("right"))
         .limit(1)
         .select(lit(r.toLong).as("round"), col("left"), col("right"), col("freq"))
-        .localCheckpoint(true)
-      vocab = vocab
-        .crossJoin(broadcast(best.select(col("left").as("ml"), col("right").as("mr"))))
-        .withColumn("syms", mergePass(col("syms"), col("ml"), col("mr")))
-        .drop("ml", "mr")
-        .localCheckpoint(true) // truncate lineage: k chained folds otherwise
-      merges :+= best          // grow Catalyst planning super-linearly
-      r += 1
+        .transform(Checkpointer.truncate)
+      // k can exceed the learnable merges (every word fully merged): the
+      // pair table is then empty and crossJoin(empty) would silently EMPTY
+      // the vocab. best is already materialized, so isEmpty is metadata.
+      if (best.isEmpty) { exhausted = true }
+      else {
+        vocab = vocab
+          .crossJoin(broadcast(best.select(col("left").as("ml"), col("right").as("mr"))))
+          .withColumn("syms", mergePass(col("syms"), col("ml"), col("mr")))
+          .drop("ml", "mr")
+          .transform(Checkpointer.truncate) // truncate lineage: k chained folds otherwise
+        merges :+= best          // grow Catalyst planning super-linearly
+        r += 1
+      }
     }
-    (merges.reduce(_ union _), vocab)
+    (merges.reduceOption(_ union _).getOrElse(emptyMerges(df)), vocab)
   }
+
+  /** Zero-row merges frame with the trainMerges schema, for the
+    * nothing-learnable case (e.g. an empty corpus).
+    */
+  private def emptyMerges(df: DataFrame): DataFrame =
+    df.sparkSession.range(0).select(
+      col("id").as("round"), lit("").as("left"), lit("").as("right"),
+      col("id").as("freq"))
 
   /** Tokenize a corpus with a learned segmentation: one equi-join of the
     * exploded corpus against the (broadcast-sized) vocab segmentation, then

@@ -56,14 +56,21 @@ object Robots {
       }
     }
     flush()
+    // RFC 9309 §2.2.1: a crawler matches a group when its product token is
+    // identified by the group's user-agent line — the line's token must be
+    // a prefix of the agent (never the reverse: a group for
+    // "googlebot-images" must NOT claim agent "googlebot"). ALL groups at
+    // the winning specificity merge, in document order.
     def specificity(g: Group): Int =
       g.agents.collect {
         case "*" => 0
-        case a if lc.startsWith(a) || a.startsWith(lc) => a.length
+        case a if lc.startsWith(a) => a.length
       }.maxOption.getOrElse(-1)
-    groups.filter(specificity(_) >= 0)
-      .sortBy(g => -specificity(g))
-      .headOption.map(_.rules).getOrElse(Vector.empty)
+    val scored = groups.map(g => (specificity(g), g)).filter(_._1 >= 0)
+    scored.map(_._1).maxOption match {
+      case None => Vector.empty
+      case Some(best) => scored.collect { case (s, g) if s == best => g.rules }.flatten
+    }
   }
 
   /** Single-rule match with RFC wildcards: '*' spans anything, '$' anchors
@@ -114,16 +121,24 @@ object Robots {
     val matchPred =
       when(col("__wild"), regexp_like(col("__path"), col("__pat")))
         .otherwise(col("__path").startsWith(col("prefix")))
-    p.join(broadcast(r),
+    // aggregate on a synthetic unique row key, not the page columns:
+    // full-row duplicate pages (common pre-dedup crawl input) must survive
+    // the gate, and page columns of non-groupable types (MapType) must not
+    // break analysis — the contract is "adds an allowed column", nothing else.
+    val keyed = p.withColumn("__rid", monotonically_increasing_id())
+    val firsts = pages.columns.map(c => first(col(c)).as(c))
+    // unmatched rows coalesce to (-1, allow): outranked by any real rule
+    val best = max(struct(
+      coalesce(length(col("prefix")), lit(-1)).as("l"),
+      coalesce(col("allow"), lit(true)).as("a"))).as("best")
+    val aggs = firsts :+ best
+    keyed.join(broadcast(r),
         col("__host") === col("__rhost") && matchPred,
         "left")
-      .groupBy(pages.columns.map(col): _*)
-      // unmatched rows coalesce to (-1, allow): outranked by any real rule
-      .agg(max(struct(
-        coalesce(length(col("prefix")), lit(-1)).as("l"),
-        coalesce(col("allow"), lit(true)).as("a"))).as("best"))
+      .groupBy(col("__rid"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("allowed", col("best.a"))
-      .drop("best", "__host", "__path")
+      .drop("best", "__rid")
   }
 
   /** Keep only robots-allowed pages. */

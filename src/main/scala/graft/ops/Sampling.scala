@@ -181,14 +181,16 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val wdf = weights.toSeq.toDF(srcCol, "__w")
-    val all = Window.partitionBy()
     // NB: the analyzer is case-insensitive by default — accumulator names
     // must not differ from "__w"/"__tok" by case alone
-    val thr = df.groupBy(col(srcCol)).agg(sum(col(tokCol)).as("__tok"))
+    val perSrc = df.groupBy(col(srcCol)).agg(sum(col(tokCol)).as("__tok"))
       .join(broadcast(wdf), Seq(srcCol)) // inner: unweighted sources drop
       .where(col("__w") > 0)
-      .withColumn("__tsum", sum(col("__tok")).over(all))
-      .withColumn("__wsum", sum(col("__w")).over(all))
+    // corpus totals via a 1-row aggregate cross-joined back (NOT an
+    // unpartitioned window: same |sources|-row arithmetic, none of the
+    // single-partition WindowExec warnings)
+    val totals = perSrc.agg(sum(col("__tok")).as("__tsum"), sum(col("__w")).as("__wsum"))
+    val thr = perSrc.crossJoin(broadcast(totals))
       .withColumn("__target", expr("(__w * __tsum) div __wsum"))
       .withColumn("__thr", least(lit(M),
         expr(s"CASE WHEN __tok = 0 THEN 0L ELSE (__target * ${M}L) div __tok END")))
@@ -225,12 +227,12 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val wdf = weights.toSeq.toDF(srcCol, "__w")
-    val all = Window.partitionBy()
-    val thr = df.groupBy(col(srcCol)).agg(sum(col(tokCol)).as("__tok"))
+    val perSrc = df.groupBy(col(srcCol)).agg(sum(col(tokCol)).as("__tok"))
       .join(broadcast(wdf), Seq(srcCol))
       .where(col("__w") > 0 && col("__tok") > 0)
-      .withColumn("__tsum", sum(col("__tok")).over(all))
-      .withColumn("__wsum", sum(col("__w")).over(all))
+    // 1-row totals cross-joined back, as in mixByTokenBudget
+    val totals = perSrc.agg(sum(col("__tok")).as("__tsum"), sum(col("__w")).as("__wsum"))
+    val thr = perSrc.crossJoin(broadcast(totals))
       .withColumn("__target", expr("(__w * __tsum) div __wsum"))
       .withColumn("__copies", expr("__target div __tok"))
       .withColumn("__rem", expr(s"((__target % __tok) * ${M}L) div __tok"))

@@ -445,14 +445,14 @@ object TextDedup {
     * MapReduce and Beyond" (SoCC 2014) — same join shape, O(log d) rounds.
     *
     * Scale notes: per-round driver work is one `count` (convergence
-    * check). Each round's label table is materialized with an EAGER
-    * `localCheckpoint`, which truncates lineage — without it every round's
-    * plan embeds all previous rounds' self-joins and Catalyst planning
-    * time grows super-linearly (measured: a 12-round path took minutes in
-    * planning alone; checkpointed, seconds). localCheckpoint trades
-    * executor-loss tolerance for speed; on an unreliable cluster switch to
-    * `spark.sparkContext.setCheckpointDir` + `checkpoint()` — same
-    * truncation, durable blocks.
+    * check). Each round's label table is materialized EAGERLY via
+    * [[Checkpointer.truncate]], which cuts lineage — without it every
+    * round's plan embeds all previous rounds' self-joins and Catalyst
+    * planning time grows super-linearly (measured: a 12-round path took
+    * minutes in planning alone; checkpointed, seconds). The default
+    * `localCheckpoint` trades executor-loss tolerance for speed; on an
+    * unreliable cluster set `spark.graft.checkpoint=reliable` (plus
+    * `setCheckpointDir`) for durable blocks — same truncation.
     *
     * Docs with no pair edge are absent from the output — they are their
     * own cluster by definition ([[dedupResolve]] treats missing as keep).
@@ -467,7 +467,7 @@ object TextDedup {
     registerCache(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate)
     // Convergence detection without an extra per-round join: labels only
     // ever DECREASE (least of self and neighbor minima), so the label sum
     // strictly decreases iff any label changed — one cheap aggregate over
@@ -509,7 +509,7 @@ object TextDedup {
         .join(hopB, col("cluster") === col("pid"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("pcluster"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true) // materialize + truncate lineage (see Scaladoc)
+        .transform(Checkpointer.truncate) // materialize + truncate lineage (see Scaladoc)
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -546,10 +546,10 @@ object TextDedup {
       .select(col(idACol).as("src"), col(idBCol).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate)
     val vertices = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate)
 
     def undirected(e: DataFrame): DataFrame =
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -586,7 +586,7 @@ object TextDedup {
     while (!converged && prev._1 > 0) {
       require(round < maxRounds,
         s"dedupClustersStars: no convergence in $maxRounds rounds")
-      edges = star(star(edges, large = true), large = false).localCheckpoint(true)
+      edges = star(star(edges, large = true), large = false).transform(Checkpointer.truncate)
       val cur = checksum(edges)
       converged = cur == prev
       prev = cur

@@ -171,7 +171,7 @@ object VectorSim {
         .withColumn("cn", norm(col("cv")))
       // truncate lineage between rounds (the dedupClusters lesson) —
       // but leave the iters=1 path exactly as it always planned
-      if (iters > 1) cents = cents.localCheckpoint(true)
+      if (iters > 1) cents = Checkpointer.truncate(cents)
       r += 1
     }
     cents

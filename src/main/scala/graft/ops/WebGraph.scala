@@ -75,23 +75,25 @@ object WebGraph {
     * Plan per iteration: contribution join on `src` (rank table × static
     * out-degree table — both host-cardinality, tiny next to the corpus;
     * AQE broadcasts them when they fit), one aggregation exchange on `dst`,
-    * one left join back to the node set. Each round is `localCheckpoint`ed:
-    * an iterative self-referencing plan otherwise grows super-linearly in
-    * Catalyst planning time (measured on dedupClusters: a 12-round lineage
-    * took 13 minutes to PLAN; truncated, seconds).
+    * one left join back to the node set. Each round is materialized via
+    * [[Checkpointer.truncate]] (localCheckpoint by default,
+    * `spark.graft.checkpoint=reliable` for durable blocks): an iterative
+    * self-referencing plan otherwise grows super-linearly in Catalyst
+    * planning time (measured on dedupClusters: a 12-round lineage took
+    * 13 minutes to PLAN; truncated, seconds).
     */
   def pagerank(edges0: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iters: Int = 4,
                scale: Long = 1000000000L): DataFrame = {
     val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(Checkpointer.truncate)
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate)
     val n = nodes.count()
     require(n > 0, "pagerank over an empty graph")
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate)
     val teleport = (15L * scale) / (100L * n)
     var r = nodes.withColumn("pr", lit(scale / n))
     var i = 0
@@ -105,7 +107,7 @@ object WebGraph {
         .select(col("id"),
           (lit(teleport) +
             expr("(85 * coalesce(c, 0L)) div 100")).as("pr"))
-        .localCheckpoint(true)
+        .transform(Checkpointer.truncate)
       i += 1
     }
     r

@@ -1,10 +1,10 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WARC/1.0 container source (ISO 28500, the Common Crawl interchange
@@ -19,13 +19,16 @@ import org.apache.spark.sql.functions._
   * Malformed records are SKIPPED, not fatal — a crawl container at corpus
   * scale always has damage, and one bad record must not kill a 1 GB task.
   *
-  * Distribution shape: one WARC file = one task (`binaryFile` source) —
-  * exactly the Common Crawl unit of parallelism (~1 GB gz files); the
-  * record iterator is lazy over the byte array. Honest memory note: gz
-  * input is decompressed whole into the task (a CC file inflates ~4×);
-  * that bounds executor sizing at ~5 GB/task. The streaming upgrade —
-  * parse records directly off a GZIPInputStream member by member — slots
-  * behind this same record-iterator interface when that bound bites.
+  * Distribution shape: one WARC file = one task — exactly the Common
+  * Crawl unit of parallelism (~1 GB gz files). Records are parsed
+  * STREAMING off the (gunzipping) InputStream by [[streamRecords]]:
+  * buffering is bounded by ONE record (CC truncates payloads at ~1 MB),
+  * not the inflated file, so a 1 GB gz that inflates ~4 GB costs a task
+  * megabytes, not gigabytes. The `binaryFile` source supplies only the
+  * file LISTING (column-pruned to `path`, so its 2 GB content cap never
+  * applies); each task opens its file off the Hadoop FileSystem and
+  * streams. The whole-array [[records]] entry point remains for
+  * byte-array callers and delegates to the same parser.
   */
 object Warc {
 
@@ -52,92 +55,122 @@ object Warc {
     -1
   }
 
-  /** Transparent multi-member gunzip; non-gzip input passes through. */
-  def maybeGunzip(bytes: Array[Byte]): Array[Byte] =
-    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b)
-      bytes
-    else {
-      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-      val out = new ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
-    }
-
-  /** Lazy record iterator. Header names are case-folded; a record whose
-    * version line, header block, or Content-Length is broken is skipped by
-    * scanning forward to the next `WARC/1.0` magic.
+  /** Sanity cap on one record's declared Content-Length. CC truncates
+    * payloads at ~1 MB, so 64 MB is far above any legitimate record while
+    * keeping a corrupted length field (a few flipped bytes can declare
+    * gigabytes) from buffering a whole task's stream into one body — the
+    * parser treats an over-cap length as damage and resyncs WITHOUT
+    * consuming the declared span, so the records behind it survive.
     */
-  def records(raw: Array[Byte]): Iterator[WarcRecord] = new Iterator[WarcRecord] {
-    private val bytes = maybeGunzip(raw)
-    private val Magic = "WARC/".getBytes(StandardCharsets.US_ASCII)
-    private var pos = 0
+  private val MaxRecordBytes: Long = 64L << 20
+  private val MaxLineBytes: Int = 32 * 1024
+  private val Magic = "WARC/".getBytes(StandardCharsets.US_ASCII)
+
+  /** Transparent gunzip on a stream; non-gzip input passes through.
+    * `GZIPInputStream` reads concatenated members natively, which is
+    * exactly CC's one-member-per-record layout.
+    */
+  private def maybeGunzipStream(in: InputStream): InputStream = {
+    val pb = new PushbackInputStream(new BufferedInputStream(in, 64 * 1024), 2)
+    val b1 = pb.read()
+    val b2 = if (b1 < 0) -1 else pb.read()
+    if (b2 >= 0) pb.unread(b2)
+    if (b1 >= 0) pb.unread(b1)
+    if (b1 == 0x1f && b2 == 0x8b) new GZIPInputStream(pb, 64 * 1024) else pb
+  }
+
+  /** Streaming record iterator: parses records member-by-member off the
+    * (gunzipping) InputStream. Buffering is bounded by ONE record body
+    * (≤ [[MaxRecordBytes]]) plus the 64 KB inflate buffer — never the
+    * inflated file. Header names are case-folded; a record whose version
+    * line, header block, or Content-Length is broken is skipped by
+    * scanning forward to the next `WARC/` magic. The stream is closed at
+    * exhaustion.
+    */
+  def streamRecords(in0: InputStream): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private val in = maybeGunzipStream(in0)
     private var nextRec: WarcRecord = _
     advance()
 
-    private def startsWith(at: Int, pat: Array[Byte]): Boolean = {
-      if (at + pat.length > bytes.length) return false
-      var i = 0
-      while (i < pat.length) { if (bytes(at + i) != pat(i)) return false; i += 1 }
-      true
-    }
-
-    private def nextMagic(from: Int): Int = {
-      var i = math.max(from, 0)
-      while (i < bytes.length && !startsWith(i, Magic)) i += 1
-      if (i >= bytes.length) -1 else i
-    }
-
-    private def lineEnd(from: Int): Int = {
-      var i = from
-      while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
-      if (i + 1 >= bytes.length) -1 else i
-    }
-
-    private def parseAt(start: Int): Option[(WarcRecord, Int)] = {
-      // version line
-      val vEnd = lineEnd(start)
-      if (vEnd < 0) return None
-      var i = vEnd + 2
-      val headers = Map.newBuilder[String, String]
-      var done = false
-      while (!done) {
-        val e = lineEnd(i)
-        if (e < 0) return None
-        if (e == i) { i += 2; done = true } // blank line
-        else {
-          val line = new String(bytes, i, e - i, StandardCharsets.UTF_8)
-          val c = line.indexOf(':')
-          if (c > 0)
-            headers += (line.substring(0, c).trim.toLowerCase ->
-              line.substring(c + 1).trim)
-          i = e + 2
-        }
+    // consume bytes until the magic "WARC/" has just been read
+    private def syncToMagic(): Boolean = {
+      var matched = 0
+      var b = in.read()
+      while (b >= 0) {
+        if (b == Magic(matched)) {
+          matched += 1
+          if (matched == Magic.length) return true
+        } else matched = if (b == Magic(0)) 1 else 0
+        b = in.read()
       }
+      false
+    }
+
+    // one CRLF-terminated line (exclusive); None on EOF or an over-cap line
+    private def readLine(): Option[String] = {
+      val buf = new ByteArrayOutputStream(128)
+      var prev = -1
+      var b = in.read()
+      while (b >= 0 && buf.size <= MaxLineBytes) {
+        if (prev == '\r' && b == '\n') {
+          val arr = buf.toByteArray
+          return Some(new String(arr, 0, arr.length - 1, StandardCharsets.UTF_8))
+        }
+        buf.write(b)
+        prev = b
+        b = in.read()
+      }
+      None
+    }
+
+    // parse one record; the stream sits right AFTER the magic bytes
+    private def parseOne(): Option[WarcRecord] = {
+      if (readLine().isEmpty) return None // rest of the version line
+      val headers = Map.newBuilder[String, String]
+      var line = readLine()
+      while (line.exists(_.nonEmpty)) {
+        val l = line.get
+        val c = l.indexOf(':')
+        if (c > 0)
+          headers += (l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+        line = readLine()
+      }
+      if (line.isEmpty) return None // EOF mid-headers
       val hs = headers.result()
       val len = hs.get("content-length").flatMap(_.toLongOption).getOrElse(-1L)
-      if (len < 0 || i + len > bytes.length) return None
-      val body = java.util.Arrays.copyOfRange(bytes, i, (i + len).toInt)
-      Some((WarcRecord(hs, body), (i + len).toInt))
+      if (len < 0 || len > MaxRecordBytes) return None
+      val body = in.readNBytes(len.toInt)
+      if (body.length < len) None else Some(WarcRecord(hs, body)) // truncated: skip
     }
 
     private def advance(): Unit = {
       nextRec = null
-      var at = nextMagic(pos)
-      while (at >= 0 && nextRec == null) {
-        parseAt(at) match {
-          case Some((rec, end)) => nextRec = rec; pos = end
-          case None => at = nextMagic(at + 1); pos = at // damaged: resync
-        }
+      while (nextRec == null) {
+        if (!syncToMagic()) { in.close(); return }
+        parseOne().foreach(r => nextRec = r)
       }
-      if (at < 0) pos = bytes.length
     }
 
     override def hasNext: Boolean = nextRec != null
     override def next(): WarcRecord = {
       val r = nextRec; advance(); r
     }
+  }
+
+  /** Byte-array entry point for callers that already hold the file in
+    * memory; plain or (multi-member) gzip. Delegates to [[streamRecords]].
+    */
+  def records(raw: Array[Byte]): Iterator[WarcRecord] =
+    streamRecords(new ByteArrayInputStream(raw))
+
+  /** Open one WARC file as a record stream on an executor: the file comes
+    * off the task's Hadoop FileSystem (local, HDFS, object store) and is
+    * never materialized — neither compressed nor inflated.
+    */
+  private def streamFile(pathStr: String): Iterator[WarcRecord] = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    streamRecords(fs.open(p))
   }
 
   /** Read WARC files into the pipeline input shape
@@ -154,10 +187,10 @@ object Warc {
   def readWet(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap { fileBytes =>
-        records(fileBytes)
+      .select(col("path"))
+      .as[String]
+      .flatMap { file =>
+        streamFile(file)
           .filter(r => r.recordType == "conversion" && r.targetUri.isDefined)
           .map(r => (r.targetUri.get, r.date.orNull,
             new String(r.body, StandardCharsets.UTF_8)))
@@ -184,10 +217,10 @@ object Warc {
       "`HTTP-Response-Metadata`: STRUCT<`HTML-Metadata`: STRUCT<" +
       "Links: ARRAY<STRUCT<url: STRING>>>>>>>"
     spark.read.format("binaryFile").load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap { fileBytes =>
-        records(fileBytes)
+      .select(col("path"))
+      .as[String]
+      .flatMap { file =>
+        streamFile(file)
           .filter(r => r.recordType == "metadata" && r.targetUri.isDefined)
           .map(r => (r.targetUri.get, r.date.orNull,
             new String(r.body, StandardCharsets.UTF_8)))
@@ -220,10 +253,10 @@ object Warc {
   def readPages(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap { fileBytes =>
-        records(fileBytes)
+      .select(col("path"))
+      .as[String]
+      .flatMap { file =>
+        streamFile(file)
           .filter(r => r.recordType == "response" && r.targetUri.isDefined)
           .map(r => (r.targetUri.get, r.date.orNull, r.httpBody))
       }

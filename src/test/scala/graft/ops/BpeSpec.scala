@@ -67,6 +67,23 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(toks.getString(2) == "low e s t </w> low</w>")
   }
 
+  test("k beyond the learnable merges stops early with the vocab intact") {
+    val s = spark
+    import s.implicits._
+    // single word "ab": learnable merges are (a,b) then (ab,</w>), after
+    // which every word is one symbol and the pair table is EMPTY. A k past
+    // that point must return the merges learned so far — and must not let
+    // the empty-best crossJoin wipe the vocab.
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    val (merges, seg) = Bpe.trainMerges(df, "text", k = 10)
+    val got = merges.orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(("a", "b"), ("ab", "</w>")))
+    val rows = seg.collect()
+    assert(rows.length == 1, "vocab must survive merge exhaustion")
+    assert(rows.head.getSeq[String](2).toList == List("ab</w>"))
+  }
+
   test("determinism across partitionings (ties, fold, reassembly)") {
     val s = spark
     import s.implicits._

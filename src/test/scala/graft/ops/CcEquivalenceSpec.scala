@@ -54,6 +54,34 @@ class CcEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     compare(star ++ cliqueA ++ cliqueB ++ bridge ++ dups, "star+cliques")
   }
 
+  test("spark.graft.checkpoint=reliable: same clusters, durable checkpoint files") {
+    val s = spark; import s.implicits._
+    val perm = new scala.util.Random(11).shuffle((0L until 30L).toVector)
+    val df = perm.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("id_a", "id_b")
+    val viaLocal = TextDedup.dedupClusters(df, maxRounds = 80)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TextDedup.releaseCaches()
+    // reliable without a checkpoint dir must fail fast with a pointed message
+    s.conf.set(Checkpointer.ConfKey, "reliable")
+    try {
+      val err = intercept[IllegalArgumentException](
+        TextDedup.dedupClusters(df, maxRounds = 80).collect())
+      assert(err.getMessage.contains("setCheckpointDir"))
+      TextDedup.releaseCaches()
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      s.sparkContext.setCheckpointDir(ckptDir.toString)
+      val viaReliable = TextDedup.dedupClusters(df, maxRounds = 80)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      TextDedup.releaseCaches()
+      assert(viaReliable == viaLocal, "reliable path changed the clustering")
+      // evidence the rounds actually wrote durable RDD checkpoints
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(ckptDir).iterator().asScala
+        .count(p => p.getFileName.toString.startsWith("part-"))
+      assert(files > 0, "no checkpoint files written under the reliable path")
+    } finally s.conf.set(Checkpointer.ConfKey, "local")
+  }
+
   test("random graphs across seeds (incl. many small components)") {
     (1 to 4).foreach { seed =>
       val rng = new scala.util.Random(seed)

@@ -36,7 +36,7 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |User-agent: unrelated
         |Disallow: /
         |""".stripMargin
-    // most-specific group wins outright (no merging across groups, per RFC)
+    // most-specific group wins (groups at the SAME specificity merge, below)
     assert(Robots.parseRules(txt, "graftbot") ==
       Vector(Robots.Rule("/only-for-graft/", allow = false)))
     assert(Robots.parseRules(txt, "somebot") ==
@@ -47,6 +47,37 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a second user-agent line AFTER rules starts a new group
     assert(Robots.parseRules(txt, "unrelated") ==
       Vector(Robots.Rule("/", allow = false)))
+  }
+
+  test("parseRules: same-specificity groups merge; token never outclaims agent") {
+    // RFC 9309 §2.2.1: rules from ALL groups matched at the winning
+    // specificity combine, in document order
+    val split =
+      """User-agent: graftbot
+        |Disallow: /a/
+        |
+        |User-agent: *
+        |Disallow: /everyone/
+        |
+        |User-agent: graftbot
+        |Allow: /b/
+        |""".stripMargin
+    assert(Robots.parseRules(split, "graftbot") ==
+      Vector(Robots.Rule("/a/", allow = false), Robots.Rule("/b/", allow = true)))
+    // a LONGER product token must not claim a shorter agent: agent
+    // "googlebot" falls through to * even though a googlebot-images
+    // group exists
+    val longer =
+      """User-agent: googlebot-images
+        |Disallow: /img/
+        |
+        |User-agent: *
+        |Disallow: /generic/
+        |""".stripMargin
+    assert(Robots.parseRules(longer, "googlebot") ==
+      Vector(Robots.Rule("/generic/", allow = false)))
+    assert(Robots.parseRules(longer, "googlebot-images-v2") ==
+      Vector(Robots.Rule("/img/", allow = false)))
   }
 
   test("matches: RFC wildcards * and $") {
@@ -89,6 +120,26 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"rules must broadcast:\n$plan")
+  }
+
+  test("allowedDecision: duplicate rows survive and MapType columns are fine") {
+    val s = spark
+    import s.implicits._
+    val rules = Seq(("d.example.com", "/no/", false)).toDF("host", "prefix", "allow")
+    // two IDENTICAL page rows (raw crawl input, pre-dedup): the gate only
+    // adds a column, so both must come out the other side
+    val pages = Seq(
+      (5L, "https://d.example.com/no/x"),
+      (5L, "https://d.example.com/no/x"),
+      (6L, "https://d.example.com/yes")
+    ).toDF("id", "url")
+      .withColumn("meta", map(lit("k"), col("id"))) // non-groupable MapType
+    val got = Robots.allowedDecision(pages, "url", rules)
+      .orderBy("id").collect()
+    assert(got.length == 3, "full-row duplicates must not be collapsed")
+    assert(got.map(r => (r.getLong(0), r.getBoolean(3))).toSeq ==
+      Seq((5L, false), (5L, false), (6L, true)))
+    assert(got.head.getMap[String, Long](2)("k") == 5L)
   }
 
   test("allowedDecision: RFC wildcard rules run through the same broadcast join") {

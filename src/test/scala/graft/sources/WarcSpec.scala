@@ -77,6 +77,51 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       plain.map(r => new String(r.httpBody, UTF_8)))
   }
 
+  test("streamRecords: multi-member gz off a stream, bounded readahead") {
+    import java.io.{ByteArrayInputStream, InputStream}
+    val r1 = rec("response", Some("https://s.example.com/1"), http("<p>first</p>"))
+    // a LARGE second record: if the parser slurped the file, the counter
+    // below would hit the total before the first next() returns
+    val big = http("<p>" + ("x" * 300_000) + "</p>")
+    val r2 = rec("response", Some("https://s.example.com/2"), big)
+    val plainBytes = r1 ++ r2
+    // counting wrapper: how many bytes the parser actually pulled
+    class Counting(in: InputStream) extends InputStream {
+      var consumed = 0L
+      override def read(): Int = { val b = in.read(); if (b >= 0) consumed += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(b, off, len); if (n > 0) consumed += n; n
+      }
+    }
+    val counter = new Counting(new ByteArrayInputStream(plainBytes))
+    val it = Warc.streamRecords(counter) // prefetches exactly ONE record
+    // bounded buffering: with one record parsed, the parser has pulled at
+    // most r1 plus its 64 KB readahead — nowhere near the 300 KB second record
+    assert(counter.consumed < plainBytes.length,
+      s"parser slurped the stream: ${counter.consumed} of ${plainBytes.length}")
+    assert(counter.consumed <= r1.length + 64 * 1024 + 16)
+    val first = it.next()
+    assert(first.targetUri.contains("https://s.example.com/1"))
+    assert(it.next().targetUri.contains("https://s.example.com/2"))
+    assert(!it.hasNext)
+    // multi-member gzip through the stream == the inflate path, record by record
+    val gzStream = Warc.streamRecords(new ByteArrayInputStream(gz(r1) ++ gz(r2)))
+    val inflate = Warc.records(r1 ++ r2)
+    gzStream.zip(inflate).foreach { case (a, b) =>
+      assert(a.headers == b.headers)
+      assert(a.body.sameElements(b.body))
+    }
+  }
+
+  test("streamRecords: truncated body (EOF before Content-Length) is skipped") {
+    import java.io.ByteArrayInputStream
+    val good = rec("response", Some("https://t.example.com/ok"), http("<b>k</b>"))
+    val cut = rec("response", Some("https://t.example.com/cut"), http("<b>c</b>"),
+      declaredLen = Some(500)) // declares more than the stream holds
+    val rs = Warc.streamRecords(new ByteArrayInputStream(good ++ cut)).toVector
+    assert(rs.flatMap(_.targetUri) == Vector("https://t.example.com/ok"))
+  }
+
   test("damaged record is skipped and parsing resyncs on the next magic") {
     val good1 = rec("response", Some("https://c.example.com/ok1"), http("<i>1</i>"))
     val bad = rec("response", Some("https://c.example.com/bad"), http("<i>x</i>"),
