@@ -18,9 +18,10 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *    untimed warmups at both levels, min per level across pairs, every
   *    rep reported — co-tenant noise that parks on one contiguous window
   *    (the round-2 0.631 artifact) now hits both levels symmetrically and
-  *    is discarded by the min; up to two extra pairs run adaptively if
-  *    the efficiency still lands under the bar (noise only ever ADDS wall
-  *    time, so extra samples tighten the min without bias);
+  *    is discarded by the min; the pair count is FIXED before measurement
+  *    (SPARK_GRAFT_BENCH_PAIRS, default 3) — stopping early once the
+  *    efficiency clears a bar would keep favorable noise and resample
+  *    unfavorable, biasing the recorded number upward;
   *  - the timed corpus (~10k docs, fat=16) is large enough that per-bucket
   *    fixed costs (job scheduling, snapshot commit) are amortized — the
   *    quantity under test is parse throughput, which scales with executors;
@@ -119,10 +120,10 @@ object Bench {
     // r2 artifact recorded eff 0.631 while every interleaved local rerun
     // gave 0.90-1.00). Alternating N,4N,N,4N,... makes any noise episode
     // hit both levels; min-of-pairs then discards it symmetrically. All
-    // reps are reported in the JSON so the noise spread is visible, and if
-    // the resulting efficiency still misses the bar, up to two extra pairs
-    // are run (legitimate: noise only ever ADDS wall time, so more samples
-    // tighten the min without biasing it).
+    // reps are reported in the JSON so the noise spread is visible. The
+    // pair count is fixed BEFORE measurement: conditioning extra reps on
+    // the observed efficiency would keep favorable noise and resample
+    // unfavorable, biasing the recorded number upward.
     def timedPair(i: Int): (Double, Double) = {
       val s1 = session(coresN)
       val tn = extractionRun(s1, pagesPath, s"$work/out_n$i", 2 * coresN)
@@ -142,14 +143,10 @@ object Bench {
     val basePairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
     var repsN = Vector.empty[Double]
     var reps4N = Vector.empty[Double]
-    def effNow = if (repsN.isEmpty) 0.0
-      else (repsN.min / reps4N.min) / (cores4n.toDouble / coresN)
-    var pair = 0
-    while (pair < basePairs || (pair < basePairs + 2 && effNow < 0.82)) {
-      val (tn, t4) = timedPair(pair + 1)
+    for (pair <- 1 to basePairs) {
+      val (tn, t4) = timedPair(pair)
       repsN :+= tn
       reps4N :+= t4
-      pair += 1
     }
     val tN = repsN.min
     val t4N = reps4N.min

@@ -1681,6 +1681,36 @@ object Queries {
            + ((((n_chars % 256) >> b) & 1) << (2*b + 1)))) AS BIGINT) AS z
        FROM documents ORDER BY doc_id"""
 
+  // ------------------------------------------------------------ WARC e2e
+  // Container roundtrip through the Common Crawl interchange format: stage
+  // the documents corpus as multi-member .warc.gz files (one file per task,
+  // one gzip member per record, HTTP/1.1 block per payload — the CC layout),
+  // then parse them back with the streaming record iterator and emit per-url
+  // payload fidelity (byte length + 60-bit md5). The oracle recomputes both
+  // from the parquet table directly, so a single corrupted byte anywhere in
+  // write → gzip → member split → header parse → HTTP strip flips the hash.
+  private def qWarcExtract(s: SparkSession, dir: String): DataFrame = {
+    val warcDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_q_warc_" + Integer.toHexString(dir.hashCode)).toString
+    val pages = docs(s, dir).select(
+      concat(lit("https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".example/doc/"), col("doc_id").cast("string")).as("url"),
+      encode(concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>")), "UTF-8").as("payload"))
+    graft.sources.Warc.writeResponses(pages, warcDir, files = 4)
+    graft.sources.Warc.readPages(s, warcDir)
+      .select(col("url"),
+        length(col("html")).cast("long").as("body_len"),
+        conv(substring(md5(col("html")), 1, 15), 16, 10).cast("long").as("body_h"))
+      .orderBy("url")
+  }
+
+  private val oWarcExtract =
+    """SELECT 'https://site' || (doc_id % 7)::VARCHAR || '.example/doc/' || doc_id::VARCHAR AS url,
+         CAST(octet_length(encode('<html><body><p>' || text || '</p></body></html>')) AS BIGINT) AS body_len,
+         ('0x' || substr(md5('<html><body><p>' || text || '</p></body></html>'), 1, 15))::BIGINT AS body_h
+       FROM documents ORDER BY url"""
+
   // ------------------------------------------------------------- reg. domain
   // Public-suffix registered-domain extraction over a host mix that
   // exercises all three branches: plain .com/.org (suffix+1), two-label
@@ -2179,6 +2209,7 @@ object Queries {
     "q_crawl_diff" -> qCrawlDiff _,
     "q_reg_domain" -> qRegDomain _,
     "q_zorder" -> qZorder _,
+    "q_warc_extract" -> qWarcExtract _,
     "q_asof" -> qAsof _,
     "q_range_join" -> qRangeJoin _,
     "q_incremental" -> qIncremental _,
@@ -2256,6 +2287,7 @@ object Queries {
     "q_crawl_diff" -> oCrawlDiff,
     "q_reg_domain" -> oRegDomain,
     "q_zorder" -> oZorder,
+    "q_warc_extract" -> oWarcExtract,
     "q_asof" -> oAsof,
     "q_range_join" -> oRangeJoin,
     "q_incremental" -> oIncremental

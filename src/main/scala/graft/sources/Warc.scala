@@ -250,6 +250,64 @@ object Warc {
     spark.read.parquet(outPath).count()
   }
 
+  /** Distributed WARC writer — the inverse of [[readPages]], used to stage
+    * Common-Crawl-shaped fixtures and to re-container pipeline output for
+    * WARC-consuming tools. Input columns: `url` (string), `payload`
+    * (binary = the HTTP response body). Each input partition becomes one
+    * `part-NNNNN.warc.gz` (one file = one task, the CC layout), each record
+    * its own gzip member exactly as CC concatenates them, each payload
+    * wrapped in a minimal HTTP/1.1 200 header block so [[readPages]]'
+    * `httpBody` recovers the payload byte-identically. Files are written
+    * via the Hadoop FileSystem to a temp name and renamed on success, so a
+    * retried task never leaves a torn container behind.
+    */
+  def writeResponses(pages: DataFrame, outDir: String, files: Int,
+                     warcDate: String = "2026-01-01T00:00:00Z"): Unit = {
+    val spark = pages.sparkSession
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fsDriver = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsDriver.delete(out, true)
+    fsDriver.mkdirs(out)
+    import spark.implicits._
+    val date = warcDate
+    pages.select(col("url").cast("string"), col("payload").cast("binary"))
+      .as[(String, Array[Byte])]
+      .repartition(files)
+      .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+          val fs = new org.apache.hadoop.fs.Path(outDir)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val tmp = new org.apache.hadoop.fs.Path(outDir, f".part-$pid%05d.$attempt.tmp")
+          val fin = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.warc.gz")
+          val raw = fs.create(tmp, true)
+          try {
+            it.foreach { case (url, payload) =>
+              val body = new ByteArrayOutputStream(payload.length + 64)
+              body.write("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                .getBytes(StandardCharsets.US_ASCII))
+              body.write(payload)
+              val b = body.toByteArray
+              val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+                s"WARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
+                s"Content-Length: ${b.length}\r\n\r\n")
+                .getBytes(StandardCharsets.US_ASCII)
+              // one gzip member per record: finish() flushes the member and
+              // leaves the underlying stream open for the next one
+              val gz = new java.util.zip.GZIPOutputStream(raw, 64 * 1024)
+              gz.write(head); gz.write(b)
+              gz.write("\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
+              gz.finish()
+            }
+          } finally raw.close()
+          fs.delete(fin, false)
+          if (!fs.rename(tmp, fin))
+            throw new java.io.IOException(s"rename $tmp -> $fin failed")
+        }
+      }
+  }
+
   def readPages(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)

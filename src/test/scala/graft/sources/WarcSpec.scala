@@ -233,4 +233,30 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(json == expect, s"${d.url} [${d.payload}] WARC-ingested output != golden")
     }
   }
+
+  test("writeResponses roundtrip: distributed writer → streaming reader, byte-identical payloads") {
+    val s = spark
+    import s.implicits._
+    val in = (0 until 37).map { i =>
+      val bytes = (s"<html><body>doc $i " + ("x" * (i * 7)) + "</body></html>").getBytes(UTF_8)
+      (s"https://w.example/$i", bytes)
+    }
+    val df = in.toDF("url", "payload")
+    val outDir = s"$work/writer_out"
+    Warc.writeResponses(df, outDir, files = 3)
+    // one .warc.gz per non-empty partition, no temp litter
+    val written = new java.io.File(outDir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // dot-prefixed crc sidecars are hidden to Spark sources
+    assert(written.forall(_.endsWith(".warc.gz")), written.mkString(","))
+    val back = Warc.readPages(spark, outDir)
+      .select("url", "html").as[(String, Array[Byte])].collect()
+      .map { case (u, b) => u -> b.toSeq }.toMap
+    assert(back.size == in.size)
+    in.foreach { case (u, b) =>
+      assert(back(u) == b.toSeq, s"$u payload not byte-identical through the container")
+    }
+    // warc_ts parses to the fixed writer date
+    val ts = Warc.readPages(spark, outDir).select("warc_ts").distinct().collect()
+    assert(ts.length == 1 && ts(0).getTimestamp(0).toInstant.toString == "2026-01-01T00:00:00Z")
+  }
 }
