@@ -1861,6 +1861,15 @@ object Queries {
   private def qBpe(s: SparkSession, dir: String): DataFrame =
     Bpe.trainMerges(docs(s, dir), "text", BpeK)._1.orderBy("round")
 
+  // Production-merge-count path: 64 merges in 8 batched rounds (top-8
+  // symbol-disjoint pairs per round — count staleness within a batch is the
+  // standard batched-BPE tradeoff, pinned in BpeSpec). Rows-only by
+  // contract: the oracle CTE unroll replays EXACT sequential BPE and k=64
+  // would need 64 unrolled CTEs; the batch=1 path stays oracle-pinned via
+  // q_bpe, and batch semantics are spec-pinned.
+  private def qBpe64(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainMerges(docs(s, dir), "text", 64, batch = 8)._1.orderBy("round")
+
   private def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val seg = Bpe.trainMerges(d, "text", BpeK)._2
@@ -2201,6 +2210,7 @@ object Queries {
     "q_ml_quality" -> qMlQuality _,
     "q_lm_score" -> qLmScore _,
     "q_bpe" -> qBpe _,
+    "q_bpe64" -> qBpe64 _,
     "q_bpe_tokens" -> qBpeTokens _,
     "q_mix" -> qMix _,
     "q_mix_epochs" -> qMixEpochs _,

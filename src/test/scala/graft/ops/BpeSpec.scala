@@ -95,4 +95,53 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = m2.collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("batched training: top-m disjoint pairs per round, hand-run pinned") {
+    val s = spark
+    import s.implicits._
+    // three words over disjoint alphabets; frequencies well separated
+    val df = (Seq.fill(10)("ab") ++ Seq.fill(6)("cd") ++ Seq.fill(3)("ef"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    // batch m=3 over the ROUND-1 counts: (a,b)=10 selected; (b,</w>)=10
+    // shares b -> rejected; (c,d)=6 selected; (d,</w>)=6 rejected;
+    // (e,f)=3 selected; (f,</w>)=3 rejected. Count staleness is the batched
+    // contract: sequential BPE would have taken (ab,</w>)=10 at round 2.
+    val (merges, seg) = Bpe.trainMerges(df, "text", k = 3, batch = 3)
+    val got = merges.orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", 10L), (2L, "c", "d", 6L), (3L, "e", "f", 3L)))
+    val segs = seg.orderBy("word").collect()
+      .map(r => (r.getString(0), r.getSeq[String](2).toList)).toMap
+    assert(segs("ab") == List("ab", "</w>"))
+    assert(segs("cd") == List("cd", "</w>"))
+    assert(segs("ef") == List("ef", "</w>"))
+  }
+
+  test("batched selection skips interfering pairs and applies one pass") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 5).map(i => (i.toLong, "abc")).toDF("doc_id", "text")
+    // round-1 counts all 5: (a,b), (b,c), (c,</w>). Greedy order
+    // (a,b) < (b,c) < (c,</w>): (a,b) taken; (b,c) shares b -> skipped;
+    // (c,</w>) disjoint -> taken. One pass: a b c </w> -> [ab, c</w>].
+    val (merges, seg) = Bpe.trainMerges(df, "text", k = 2, batch = 2)
+    val got = merges.orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(("a", "b"), ("c", "</w>")))
+    assert(seg.collect().head.getSeq[String](2).toList == List("ab", "c</w>"))
+  }
+
+  test("batch=1 is bit-identical to the exact sequential path") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 40L).map(i => (i, s"the quick brown fox f${i % 5}"))
+      .toDF("doc_id", "text")
+    val (m1, g1) = Bpe.trainMerges(df, "text", k = 5)
+    val (m2, g2) = Bpe.trainMerges(df, "text", k = 5, batch = 1)
+    assert(m1.collect().map(_.toString).sorted.toSeq ==
+      m2.collect().map(_.toString).sorted.toSeq)
+    assert(g1.collect().map(_.toString).sorted.toSeq ==
+      g2.collect().map(_.toString).sorted.toSeq)
+  }
 }
