@@ -42,8 +42,11 @@ object Extract {
       parallelism: Int = 0,          // 0 → spark.sql.shuffle.partitions
       salt: Int = 0,
       /** second item source for the J1-J3 merge: "none" (reference default
-        * when no API key) or "fake" (the deterministic offline stand-in).
-        * A real LLM source would register here behind the same trait.
+        * when no API key), "fake" (the deterministic offline stand-in), or
+        * "http" (the real OpenAI-style client, configured by
+        * GRAFT_LLM_ENDPOINT / GRAFT_LLM_MODEL / GRAFT_LLM_API_KEY — a
+        * missing endpoint or key falls back to None exactly like the
+        * reference's no-credential path).
         */
       secondSource: String = "none",
       /** Committed manifest metrics: true (default) re-aggregates the
@@ -64,8 +67,11 @@ object Extract {
       /** test hook: throw after committing this many buckets (-1 = never) */
       poisonAfterBuckets: Int = -1
   ) {
-    def llmParser: Option[graft.core.LlmParser] =
-      if (secondSource == "fake") Some(graft.core.FakeLlmParser) else None
+    def llmParser: Option[graft.core.LlmParser] = secondSource match {
+      case "fake" => Some(graft.core.FakeLlmParser)
+      case "http" => graft.core.HttpLlmParser.fromEnv()
+      case _      => None
+    }
     def ocr: Option[OcrEngine] = Ocr.engine(ocrEngine)
   }
 

@@ -97,11 +97,17 @@ object Ocr {
 
   /** Engine registry keyed by config string (mirrors Config.secondSource /
     * llmParser): "none" → no engine (production offline default), "fake" →
-    * the deterministic sidecar engine.
+    * the deterministic sidecar engine, "shell" → the real
+    * pdftoppm+tesseract binding (paths from GRAFT_PDFTOPPM /
+    * GRAFT_TESSERACT, defaulting to the bare binary names on PATH) — pure
+    * deployment config, no code edit to go live.
     */
   def engine(name: String): Option[OcrEngine] = name match {
     case "none" => None
     case "fake" => Some(FakeOcrEngine)
-    case other  => sys.error(s"unknown ocr engine '$other' (none|fake)")
+    case "shell" => Some(new ShellOcrEngine(
+      sys.env.getOrElse("GRAFT_PDFTOPPM", "pdftoppm"),
+      sys.env.getOrElse("GRAFT_TESSERACT", "tesseract")))
+    case other  => sys.error(s"unknown ocr engine '$other' (none|fake|shell)")
   }
 }
