@@ -1492,6 +1492,109 @@ object Queries {
        GROUP BY r.doc_id, len(t.ts)
        ORDER BY r.doc_id"""
 
+  // ---------------------------------------------------- host boilerplate
+  // CCNet-style per-host template strip: every doc of host h<k> carries the
+  // same 7-token nav line (df = all docs of the host >= 5 -> removed);
+  // body lines are doc-unique and survive. COALESCE guards the all-boiler
+  // edge on the oracle side (string_agg over zero rows is NULL, Spark's
+  // array_join over the empty array is "").
+  private def qHostBoiler(s: SparkSession, dir: String): DataFrame = {
+    def lineArray(t: Column): Column = {
+      val ts = split(t, " ")
+      val n = ((size(ts) + lit(6)) / lit(7)).cast("int")
+      transform(sequence(lit(0), n - 1),
+        i => array_join(slice(ts, i * lit(7) + 1, lit(7)), " "))
+    }
+    val hostS = pmod(col("doc_id"), lit(5)).cast("string")
+    val d = docs(s, dir).select(col("doc_id"),
+      concat(lit("h"), hostS).as("host"),
+      concat(lit("nav h"), hostS, lit(" menu login search cart help "),
+        col("text")).as("t2"))
+    TextDedup.hostBoilerplate(d, "doc_id", "host", "t2", lineArray,
+        sep = " ", minDocs = 5L, hash = ph)
+      .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+        ph(col("text_clean")).as("clean_h"))
+      .orderBy("doc_id")
+  }
+
+  private val oHostBoiler =
+    """WITH toks AS (
+         SELECT doc_id, 'h' || (doc_id % 5)::VARCHAR AS host,
+           str_split('nav h' || (doc_id % 5)::VARCHAR ||
+                     ' menu login search cart help ' || text, ' ') AS ts
+         FROM documents),
+       lines AS (
+         SELECT doc_id, host,
+           unnest(generate_series(0, CAST((len(ts)+6)//7 AS BIGINT) - 1)) AS line_no,
+           unnest(list_transform(generate_series(0, CAST((len(ts)+6)//7 AS BIGINT) - 1),
+                  i -> array_to_string(ts[i*7+1 : i*7+7], ' '))) AS line
+         FROM toks),
+       lh AS (SELECT *, ('0x' || substr(md5(line), 1, 15))::BIGINT AS lhash FROM lines),
+       dfq AS (SELECT host, lhash, count(DISTINCT doc_id) AS df_docs
+               FROM lh GROUP BY host, lhash),
+       j AS (SELECT l.doc_id, l.line_no, l.line, (f.df_docs >= 5) AS b
+             FROM lh l JOIN dfq f ON l.host = f.host AND l.lhash = f.lhash)
+       SELECT doc_id,
+         count(*) AS n_lines,
+         CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         ('0x' || substr(md5(COALESCE(
+            string_agg(line, ' ' ORDER BY line_no) FILTER (WHERE NOT b), '')),
+            1, 15))::BIGINT AS clean_h
+       FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------- DSIR
+  // Hashed-bigram importance score vs the src1 target subset; integer
+  // rational ratios (transcendental-free contract, see QualityModel
+  // scaladoc). The ratio table is 1024 rows -> broadcast; the only
+  // corpus-sized exchange is the final per-doc aggregate.
+  private def qDsir(s: SparkSession, dir: String): DataFrame =
+    QualityModel.dsirScore(docs(s, dir), "doc_id", "text",
+        isTarget = col("source") === "src1", buckets = 1024)
+      .orderBy("doc_id")
+
+  private val oDsir =
+    """WITH occ AS (
+         SELECT doc_id, (source = 'src1') AS t,
+           ('0x' || substr(md5(bg), 1, 15))::BIGINT % 1024 AS b
+         FROM (SELECT doc_id, source,
+                 unnest(list_transform(generate_series(1, len(ts) - 1),
+                        i -> ts[i] || ' ' || ts[i+1])) AS bg
+               FROM (SELECT doc_id, source, str_split(text, ' ') AS ts
+                     FROM documents))),
+       cnt AS (SELECT b,
+                 CAST((1000000 * (sum(CASE WHEN t THEN 1 ELSE 0 END) + 1))
+                      // (count(*) + 1) AS BIGINT) AS ratio
+               FROM occ GROUP BY b)
+       SELECT doc_id,
+         CAST(sum(ratio) AS BIGINT) AS dsir_sum,
+         count(*) AS n_bigrams,
+         CAST(sum(ratio) // count(*) AS BIGINT) AS dsir_avg
+       FROM occ JOIN cnt USING (b)
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------- HLL
+  // HyperLogLog register table over the corpus token stream (m = 64): the
+  // constant-size cardinality sketch, bit-identical cross-engine because
+  // bucket/rho are pure integer ops on the shared 60-bit hash.
+  private def qHll(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.hllRegisters(
+        docs(s, dir).select(explode(split(col("text"), " ")).as("w")),
+        col("w"), m = 64)
+      .orderBy("bucket")
+
+  private val oHll =
+    """WITH h AS (
+         SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+         FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)),
+       r AS (SELECT h % 64 AS bucket,
+               CASE WHEN (h // 64) = 0 THEN 55
+                    ELSE 54 - length(bin(h // 64)) + 1 END AS rho
+             FROM h),
+       g AS (SELECT unnest(generate_series(0, 63))::BIGINT AS bucket)
+       SELECT g.bucket, CAST(COALESCE(max(r.rho), 0) AS BIGINT) AS rho_max
+       FROM g LEFT JOIN r ON r.bucket = g.bucket
+       GROUP BY g.bucket ORDER BY g.bucket"""
+
   // --------------------------------------------------------------- web graph
   // Outlink harvesting + host-graph PageRank. The Spark side runs the REAL
   // streaming HTML tokenizer over synthesized pages that exercise case-folded
@@ -2205,6 +2308,9 @@ object Queries {
     "q_vocab" -> qVocab _,
     "q_cdc_dup" -> qCdcDup _,
     "q_line_dedup" -> qLineDedup _,
+    "q_host_boiler" -> qHostBoiler _,
+    "q_dsir" -> qDsir _,
+    "q_hll" -> qHll _,
     "q_outlinks" -> qOutlinks _,
     "q_pagerank" -> qPagerank _,
     "q_ml_quality" -> qMlQuality _,
@@ -2284,6 +2390,9 @@ object Queries {
     "q_vocab" -> oVocab,
     "q_cdc_dup" -> oCdcDup,
     "q_line_dedup" -> oLineDedup,
+    "q_host_boiler" -> oHostBoiler,
+    "q_dsir" -> oDsir,
+    "q_hll" -> oHll,
     "q_outlinks" -> oOutlinks,
     "q_pagerank" -> oPagerank,
     "q_ml_quality" -> oMlQuality,

@@ -290,4 +290,60 @@ object CorpusSignals {
               hash: Column => Column = TextDedup.portableHash): DataFrame =
     Sampling.stratifiedQuota(
       df.withColumn("host", host(col(urlCol))), "host", idCol, k, salt, hash)
+
+  /** HyperLogLog register table (Flajolet et al. 2007) over a value column
+    * — the constant-size cardinality sketch a 100 TB dedup/mixing planner
+    * runs INSTEAD of countDistinct (whose exact hash aggregate must hold
+    * every distinct key). bucket = h mod m, and rho = leading-zero count
+    * + 1 of the remaining W bits (via bit length: rho = W - bitlen + 1,
+    * W + 1 for an all-zero remainder) — integer-only, so the m-row
+    * register table is bit-identical in any engine sharing the hash.
+    * The aggregate is max(), fully map-side-combinable: each task reduces
+    * its partition to ≤ m rows before the one tiny exchange. Absent
+    * buckets are joined back as rho 0, so the output is always exactly m
+    * rows. [[hllEstimate]] turns registers into the standard bias-corrected
+    * estimate (the one float step, outside any oracle contract).
+    */
+  def hllRegisters(df: DataFrame, value: Column, m: Int,
+                   hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0, "m must be a power of two")
+    val logm = java.lang.Integer.numberOfTrailingZeros(m)
+    val W = 60 - logm // portableHash is 60-bit
+    val h = hash(value)
+    val regs = df
+      .select(pmod(h, lit(m.toLong)).as("bucket"),
+        // shiftright, NOT division: long / long is DOUBLE division in
+        // Spark, and doubles lose bits past 2^53
+        shiftright(h, logm).as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0L, lit(W + 1).cast("long"))
+          .otherwise(lit(W).cast("long") - length(bin(col("w"))) + 1L).as("rho"))
+      .groupBy("bucket")
+      .agg(max(col("rho")).as("rho_max"))
+    df.sparkSession.range(m).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("rho_max"), lit(0L)).as("rho_max"))
+  }
+
+  /** Registers → the standard HLL estimate: alpha_m · m² / Σ 2^(-rho),
+    * with the small-range linear-counting correction. One aggregate over m
+    * rows — driver-free.
+    */
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers
+      .agg(sum(pow(lit(2.0), -col("rho_max"))).as("z"),
+        sum(when(col("rho_max") === 0L, 1).otherwise(0)).as("v"))
+      .select(
+        when(col("v") > 0 &&
+            lit(alpha * m * m) / col("z") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v"))) // linear counting
+          .otherwise(lit(alpha * m * m) / col("z"))
+          .as("estimate"))
+  }
 }

@@ -88,4 +88,45 @@ object QualityModel {
       .agg(sum(col("s")).as("lm_sum"), count(lit(1)).as("n_bigrams"))
       .withColumn("lm_avg", expr("lm_sum div n_bigrams"))
   }
+
+  /** DSIR importance score (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score raw documents by how much
+    * their hashed-bigram distribution resembles a trusted TARGET subset
+    * relative to the raw corpus, then sample by the score. Per hashed
+    * bucket b the classic weight is log p_target(b)/p_raw(b); the
+    * transcendental-free contract here (same policy as BM25/lmScore) keeps
+    * the RATIO as an integer rational — per-occurrence score
+    * floor(SCALE·(n_t[b]+1)/(n_r[b]+1)), add-one smoothed, summed per
+    * document — which preserves the ranking DSIR samples from while
+    * staying bit-reproducible across engines and partitionings.
+    *
+    * Plan at 100 TB: bucket counts are two ≤`buckets`-row aggregates (the
+    * hashing trick bounds the key space, map-side combine absorbs
+    * repetition); the per-document pass joins the exploded corpus against
+    * the broadcast ratio table — ZERO corpus-sized shuffle besides the
+    * final aggregate on id, and that one is also map-side-combinable.
+    */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, buckets: Int,
+                scale: Long = LmScale,
+                hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    val ts = split(col(textCol), " ")
+    val n1 = greatest(size(ts) - 1, lit(0))
+    val bg = zip_with(slice(ts, lit(1), n1), slice(ts, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val occ = df.select(col(idCol), isTarget.as("__t"), explode(bg).as("bg"))
+      .withColumn("b", pmod(hash(col("bg")), lit(buckets.toLong)))
+      .drop("bg")
+    val counts = occ
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_r"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"))
+      .withColumn("ratio",
+        expr(s"($scale * (n_t + 1)) div (n_r + 1)"))
+      .select("b", "ratio")
+    occ.join(broadcast(counts), Seq("b"))
+      .groupBy(idCol)
+      .agg(sum(col("ratio")).as("dsir_sum"), count(lit(1)).as("n_bigrams"))
+      .withColumn("dsir_avg", expr("dsir_sum div n_bigrams"))
+  }
 }

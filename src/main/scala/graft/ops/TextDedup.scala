@@ -651,6 +651,51 @@ object TextDedup {
     * 60-bit portable hash conflate distinct lines; at real corpus scale use
     * a 128-bit hash (e.g. full md5) for `hash` — the operator is agnostic.
     */
+  /** CCNet-style host-level template removal (Wenzek et al. 2020 strip
+    * frequent lines per shard; here the shard key is the page's host, the
+    * unit a site template actually repeats over): a line occurring in
+    * `minDocs`+ DISTINCT documents of the same host is boilerplate — nav
+    * bars, footers, cookie banners — and is removed from EVERY document of
+    * that host; body lines survive even when they collide across hosts.
+    *
+    * Distribution shape (100 TB): one exchange of the exploded lines on
+    * (host, line-hash) feeding both sides — the doc-frequency aggregate
+    * runs on the map-side-deduplicated (host, lh, id) projection (hot
+    * template lines collapse in the mapper), the corpus-sized side joins
+    * it on the same key, and the per-doc reassembly is the one further
+    * exchange on id. Conditional aggregation (not a filter) keeps
+    * documents whose every line is template — they come back with
+    * text_clean = "" instead of silently vanishing.
+    */
+  def hostBoilerplate(df: DataFrame, idCol: String, hostCol: String,
+                      textCol: String, lineArray: Column => Column,
+                      sep: String, minDocs: Long,
+                      hash: Column => Column = portableHash): DataFrame = {
+    val id = col(idCol); val host = col(hostCol)
+    // same CSE guard as lineDedup: materialize the interpreted HOF once
+    val lines = df
+      .select(id, host, lineArray(col(textCol)).as("la"))
+      .select(id, host, posexplode(col("la")).as(Seq("line_no", "line")))
+      .withColumn("lh", hash(col("line")))
+    val docFreq = lines.select(host, col("lh"), id).distinct()
+      .groupBy(host, col("lh"))
+      .agg(count(lit(1)).as("df_docs"))
+    val isBoiler = col("df_docs") >= minDocs
+    lines.join(docFreq, Seq(hostCol, "lh"))
+      .groupBy(id)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(isBoiler, 1L).otherwise(0L)).as("n_boiler"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("line_no"), col("line"),
+                isBoiler.as("b")))),
+              s => !s.getField("b")),
+            s => s.getField("line")),
+          sep).as("text_clean"))
+  }
+
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 lineArray: Column => Column, sep: String,
                 hash: Column => Column = portableHash): DataFrame = {

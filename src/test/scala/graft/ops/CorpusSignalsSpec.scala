@@ -177,4 +177,33 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     cases.foreach { case (h, want) => assert(got(h) == want, s"host $h") }
   }
+
+  test("hllRegisters: m rows always, duplicate-invariant, merge = max") {
+    val s = spark
+    import s.implicits._
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      CorpusSignals.hllRegisters(df, col("v"), m = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = (0 until 300).map(i => s"val$i").toDF("v")
+    val b = (200 until 500).map(i => s"val$i").toDF("v")
+    val ra = regs(a); val rb = regs(b)
+    assert(ra.size == 64 && ra.keySet == (0L until 64L).toSet)
+    // the sketch is a set summary: duplicates change nothing
+    assert(regs(a.union(a).union(a)) == ra)
+    // mergeability (the property that makes it a 100 TB sketch: per-task
+    // registers combine by max, exactly what the map-side partial does)
+    val merged = (0L until 64L).map(k => k -> math.max(ra(k), rb(k))).toMap
+    assert(regs(a.union(b)) == merged)
+  }
+
+  test("hllEstimate lands within the m=256 error envelope on 5000 distinct") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 5000).map(i => s"tok-$i-x").toDF("v")
+    val est = CorpusSignals.hllEstimate(
+      CorpusSignals.hllRegisters(df, col("v"), m = 256), m = 256)
+      .collect().head.getDouble(0)
+    // std error 1.04/sqrt(256) = 6.5%; allow 4 sigma on the fixed data
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.26, s"estimate $est")
+  }
 }

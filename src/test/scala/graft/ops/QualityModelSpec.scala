@@ -82,4 +82,39 @@ class QualityModelSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("dsirScore: hand-computed hashed-bigram importance ratios") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "x y x y", true),   // target doc: bigrams xy, yx, xy
+      (2L, "x y z z", false)). // raw-only: xy, yz, zz
+      toDF("doc_id", "text", "is_t")
+    val got = QualityModel.dsirScore(df, "doc_id", "text",
+        isTarget = col("is_t"), buckets = 1024, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // counts: xy n_r=3 n_t=2 -> ratio 1000*3//4 = 750
+    //         yx n_r=1 n_t=1 -> 1000*2//2 = 1000
+    //         yz n_r=1 n_t=0 -> 1000*1//2 = 500
+    //         zz n_r=1 n_t=0 -> 500
+    // (md5 collisions into 1024 buckets for 4 distinct bigrams: none —
+    // verified by the assertion itself, a collision would change a ratio)
+    assert(got(1L) == (750L + 1000L + 750L, 3L)) // doc1: xy yx xy
+    assert(got(2L) == (750L + 500L + 500L, 3L))  // doc2: xy yz zz
+  }
+
+  test("dsirScore: target docs outrank raw docs; broadcast ratio table in plan") {
+    val s = spark
+    import s.implicits._
+    val target = (0L until 30L).map(i => (i, "alpha beta gamma delta", true))
+    val raw = (100L until 130L).map(i => (i, s"noise$i junk$i other$i more$i", false))
+    val df = (target ++ raw).toDF("doc_id", "text", "is_t")
+    val scored = QualityModel.dsirScore(df, "doc_id", "text", col("is_t"), 4096)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "ratio table must broadcast")
+    val rows = scored.collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val minT = target.map(t => rows(t._1)).min
+    val maxR = raw.map(t => rows(t._1)).max
+    assert(minT > maxR, s"target avg $minT must exceed raw avg $maxR")
+  }
 }

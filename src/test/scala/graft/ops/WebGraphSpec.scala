@@ -129,6 +129,40 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o2.toSeq == Seq((5L, 2L, "a\nb", 1L)))
   }
 
+  test("hostBoilerplate: per-host df threshold, cross-host lines survive, all-boiler docs kept") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // host A: "nav" in all 3 docs (df=3 >= 2 -> boiler); "shared" in 2
+      // A-docs (boiler at minDocs=2); body lines unique
+      (1L, "A", "nav\nbody1\nshared"),
+      (2L, "A", "nav\nbody2\nshared"),
+      (3L, "A", "nav\nbody3"),
+      // host B: "nav" appears in ONE B-doc only -> df=1 under B, KEPT even
+      // though host A removes the same line; doc 5 is ALL boiler
+      (4L, "B", "nav\nbfoot\nbody4"),
+      (5L, "B", "bfoot"),
+      (6L, "B", "bfoot\nbody6")
+    ).toDF("doc_id", "host", "text")
+    val out = TextDedup.hostBoilerplate(df, "doc_id", "host", "text",
+        t => split(t, "\n"), sep = "\n", minDocs = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "body1"),
+      (2L, 3L, 2L, "body2"),
+      (3L, 2L, 1L, "body3"),
+      (4L, 3L, 1L, "nav\nbody4"), // nav survives under host B
+      (5L, 1L, 1L, ""),           // all-boiler doc comes back empty, not absent
+      (6L, 2L, 1L, "body6")))
+    // partitioning-invariant
+    val o2 = TextDedup.hostBoilerplate(df.repartition(7), "doc_id", "host",
+        "text", t => split(t, "\n"), sep = "\n", minDocs = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(o2.toSeq == out.toSeq)
+  }
+
   test("lineDedup plan: the keep decision rides WindowGroupLimit (map-side partial)") {
     val s = spark
     import s.implicits._
