@@ -1444,6 +1444,54 @@ object Queries {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------------ substring dedup
+  // The REMOVAL half of exact-substring dedup (q_cdc_dup measures, this
+  // cuts): duplicated CDC chunks keep their first (doc_id, idx) occurrence
+  // corpus-wide, survivors are ''-rejoined. Same chunking CTEs as the
+  // stats oracle, plus the arg-min winner and the filtered reassembly.
+  private def qSubstrDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.dupSpanRewrite(
+        docs(s, dir).where(length(col("text")) > 0), "doc_id", "text",
+        n = 12, modulus = 8, minDocs = 2)
+      .select(col("id").as("doc_id"), col("n_chunks"), col("n_removed"),
+        ph(col("text_dedup")).as("clean_h"))
+      .orderBy("doc_id")
+
+  private val oSubstrDedup: String = {
+    val pw = graft.functions.RollingFingerprint.powerConstants(12)
+      .map(v => s"CAST($v AS BIGINT)").mkString("[", ",", "]")
+    s"""WITH cps AS (SELECT doc_id, text,
+         list_transform(generate_series(1, length(text)),
+           i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cp,
+         length(text) AS L FROM documents WHERE length(text) > 0),
+       anch AS (SELECT doc_id, text, L,
+         list_prepend(CAST(1 AS BIGINT),
+           list_filter(generate_series(1, greatest(L - 11, 1)), i -> i > 1 AND
+             (coalesce(list_aggregate(list_transform(generate_series(0, least(12, L) - 1), j ->
+               (cp[i + j] * ($pw[least(12, L) - j])) % 1000000007), 'sum'), 0)
+              % 1000000007) % 8 = 0)) AS ss
+         FROM cps),
+       chunks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ss)), j ->
+           struct_pack(
+             idx := CAST(j AS BIGINT),
+             chunk := substr(text, CAST(ss[j] AS INTEGER),
+               CAST((CASE WHEN j < len(ss) THEN ss[j+1] ELSE L + 1 END) - ss[j] AS INTEGER))))) AS c
+         FROM anch),
+       flat AS (SELECT doc_id, c.idx AS idx, c.chunk AS chunk,
+           ('0x' || substr(md5(c.chunk), 1, 15))::BIGINT AS ck FROM chunks),
+       hot AS (SELECT ck, min(struct_pack(d := doc_id, i := idx)) AS first
+               FROM flat GROUP BY ck HAVING count(DISTINCT doc_id) >= 2),
+       k AS (SELECT f.doc_id, f.idx, f.chunk,
+               (h.ck IS NULL OR (h.first.d = f.doc_id AND h.first.i = f.idx)) AS keep
+             FROM flat f LEFT JOIN hot h ON f.ck = h.ck)
+       SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         ('0x' || substr(md5(COALESCE(
+            string_agg(chunk, '' ORDER BY idx) FILTER (WHERE keep), '')),
+            1, 15))::BIGINT AS clean_h
+       FROM k GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   // -------------------------------------------------------------- line dedup
   // C4-style corpus-level line dedup (Raffel et al. 2020 §2.2) over fixed
   // 7-word line units: every line keeps exactly its first (doc_id, line_no)
@@ -1635,6 +1683,50 @@ object Queries {
            || '|https://h' || (doc_id % 7)::VARCHAR || '.example.com/'
            || '|/self?ref=' || doc_id::VARCHAR || '&src=nav'
            || CASE WHEN doc_id % 3 = 0 THEN '|https://popular.example.org/' ELSE '' END AS hrefs
+       FROM documents ORDER BY doc_id"""
+
+  // Anchor-text harvesting through the REAL tokenizer, differential like
+  // q_outlinks: the generator plants inline markup inside an anchor
+  // (n<b>ex</b>t → "next"), an entity (&amp;), an implicit close (a new
+  // <a> terminates the open one — the browser recovery rule for illegal
+  // nesting), and whitespace to collapse; the oracle rebuilds the
+  // expected (href~anchor) list arithmetically from doc_id.
+  private def qAnchorText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val pop =
+          if (id % 3 == 0)
+            "<a href=\"https://popular.example.org/\">Read &amp; More</a>"
+          else ""
+        val html =
+          s"""<html><body>
+             |<a href="https://h${(id + 1) % 37}.example.com/doc/${id + 1}">n<b>ex</b>t ${id + 1}</a>
+             |<p>$text</p>
+             |<a href='/hub'>Hub
+             |<a href="/tail?id=$id">tail &lt;$id&gt;</a>
+             |$pop</body></html>""".stripMargin
+        (id, s"https://h${id % 37}.example.com/doc/$id", html)
+      }.toDF("doc_id", "url", "html")
+    WebGraph.anchorTexts(pages, "doc_id", "url", "html")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_links"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("link_no"),
+            concat(col("href"), lit("~"), col("anchor")).as("p")))),
+            x => x.getField("p")), "|").as("anchors"))
+      .orderBy("doc_id")
+  }
+
+  private val oAnchorText =
+    """SELECT doc_id,
+         CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_links,
+         'https://h' || ((doc_id+1) % 37)::VARCHAR || '.example.com/doc/' || (doc_id+1)::VARCHAR
+           || '~next ' || (doc_id+1)::VARCHAR
+           || '|/hub~Hub'
+           || '|/tail?id=' || doc_id::VARCHAR || '~tail <' || doc_id::VARCHAR || '>'
+           || CASE WHEN doc_id % 3 = 0 THEN '|https://popular.example.org/~Read & More' ELSE '' END
+           AS anchors
        FROM documents ORDER BY doc_id"""
 
   // Host-level PageRank over the harvested link graph: outlinks → hostEdges
@@ -2307,11 +2399,13 @@ object Queries {
     "q_anchors" -> qAnchors _,
     "q_vocab" -> qVocab _,
     "q_cdc_dup" -> qCdcDup _,
+    "q_substr_dedup" -> qSubstrDedup _,
     "q_line_dedup" -> qLineDedup _,
     "q_host_boiler" -> qHostBoiler _,
     "q_dsir" -> qDsir _,
     "q_hll" -> qHll _,
     "q_outlinks" -> qOutlinks _,
+    "q_anchor_text" -> qAnchorText _,
     "q_pagerank" -> qPagerank _,
     "q_ml_quality" -> qMlQuality _,
     "q_lm_score" -> qLmScore _,
@@ -2389,11 +2483,13 @@ object Queries {
     "q_anchors" -> oAnchors,
     "q_vocab" -> oVocab,
     "q_cdc_dup" -> oCdcDup,
+    "q_substr_dedup" -> oSubstrDedup,
     "q_line_dedup" -> oLineDedup,
     "q_host_boiler" -> oHostBoiler,
     "q_dsir" -> oDsir,
     "q_hll" -> oHll,
     "q_outlinks" -> oOutlinks,
+    "q_anchor_text" -> oAnchorText,
     "q_pagerank" -> oPagerank,
     "q_ml_quality" -> oMlQuality,
     "q_lm_score" -> oLmScore,

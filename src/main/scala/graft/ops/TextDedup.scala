@@ -159,6 +159,50 @@ object TextDedup {
         sum(when(col("__hot").isNotNull, col("clen")).otherwise(0L)).as("dup_chars"))
   }
 
+  /** Duplicated-span REMOVAL — the rewrite step of exact-substring dedup
+    * (Lee et al. 2022 drop repeated ≥50-token spans, keeping one copy;
+    * [[dupSpanStats]] is the measurement half, this is the scalpel): every
+    * chunk whose hash occurs in ≥ `minDocs` distinct documents keeps only
+    * its FIRST (id, idx) occurrence corpus-wide; all other occurrences are
+    * cut and the survivors re-concatenated (CDC chunks partition the text,
+    * so ""-joining survivors is exact surgery, not approximation).
+    *
+    * Scale shape: the first-occurrence winner rides the SAME aggregate
+    * that detects hot chunks (min(struct(id, idx)) next to the two-phase
+    * countDistinct) — no window over the chunk key, so a boilerplate
+    * chunk in a billion documents never funnels its occurrences into one
+    * sort. Then one equi-join back on the hash (hot side is small — AQE
+    * broadcasts) and one conditional reassembly aggregate per doc; docs
+    * reduced to nothing come back with text_dedup = "".
+    */
+  def dupSpanRewrite(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 50, modulus: Int = 64,
+                     minDocs: Int = 2): DataFrame = {
+    val chunks = df
+      .select(col(idCol).as("id"), cdcChunkRows(col(textCol), n, modulus))
+      .withColumn("ck", portableHash(col("chunk")))
+    val hot = chunks.groupBy("ck")
+      .agg(countDistinct(col("id")).as("n_docs"),
+        min(struct(col("id"), col("idx"))).as("first"))
+      .where(col("n_docs") >= minDocs)
+      .select("ck", "first")
+    chunks.join(hot, Seq("ck"), "left")
+      .withColumn("keep", col("first").isNull ||
+        (col("first.id") === col("id") && col("first.idx") === col("idx")))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("idx"), col("chunk"),
+                col("keep")))),
+              s => s.getField("keep")),
+            s => s.getField("chunk")),
+          "").as("text_dedup"))
+  }
+
   /** Exact dedup: group by a hash of the full text, keep the first id as
     * the canonical representative. Scales: one shuffle on the 60-bit key.
     */

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.html.{Tokenizer, TStart}
+import graft.html.{Tokenizer, TEnd, TStart, TText}
 
 /** Crawl-graph operators: outlink harvesting from raw HTML, host-level
   * edge aggregation, and a bit-reproducible fixed-point PageRank.
@@ -41,6 +41,54 @@ object WebGraph {
           .map { case (href, i) => (id, url, i.toLong, href) }
       }
       .toDF(idCol, urlCol, "link_no", "href")
+  }
+
+  /** Harvest (href, anchor text) pairs — the web-scale signal outlinks
+    * alone can't give: anchor text is how the WEB describes the target
+    * page, the classic relevance/quality prior (Brin & Page 1998 §2.2) and
+    * a training-data label source. Anchor text is the concatenation of the
+    * tokenizer's TText runs between `<a href>` and its close, entities
+    * already decoded, whitespace collapsed; inline markup inside the
+    * anchor (`<a>h<b>u</b>b</a>`) contributes its text. A new `<a>` start
+    * tag implicitly closes an open anchor (the HTML parsing rule — nested
+    * anchors are illegal and browsers recover exactly this way), as does
+    * end-of-document. href-less `<a name=...>` anchors close an open link
+    * but emit nothing.
+    *
+    * Same plan shape as [[outlinks]]: narrow scan-stage flatMap, no
+    * exchange; (id, url, link_no, href, anchor) in document order.
+    */
+  def anchorTexts(df: DataFrame, idCol: String, urlCol: String,
+                  htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(urlCol).cast("string"),
+        col(htmlCol).cast("string"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, url, html) =>
+        val out = Vector.newBuilder[(String, String)]
+        var href: String = null
+        val sb = new StringBuilder
+        def flush(): Unit = {
+          if (href != null)
+            out += ((href, sb.toString.trim.replaceAll("\\s+", " ")))
+          href = null; sb.clear()
+        }
+        Tokenizer.tokenize(html).foreach {
+          case TStart("a", attrs, selfClosing) =>
+            flush()
+            href = attrs.getOrElse("href", null)
+            if (selfClosing) flush() // <a href=... /> is an empty-text link
+          case TEnd("a")             => flush()
+          case TText(t)              => if (href != null) sb.append(t)
+          case _                     => ()
+        }
+        flush()
+        out.result().iterator.zipWithIndex.map { case ((h, a), i) =>
+          (id, url, i.toLong, h, a)
+        }
+      }
+      .toDF(idCol, urlCol, "link_no", "href", "anchor")
   }
 
   /** Collapse page-level links to host-level weighted edges. Absolute

@@ -120,4 +120,48 @@ class CdcChunksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0L)._4 > 0, "boilerplate docs must show dup chars")
     assert(exp.values.exists(_._4 == 0L), "pure-noise docs stay clean")
   }
+
+  test("dupSpanRewrite equals the brute-force keep-first surgery") {
+    val s = spark
+    import s.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      0L -> s"$shared unique tail zero",
+      1L -> s"prefix one $shared",
+      2L -> "completely unrelated text with no duplicated spans at all",
+      3L -> s"$shared $shared") // within-doc repeat of a cross-doc span
+    val got = TextDedup.dupSpanRewrite(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 12, modulus = 8, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // brute force: chunk every doc, find chunks in >=2 distinct docs, keep
+    // only the global first (doc_id, idx) occurrence of each hot chunk
+    val chunks = docs.map { case (id, t) =>
+      id -> refChunks(t, 12, 8).zipWithIndex.map { case (c, i) => (i + 1, c) } }
+    val docsPerChunk = chunks
+      .flatMap { case (id, cs) => cs.map(_._2).distinct.map(_ -> id) }
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet.size).toMap
+    val firstOcc = chunks
+      .flatMap { case (id, cs) => cs.map { case (i, c) => (c, (id, i)) } }
+      .groupMapReduce(_._1)(_._2)((a, b) => if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+    val exp = chunks.map { case (id, cs) =>
+      val kept = cs.filter { case (i, c) =>
+        docsPerChunk(c) < 2 || firstOcc(c) == ((id, i)) }
+      id -> ((cs.size.toLong, (cs.size - kept.size).toLong,
+        kept.map(_._2).mkString))
+    }.toMap
+    assert(got == exp)
+    assert(got(0L)._2 == 0L, "first occurrence keeps its spans")
+    assert(got(1L)._2 > 0L, "later copy loses the shared span")
+    // surgery is exact: untouched docs reassemble byte-identically
+    assert(got(2L)._3 == docs(2)._2)
+    // partitioning-invariant (the arg-min winner is global, not per-task)
+    val got2 = TextDedup.dupSpanRewrite(docs.toDF("doc_id", "text").repartition(5),
+        "doc_id", "text", n = 12, modulus = 8, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got2 == got)
+  }
 }

@@ -129,6 +129,30 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o2.toSeq == Seq((5L, 2L, "a\nb", 1L)))
   }
 
+  test("anchorTexts: inline markup, entities, implicit close, self-closing, whitespace") {
+    val s = spark
+    import s.implicits._
+    val html =
+      """<html><body>
+        |<a href="/a">n<b>ex</b>t   page</a>
+        |<a href='/b'>open anchor
+        |<a href="/c">R&amp;D</a>
+        |<a name="x">not a link</a>
+        |<a href="/d"/>
+        |<a href="/e">tail at eof""".stripMargin
+    val got = WebGraph.anchorTexts(
+        Seq((7L, "https://h.example/", html)).toDF("doc_id", "url", "html"),
+        "doc_id", "url", "html")
+      .orderBy("link_no").collect()
+      .map(r => (r.getLong(2), r.getString(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0L, "/a", "next page"),      // inline <b> contributes text; spaces collapse
+      (1L, "/b", "open anchor"),    // implicitly closed by the next <a>
+      (2L, "/c", "R&D"),            // entity decoded by the tokenizer
+      (3L, "/d", ""),               // self-closing: empty-text link
+      (4L, "/e", "tail at eof")))   // EOF closes the last anchor
+  }
+
   test("hostBoilerplate: per-host df threshold, cross-host lines survive, all-boiler docs kept") {
     val s = spark
     import s.implicits._
