@@ -267,4 +267,56 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg >= 0 && agg > join,
       s"tf partial aggregate must sit below (after in toString) the join:\n$p")
   }
+
+  // ------------------------------------------------------ round-4 queries
+
+  test("q_host_boiler: doc-frequency meets the lines in an equi-join, never pairwise") {
+    val p = plan("q_host_boiler")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"template detection must not compare documents pairwise:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected the (host, line-hash) equi-join:\n$p")
+    // within-doc repeats die map-side before the doc-frequency count
+    assert(p.contains("partial_count"),
+      s"doc-frequency must combine map-side:\n$p")
+  }
+
+  test("q_dsir: ratio table broadcast — the corpus never shuffles to be scored") {
+    val p = plan("q_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-bounded ratio table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not sort-merge against a <=1024-row table:\n$p")
+  }
+
+  test("q_hll: registers reduce map-side (partial max), constant-size exchange") {
+    val p = plan("q_hll")
+    assert(p.contains("partial_max"),
+      s"each task must reduce to <= m register rows before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_substr_dedup: keep-first dedup WITHOUT a window on the chunk key") {
+    // the winner rides min(struct(id, idx)) inside the hot-chunk aggregate;
+    // a Window here would sort every occurrence of a hot boilerplate chunk
+    // in one task — the exact skew this op is designed to avoid
+    val p = plan("q_substr_dedup")
+    assert(!p.contains("Window") || p.contains("WindowGroupLimit"),
+      s"no window may sort the chunk key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // hot-chunk distinct count stays skew-safe two-phase on (ck, id) —
+    // SortAggregate, not HashAggregate: min(struct) has a non-mutable
+    // buffer, so Spark picks the sort-based aggregate; the skew property
+    // (phase-1 keys spread a hot hash across reducers) is in the KEYS
+    assert("(Hash|Sort)Aggregate\\(keys?=\\[ck#\\d+L, id#\\d+L\\]".r.findFirstIn(p).isDefined,
+      s"hot-chunk distinct must spread by (ck, id):\n$p")
+  }
+
+  test("q_anchor_text / q_warc_extract: harvest stages never join or cartesian") {
+    Seq("q_anchor_text", "q_warc_extract").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"$q: the harvest path is scan-shaped, no join belongs in it:\n$p")
+    }
+  }
 }
