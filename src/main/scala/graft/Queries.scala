@@ -1764,6 +1764,53 @@ object Queries {
        SELECT id AS host, pr FROM r4 ORDER BY host"""
   }
 
+  // HITS hubs/authorities over the same harvested host graph as PageRank —
+  // integer fixed-point with round-max normalization (floor div), oracle
+  // unrolled for 3 iterations with scalar-subquery maxima.
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    val links = WebGraph.outlinks(linkPages(s, dir), "doc_id", "url", "html")
+    WebGraph.hits(WebGraph.hostEdges(links, "url"), iters = 3)
+      .select(col("id").as("host"), col("auth"), col("hub"))
+      .orderBy("host")
+  }
+
+  private val oHits: String = {
+    val S = 1000000L
+    // every CTE is MATERIALIZED: the per-round MAX is referenced twice and
+    // each round references the previous — inlining would re-expand the
+    // whole chain per reference (exponential plans, file-handle blowup)
+    val iter = (k: Int) =>
+      s"""ar$k AS MATERIALIZED (SELECT nd.id, COALESCE(c.s, 0) AS raw
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id, CAST(SUM(h.hub) AS BIGINT) AS s
+             FROM edges e JOIN h${k - 1} h ON h.id = e.src GROUP BY e.dst) c
+           ON c.id = nd.id),
+         a$k AS MATERIALIZED (SELECT id, CASE WHEN (SELECT MAX(raw) FROM ar$k) > 0
+             THEN CAST((raw * $S) // (SELECT MAX(raw) FROM ar$k) AS BIGINT)
+             ELSE 0 END AS auth FROM ar$k),
+         hr$k AS MATERIALIZED (SELECT nd.id, COALESCE(c.s, 0) AS raw
+           FROM nodes nd LEFT JOIN (
+             SELECT e.src AS id, CAST(SUM(a.auth) AS BIGINT) AS s
+             FROM edges e JOIN a$k a ON a.id = e.dst GROUP BY e.src) c
+           ON c.id = nd.id),
+         h$k AS MATERIALIZED (SELECT id, CASE WHEN (SELECT MAX(raw) FROM hr$k) > 0
+             THEN CAST((raw * $S) // (SELECT MAX(raw) FROM hr$k) AS BIGINT)
+             ELSE 0 END AS hub FROM hr$k)"""
+    s"""WITH d AS (SELECT doc_id, 'h' || (doc_id % 37)::VARCHAR || '.example.com' AS src FROM documents),
+       eall AS (
+         SELECT src, 'h' || ((doc_id+1) % 37)::VARCHAR || '.example.com' AS dst FROM d
+         UNION ALL SELECT src, 'h' || (doc_id % 7)::VARCHAR || '.example.com' FROM d
+         UNION ALL SELECT src, src FROM d
+         UNION ALL SELECT src, 'popular.example.org' FROM d WHERE doc_id % 3 = 0),
+       edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM eall),
+       nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
+       h0 AS MATERIALIZED (SELECT id, CAST($S AS BIGINT) AS hub FROM nodes),
+       ${(1 to 3).map(iter).mkString(",\n")}
+       SELECT n.id AS host, a3.auth, h3.hub
+       FROM nodes n JOIN a3 ON a3.id = n.id JOIN h3 ON h3.id = n.id
+       ORDER BY host"""
+  }
+
   // ---------------------------------------------------------- model scoring
   // fastText-shape hashed linear quality classifier: the weight VECTOR is a
   // table (the way a learned model arrives at corpus scale), tokens hash
@@ -2407,6 +2454,7 @@ object Queries {
     "q_outlinks" -> qOutlinks _,
     "q_anchor_text" -> qAnchorText _,
     "q_pagerank" -> qPagerank _,
+    "q_hits" -> qHits _,
     "q_ml_quality" -> qMlQuality _,
     "q_lm_score" -> qLmScore _,
     "q_bpe" -> qBpe _,
@@ -2491,6 +2539,7 @@ object Queries {
     "q_outlinks" -> oOutlinks,
     "q_anchor_text" -> oAnchorText,
     "q_pagerank" -> oPagerank,
+    "q_hits" -> oHits,
     "q_ml_quality" -> oMlQuality,
     "q_lm_score" -> oLmScore,
     "q_bpe" -> oBpe,

@@ -130,6 +130,57 @@ object WebGraph {
     * planning time (measured on dedupClusters: a 12-round lineage took
     * 13 minutes to PLAN; truncated, seconds).
     */
+  /** HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) in the same
+    * bit-reproducible integer fixed-point style as [[pagerank]]: each
+    * round computes raw authority = Σ hub over in-edges, normalizes by the
+    * round MAX (floor division — the L1/L2 norms of the paper are
+    * replaced by max-normalization, which preserves the ranking HITS is
+    * used for while keeping every value an exact BIGINT), then the same
+    * for hubs over the NEW authorities. Deterministic under any
+    * partitioning; the norm is a 1-row broadcast aggregate, the per-round
+    * exchanges are the two groupBys on dst/src.
+    *
+    * Overflow envelope (ANSI mode makes a violation loud, not silent):
+    * rawValue · scale must stay < 2^63, i.e. max-in-degree · scale² <
+    * 2^63 — at the default scale 10^6 that allows in-degrees to ~9·10^6;
+    * pass a smaller scale for denser graphs.
+    */
+  def hits(edges0: DataFrame, srcCol: String = "src",
+           dstCol: String = "dst", iters: Int = 3,
+           scale: Long = 1000000L): DataFrame = {
+    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().transform(Checkpointer.truncate)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .transform(Checkpointer.truncate)
+    // one normalized propagation step: scores flow across `edges` from
+    // `from` to `to`, then floor-normalize by the round max
+    def step(scores: DataFrame, scoreCol: String, from: String, to: String,
+             outCol: String): DataFrame = {
+      val raw = nodes.join(
+          edges.join(scores.withColumnRenamed("id", from), from)
+            .groupBy(col(to).as("id"))
+            .agg(sum(col(scoreCol)).as("raw")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
+      raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
+        .select(col("id"),
+          when(col("mx") > 0, expr(s"(raw * $scale) div mx"))
+            .otherwise(lit(0L)).as(outCol))
+    }
+    var auth = nodes.withColumn("auth", lit(scale))
+    var hub = nodes.withColumn("hub", lit(scale))
+    var i = 0
+    while (i < iters) {
+      auth = step(hub, "hub", "src", "dst", "auth")
+        .transform(Checkpointer.truncate)
+      hub = step(auth, "auth", "dst", "src", "hub")
+        .transform(Checkpointer.truncate)
+      i += 1
+    }
+    auth.join(hub, "id")
+  }
+
   def pagerank(edges0: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iters: Int = 4,
                scale: Long = 1000000000L): DataFrame = {

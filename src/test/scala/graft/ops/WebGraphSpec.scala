@@ -105,6 +105,25 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pr2 == pr) // integer arithmetic: no partitioning sensitivity
   }
 
+  test("hits: hand-computed max-normalized round; partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    // a -> c, b -> c, c -> d : c is the authority, a/b are the hubs
+    val edges = Seq(("a", "c"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = WebGraph.hits(edges, iters = 1, scale = 1000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // auth raw from h0=1000: c=2000, d=1000, a=b=0; max 2000
+    //   -> auth c=1000, d=500, a=b=0
+    // hub raw from NEW auth: a=1000, b=1000, c=500, d=0; max 1000
+    //   -> hub a=1000, b=1000, c=500, d=0
+    assert(got == Map(
+      "a" -> ((0L, 1000L)), "b" -> ((0L, 1000L)),
+      "c" -> ((1000L, 500L)), "d" -> ((500L, 0L))))
+    val got2 = WebGraph.hits(edges.repartition(5), iters = 1, scale = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got2 == got) // integer arithmetic: no partitioning sensitivity
+  }
+
   test("lineDedup: keep-first across the corpus, reassembly, counts") {
     val s = spark
     import s.implicits._
