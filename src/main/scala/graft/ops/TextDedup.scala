@@ -702,14 +702,17 @@ object TextDedup {
     * bars, footers, cookie banners — and is removed from EVERY document of
     * that host; body lines survive even when they collide across hosts.
     *
-    * Distribution shape (100 TB): one exchange of the exploded lines on
-    * (host, line-hash) feeding both sides — the doc-frequency aggregate
-    * runs on the map-side-deduplicated (host, lh, id) projection (hot
-    * template lines collapse in the mapper), the corpus-sized side joins
-    * it on the same key, and the per-doc reassembly is the one further
-    * exchange on id. Conditional aggregation (not a filter) keeps
-    * documents whose every line is template — they come back with
-    * text_clean = "" instead of silently vanishing.
+    * Distribution shape (100 TB): the doc-frequency aggregate runs on the
+    * map-side-deduplicated (host, lh, id) projection (hot template lines
+    * collapse in the mapper) and is then FILTERED to the template set
+    * before the join — the join side carries only lines in ≥ minDocs docs
+    * of a host (boilerplate by definition: a bounded set per host), not
+    * one row per distinct line of the corpus, so AQE demotes it to a
+    * broadcast and the corpus-sized line table never shuffles for the
+    * verdict; a left-join miss means "keep". The per-doc reassembly is
+    * the one corpus-sized exchange. Conditional aggregation (not a
+    * filter) keeps documents whose every line is template — they come
+    * back with text_clean = "" instead of silently vanishing.
     */
   def hostBoilerplate(df: DataFrame, idCol: String, hostCol: String,
                       textCol: String, lineArray: Column => Column,
@@ -721,11 +724,13 @@ object TextDedup {
       .select(id, host, lineArray(col(textCol)).as("la"))
       .select(id, host, posexplode(col("la")).as(Seq("line_no", "line")))
       .withColumn("lh", hash(col("line")))
-    val docFreq = lines.select(host, col("lh"), id).distinct()
+    val boilerSet = lines.select(host, col("lh"), id).distinct()
       .groupBy(host, col("lh"))
       .agg(count(lit(1)).as("df_docs"))
-    val isBoiler = col("df_docs") >= minDocs
-    lines.join(docFreq, Seq(hostCol, "lh"))
+      .where(col("df_docs") >= minDocs)
+      .select(host, col("lh"), lit(true).as("__boiler"))
+    val isBoiler = coalesce(col("__boiler"), lit(false))
+    lines.join(boilerSet, Seq(hostCol, "lh"), "left")
       .groupBy(id)
       .agg(
         count(lit(1)).as("n_lines"),

@@ -270,12 +270,14 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------ round-4 queries
 
-  test("q_host_boiler: doc-frequency meets the lines in an equi-join, never pairwise") {
+  test("q_host_boiler: the template SET broadcasts — corpus lines never shuffle for the verdict") {
     val p = plan("q_host_boiler")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"template detection must not compare documents pairwise:\n$p")
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
-      s"expected the (host, line-hash) equi-join:\n$p")
+    // the join side is filtered to df >= minDocs BEFORE the join: bounded
+    // boilerplate, so AQE demotes it to a broadcast build
+    assert(p.contains("BroadcastHashJoin"),
+      s"the filtered template set must broadcast:\n$p")
     // within-doc repeats die map-side before the doc-frequency count
     assert(p.contains("partial_count"),
       s"doc-frequency must combine map-side:\n$p")
