@@ -157,25 +157,29 @@ object WebGraph {
     // `from` to `to`, then floor-normalize by the round max
     def step(scores: DataFrame, scoreCol: String, from: String, to: String,
              outCol: String): DataFrame = {
-      val raw = nodes.join(
-          edges.join(scores.withColumnRenamed("id", from), from)
-            .groupBy(col(to).as("id"))
-            .agg(sum(col(scoreCol)).as("raw")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
+      // truncate before the self-reference: `raw` feeds both the output
+      // and its own max aggregate, and Spark has no cross-DataFrame CSE —
+      // un-truncated, the whole join+aggregate subtree would execute twice
+      val raw = Checkpointer.truncate(
+        nodes.join(
+            edges.join(scores.withColumnRenamed("id", from), from)
+              .groupBy(col(to).as("id"))
+              .agg(sum(col(scoreCol)).as("raw")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw")))
       raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
         .select(col("id"),
           when(col("mx") > 0, expr(s"(raw * $scale) div mx"))
             .otherwise(lit(0L)).as(outCol))
     }
+    // no outer truncate needed: step() already materializes its raw table,
+    // so per-round lineage is one truncated frame + a broadcast + a project
     var auth = nodes.withColumn("auth", lit(scale))
     var hub = nodes.withColumn("hub", lit(scale))
     var i = 0
     while (i < iters) {
       auth = step(hub, "hub", "src", "dst", "auth")
-        .transform(Checkpointer.truncate)
       hub = step(auth, "auth", "dst", "src", "hub")
-        .transform(Checkpointer.truncate)
       i += 1
     }
     auth.join(hub, "id")

@@ -27,17 +27,25 @@ final class ShellOcrEngine(pdftoppm: String, tesseract: String,
                            dpi: Int = 300, timeoutSec: Long = 120)
     extends OcrEngine {
 
+  /** stdout goes to a temp FILE and stderr is discarded: tesseract writes
+    * warnings to stderr, and an unread pipe fills and deadlocks the child;
+    * a file sink also lets waitFor's timeout actually fire (a blocking
+    * readAllBytes on the stdout pipe would hang before the timeout).
+    */
   private def run(cmd: Seq[String], cwd: Path): Option[String] = {
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.directory(cwd.toFile)
-    pb.redirectErrorStream(false)
-    val p = pb.start()
-    p.getOutputStream.close()
-    val out = new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-    val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-    if (!done) { p.destroyForcibly(); None }
-    else if (p.exitValue() != 0) None
-    else Some(out)
+    val outF = Files.createTempFile(cwd, ".out", ".txt")
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.directory(cwd.toFile)
+      pb.redirectOutput(outF.toFile)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      p.getOutputStream.close()
+      if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); None
+      } else if (p.exitValue() != 0) None
+      else Some(new String(Files.readAllBytes(outF), StandardCharsets.UTF_8))
+    } finally Files.deleteIfExists(outF)
   }
 
   /** PNG raster dimensions straight from the IHDR chunk (bytes 16-23,

@@ -283,7 +283,11 @@ object Warc {
           val fin = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.warc.gz")
           val raw = fs.create(tmp, true)
           try {
-            it.foreach { case (url, payload) =>
+            it.foreach { case (url0, payload) =>
+              // a CR/LF inside a URI would terminate the header line early
+              // and corrupt record framing (header injection); WARC-Target-
+              // URI cannot contain whitespace, so strip rather than fail
+              val url = url0.replaceAll("[\\r\\n]", "")
               val body = new ByteArrayOutputStream(payload.length + 64)
               body.write("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
                 .getBytes(StandardCharsets.US_ASCII))
