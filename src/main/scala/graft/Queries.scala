@@ -1620,6 +1620,58 @@ object Queries {
        FROM occ JOIN cnt USING (b)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- sanitize
+  // Invisible-character hygiene: plant zero-width, NBSP, a C0 control and a
+  // bidi override into every doc (chr() on the oracle side, escapes here),
+  // then strip. The invisible-payload channels (injection, watermarking)
+  // ride exactly these codepoints; the contract is the cleaned string
+  // itself plus before/after codepoint lengths.
+  private def qSanitize(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      lit("A\u200bB\u00a0C\u0007"), substring(col("text"), 1, 40),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("\u202ax\u2069")).otherwise(lit("")))
+    docs(s, dir).select(col("doc_id"), planted.as("t2"))
+      .select(col("doc_id"),
+        length(col("t2")).cast("long").as("raw_len"),
+        CorpusSignals.stripInvisible(col("t2")).as("clean"))
+      .withColumn("clean_len", length(col("clean")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val oSanitize =
+    """WITH d AS (SELECT doc_id,
+         'A' || chr(8203) || 'B' || chr(160) || 'C' || chr(7) || substr(text, 1, 40)
+           || CASE WHEN doc_id % 2 = 0 THEN chr(8234) || 'x' || chr(8297) ELSE '' END AS t2
+         FROM documents)
+       SELECT doc_id, CAST(length(t2) AS BIGINT) AS raw_len,
+         'AB C' || substr(t2, 7, 40) || CASE WHEN doc_id % 2 = 0 THEN 'x' ELSE '' END AS clean,
+         CAST(4 + length(substr(t2, 7, 40)) + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS clean_len
+       FROM d ORDER BY doc_id"""
+
+  // --------------------------------------------------------------- blocklist
+  // C4 §2.2 bad-words gate, token-exact (substring matching is the classic
+  // Scunthorpe false positive). 'slow' occurs naturally in the corpus
+  // vocabulary; an upper-case plant on doc_id%7 checks the case fold.
+  private def qBadwords(s: SparkSession, dir: String): DataFrame = {
+    val t2 = when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(col("text"), lit(" SLOW"))).otherwise(col("text"))
+    docs(s, dir).select(col("doc_id"),
+        CorpusSignals.blocklistGate(t2, Seq("slow", "junkword")).as("g"))
+      .select(col("doc_id"), col("g.n_bad").as("n_bad"), col("g.keep").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val oBadwords =
+    """WITH d AS (SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' SLOW' ELSE text END AS t2
+         FROM documents)
+       SELECT doc_id,
+         CAST(len(list_filter(str_split(lower(t2), ' '),
+           t -> t IN ('slow', 'junkword'))) AS BIGINT) AS n_bad,
+         (len(list_filter(str_split(lower(t2), ' '),
+           t -> t IN ('slow', 'junkword'))) = 0) AS keep
+       FROM d ORDER BY doc_id"""
+
   // -------------------------------------------------------------------- HLL
   // HyperLogLog register table over the corpus token stream (m = 64): the
   // constant-size cardinality sketch, bit-identical cross-engine because
@@ -2451,6 +2503,8 @@ object Queries {
     "q_host_boiler" -> qHostBoiler _,
     "q_dsir" -> qDsir _,
     "q_hll" -> qHll _,
+    "q_sanitize" -> qSanitize _,
+    "q_badwords" -> qBadwords _,
     "q_outlinks" -> qOutlinks _,
     "q_anchor_text" -> qAnchorText _,
     "q_pagerank" -> qPagerank _,
@@ -2536,6 +2590,8 @@ object Queries {
     "q_host_boiler" -> oHostBoiler,
     "q_dsir" -> oDsir,
     "q_hll" -> oHll,
+    "q_sanitize" -> oSanitize,
+    "q_badwords" -> oBadwords,
     "q_outlinks" -> oOutlinks,
     "q_anchor_text" -> oAnchorText,
     "q_pagerank" -> oPagerank,

@@ -291,6 +291,41 @@ object CorpusSignals {
     Sampling.stratifiedQuota(
       df.withColumn("host", host(col(urlCol))), "host", idCol, k, salt, hash)
 
+  /** Invisible-character hygiene — the sanitize pass a modern LLM training
+    * pipeline runs to kill zero-width/bidi/control payloads (invisible
+    * prompt-injection and watermark channels ride exactly these):
+    * zero-width + BOM + soft hyphen and bidi controls are DELETED, the
+    * exotic Unicode spaces fold to ' ', and C0/C1 controls except \t\n\r
+    * are deleted. Pure codegen'd regexp_replace chain, scan-side, zero
+    * exchange; pair with [[nfc]] for full canonicalization.
+    */
+  def stripInvisible(text: Column): Column = {
+    // zero-width & format controls: ZWSP..ZWJ, word joiner, BOM/ZWNBSP,
+    // soft hyphen, bidi embedding/override/isolate controls
+    val deleted = "[\\u200B-\\u200D\\u2060\\uFEFF\\u00AD\\u200E\\u200F\\u202A-\\u202E\\u2066-\\u2069]"
+    // exotic horizontal whitespace -> plain space (NBSP, ogham, en/em..,
+    // narrow nbsp, math space, ideographic space)
+    val spaces = "[\\u00A0\\u1680\\u2000-\\u200A\\u202F\\u205F\\u3000]"
+    // C0/C1 controls minus \t \n \r
+    val controls = "[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F\\u007F-\\u009F]"
+    regexp_replace(
+      regexp_replace(regexp_replace(text, deleted, ""), spaces, " "),
+      controls, "")
+  }
+
+  /** C4-style blocklist gate (Raffel et al. 2020 §2.2 drop pages containing
+    * a blocklisted word): token-exact matching against a broadcast-sized
+    * word set, case-folded — NOT substring matching, which is the classic
+    * false-positive bug ("Scunthorpe"). Emits hit count + keep verdict;
+    * scan-side (the set travels as a literal array; a table-valued variant
+    * would broadcast-join the same way the decontam grams do).
+    */
+  def blocklistGate(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(w => lit(w.toLowerCase)): _*)
+    val hits = size(filter(split(lower(text), " "), t => array_contains(set, t)))
+    struct(hits.cast("long").as("n_bad"), (hits === 0).as("keep"))
+  }
+
   /** HyperLogLog register table (Flajolet et al. 2007) over a value column
     * — the constant-size cardinality sketch a 100 TB dedup/mixing planner
     * runs INSTEAD of countDistinct (whose exact hash aggregate must hold

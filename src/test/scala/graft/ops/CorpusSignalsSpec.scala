@@ -178,6 +178,41 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     cases.foreach { case (h, want) => assert(got(h) == want, s"host $h") }
   }
 
+  test("stripInvisible: zero-width/bidi deleted, exotic spaces folded, controls stripped, \\t\\n kept") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "a\u200bb\u200c\u200dc\u2060d\ufeffe" -> "abcde", // zero-width family + BOM
+      "l\u00adre" -> "lre",                             // soft hyphen
+      "\u202aX\u202e\u2066Y\u2069" -> "XY",             // bidi controls
+      "a\u00a0b\u2003c\u202fd\u3000e" -> "a b c d e",   // exotic spaces -> ' '
+      "x\u0007y\u009fz" -> "xyz",                       // C0/C1 controls
+      "keep\tthese\nlines\r" -> "keep\tthese\nlines\r", // whitelisted controls
+      "plain ascii stays" -> "plain ascii stays")
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), CorpusSignals.stripInvisible(col("t")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"input ${in.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("blocklistGate: token-exact (no Scunthorpe), case-folded, counts all hits") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("bad", "worse")
+    val cases = Seq(
+      ("clean text here", 0L, true),
+      ("one bad token", 1L, false),
+      ("BAD Worse bad", 3L, false),          // case fold + multiplicity
+      ("badger embedded notbad", 0L, true))  // substring must NOT match
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), CorpusSignals.blocklistGate(col("t"), words).as("g"))
+      .select(col("t"), col("g.n_bad"), col("g.keep"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    cases.foreach { case (in, n, k) => assert(got(in) == ((n, k)), in) }
+  }
+
   test("hllRegisters: m rows always, duplicate-invariant, merge = max") {
     val s = spark
     import s.implicits._
