@@ -106,4 +106,65 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("fr", 1L, "bonjour".length.toLong)))
     q.stop()
   }
+
+  test("curation gates are streaming-safe: per-row verdicts equal batch on the same rows") {
+    // the scan-side curation operators (sanitize, blocklist, Gopher gate,
+    // lang id) are stateless projections, so they must run unchanged on a
+    // stream — the property that lets the same curation code serve both
+    // the batch corpus build and a live ingest path
+    val s = spark
+    import s.implicits._
+    import graft.ops.{CorpusSignals, TextStats}
+    import org.apache.spark.sql.DataFrame
+    val rows = (0L until 40L).map { i =>
+      val body =
+        if (i % 5 == 0) ("junk " * 60).trim // blocklisted + repetitive
+        else s"document $i carries the usual well formed words " * 8
+      (i, "x\u200b" + body) // planted zero-width for the sanitizer
+    }.toVector
+    def gates(df: DataFrame): Map[Long, (String, Long, Boolean, Boolean)] = {
+      val cleaned = df.toDF("id", "text")
+        .select(col("id"), CorpusSignals.stripInvisible(col("text")).as("clean"))
+        .select(col("id"), col("clean"),
+          CorpusSignals.blocklistGate(col("clean"), Seq("junk")).as("g"),
+          TextStats.langId(col("clean")).as("lang"))
+      val gated = graft.ops.CorpusSignals.gopherGate(cleaned, "id", "clean")
+        .select(col("id"), col("keep").as("gopher_pass"))
+      cleaned.join(gated, Seq("id"))
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[String]("lang"),
+            r.getAs[org.apache.spark.sql.Row]("g").getAs[Long]("n_bad"),
+            r.getAs[org.apache.spark.sql.Row]("g").getAs[Boolean]("keep"),
+            r.getAs[Boolean]("gopher_pass"))))
+        .toMap
+    }
+    val want = gates(rows.toDF("id", "text"))
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val streamed = mem.toDF().toDF("id", "text")
+      .select(col("id"), CorpusSignals.stripInvisible(col("text")).as("clean"))
+      .select(col("id"), col("clean"),
+        CorpusSignals.blocklistGate(col("clean"), Seq("junk")).as("g"),
+        TextStats.langId(col("clean")).as("lang"))
+    val q = streamed.writeStream.format("memory").queryName("cur_gates")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur_gates").collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[String]("lang"),
+            r.getAs[org.apache.spark.sql.Row]("g").getAs[Long]("n_bad"),
+            r.getAs[org.apache.spark.sql.Row]("g").getAs[Boolean]("keep"))))
+        .toMap
+      assert(got.size == rows.size)
+      rows.foreach { case (id, _) =>
+        val (lang, nBad, keep, _) = want(id)
+        assert(got(id) == ((lang, nBad, keep)), s"row $id diverges from batch")
+      }
+      // and the gates actually discriminate
+      assert(want.values.exists(!_._3) && want.values.exists(_._3))
+    } finally q.stop()
+  }
 }
