@@ -1273,6 +1273,35 @@ object Queries {
        FROM gh t JOIN bench b ON t.g = b.g
        GROUP BY t.doc_id ORDER BY train_id"""
 
+  // Fractional containment at n=8, >=80% of the bench doc's distinct grams:
+  // bench docs are a hash-sampled corpus subset, so every bench doc is
+  // 100%-contained in itself (the planted positive) and the corpus's exact
+  // duplicates produce genuine cross-doc pairs.
+  private def qDecontamFrac(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = Sampling.hashSample(d, "doc_id", frac = 0.05, salt = "bench13", hash = ph)
+    Decontam.containmentPairs(d, bench, "doc_id", "text", n = 8,
+        minPermille = 800, hash = ph)
+      .orderBy("train_id", "bench_id")
+  }
+
+  private val oDecontamFrac =
+    """WITH gh AS (
+         SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g FROM (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - 7), i -> array_to_string(t[i:i+7], ' ')))) AS gram
+           FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents))),
+       bench AS (
+         SELECT doc_id AS bench_id, g FROM gh
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'bench13'), 1, 15))::BIGINT % 1000000 < 50000),
+       bn AS (SELECT bench_id, count(*) AS nb FROM bench GROUP BY bench_id),
+       j AS (SELECT t.doc_id AS train_id, b.bench_id, count(*) AS n_hit
+             FROM gh t JOIN bench b ON t.g = b.g GROUP BY 1, 2)
+       SELECT train_id, bench_id, n_hit, nb AS n_bench_grams
+       FROM j JOIN bn USING (bench_id)
+       WHERE n_hit * 1000 >= 800 * nb
+       ORDER BY train_id, bench_id"""
+
   // ------------------------------------------------------------ host capping
   // RefinedWeb-style per-host document quota over synthesized URLs:
   // parse_url host extraction (lowercased) + deterministic hash-priority
@@ -2492,6 +2521,7 @@ object Queries {
     "q_bm25" -> qBm25 _,
     "q_report" -> qReport _,
     "q_decontam" -> qDecontam _,
+    "q_decontam_frac" -> qDecontamFrac _,
     "q_host_cap" -> qHostCap _,
     "q_pii_redact" -> qPiiRedact _,
     "q_normalize" -> qNormalize _,
@@ -2579,6 +2609,7 @@ object Queries {
     "q_bm25" -> oBm25,
     "q_report" -> oReport,
     "q_decontam" -> oDecontam,
+    "q_decontam_frac" -> oDecontamFrac,
     "q_host_cap" -> oHostCap,
     "q_pii_redact" -> oPiiRedact,
     "q_normalize" -> oNormalize,

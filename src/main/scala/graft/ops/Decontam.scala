@@ -60,4 +60,39 @@ object Decontam {
       contaminated(train, bench, idCol, textCol, n, hash)
         .select(col("train_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Fractional-containment contamination (the Llama-2/3-era refinement of
+    * the binary n-gram hit: an eval sample is contaminated when a large
+    * FRACTION of its n-grams appear in a training doc, conventionally n≈8
+    * at ≥80%): emit every (train_id, bench_id) pair where at least
+    * `minPermille`/1000 of the BENCH doc's distinct n-grams occur in the
+    * training doc. The threshold compares integers
+    * (n_hit·1000 ≥ minPermille·n_bench_grams) — no float ratio, so the
+    * verdict is bit-stable cross-engine.
+    *
+    * Same scale shape as [[contaminated]]: bench grams + per-bench-doc
+    * gram counts broadcast; the training side is one scan + broadcast
+    * join, and the pair aggregate's input is pre-filtered to SHARED grams
+    * only (a tiny fraction of the corpus).
+    */
+  def containmentPairs(train: DataFrame, bench: DataFrame,
+                       idCol: String, textCol: String, n: Int = 8,
+                       minPermille: Long = 800,
+                       hash: Column => Column = TextDedup.fastHash): DataFrame = {
+    require(n >= 1 && minPermille >= 1 && minPermille <= 1000)
+    def gramHashes(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+          TextDedup.shingleRows(col(textCol), n))
+        .select(col(outId), hash(col("shingle")).as("g"))
+    val bg = gramHashes(bench, "bench_id")
+    // grams are per-doc distinct by the generator, so count(*) = |gram set|
+    val benchSide = bg.join(
+      bg.groupBy("bench_id").agg(count(lit(1)).as("n_bench_grams")), "bench_id")
+    gramHashes(train, "train_id")
+      .join(broadcast(benchSide), "g")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_hit"),
+        first(col("n_bench_grams")).as("n_bench_grams"))
+      .where(col("n_hit") * 1000 >= lit(minPermille) * col("n_bench_grams"))
+  }
 }

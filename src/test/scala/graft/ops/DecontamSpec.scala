@@ -75,4 +75,31 @@ class DecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"gram join must broadcast the bench side:\n$p")
     assert(!p.contains("SortMergeJoin"), s"training grams must not sort-merge:\n$p")
   }
+
+  test("containmentPairs: the 80% threshold is exact at the boundary") {
+    val s = spark
+    import s.implicits._
+    // bench doc: tokens 1..11 -> ten distinct 2-grams ("1 2" .. "10 11").
+    val bench = Seq((100L, (1 to 11).mkString(" "))).toDF("doc_id", "text")
+    // train A contains tokens 1..9 = eight of the ten grams  -> 800/1000, flagged
+    // train B contains tokens 1..8 = seven grams             -> 700/1000, not
+    // train C shares nothing
+    val train = Seq(
+      (1L, (1 to 9).mkString(" ")),
+      (2L, (1 to 8).mkString(" ")),
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val got = Decontam.containmentPairs(train, bench, "doc_id", "text",
+        n = 2, minPermille = 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 100L, 8L, 10L)),
+      s"exactly the >=80% pair must surface, got ${got.toSeq}")
+    // repeated grams in the TRAIN doc must not inflate the hit count
+    // (generator emits per-doc distinct grams)
+    val rep = Seq((7L, "1 2 1 2 1 2 1 2 1 2")).toDF("doc_id", "text")
+    val g2 = Decontam.containmentPairs(rep, bench, "doc_id", "text",
+      n = 2, minPermille = 100).collect()
+    assert(g2.map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((7L, 1L)),
+      "distinct grams of '1 2 1 2...' are {1 2, 2 1}; only '1 2' is shared, and " +
+        "its nine occurrences must count once")
+  }
 }
