@@ -1473,6 +1473,34 @@ object Queries {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // --------------------------------------------------------- seq windows
+  // GPT-style pretraining sharder: per-shard document concatenation sliced
+  // into fixed 128-token windows, docs splitting across boundaries; one
+  // row per (doc x overlapped window) via span arithmetic (no token
+  // explosion). Oracle replays the cumsum + integral-div spans.
+  private def qSeqWindows(s: SparkSession, dir: String): DataFrame =
+    Sampling.sequenceWindows(
+        docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks")),
+        "doc_id", "toks", seqLen = 128L, shards = 8, salt = "sw", hash = ph)
+      .orderBy("shard", "window", "doc_id")
+
+  private val oSeqWindows =
+    """WITH d AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS toks,
+           ('0x' || substr(md5(doc_id::VARCHAR || 'sw'), 1, 15))::BIGINT % 1000000 AS h
+         FROM documents WHERE len(str_split(text, ' ')) > 0),
+       s AS (SELECT doc_id, toks, h, h % 8 AS shard FROM d),
+       o AS (SELECT *, CAST(sum(toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+              ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS off FROM s),
+       e AS (SELECT shard, doc_id, toks, off,
+              unnest(generate_series(off // 128, (off + toks - 1) // 128)) AS "window"
+             FROM o)
+       SELECT shard, "window", doc_id,
+         CAST(greatest(0, "window"*128 - off) AS BIGINT) AS tok_from,
+         CAST(least(("window"+1)*128 - off, toks)
+              - greatest(0, "window"*128 - off) AS BIGINT) AS tok_len
+       FROM e ORDER BY shard, "window", doc_id"""
+
   // ------------------------------------------------------ substring dedup
   // The REMOVAL half of exact-substring dedup (q_cdc_dup measures, this
   // cuts): duplicated CDC chunks keep their first (doc_id, idx) occurrence
@@ -2528,6 +2556,7 @@ object Queries {
     "q_anchors" -> qAnchors _,
     "q_vocab" -> qVocab _,
     "q_cdc_dup" -> qCdcDup _,
+    "q_seq_windows" -> qSeqWindows _,
     "q_substr_dedup" -> qSubstrDedup _,
     "q_line_dedup" -> qLineDedup _,
     "q_host_boiler" -> qHostBoiler _,
@@ -2616,6 +2645,7 @@ object Queries {
     "q_anchors" -> oAnchors,
     "q_vocab" -> oVocab,
     "q_cdc_dup" -> oCdcDup,
+    "q_seq_windows" -> oSeqWindows,
     "q_substr_dedup" -> oSubstrDedup,
     "q_line_dedup" -> oLineDedup,
     "q_host_boiler" -> oHostBoiler,

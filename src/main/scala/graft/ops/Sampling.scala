@@ -76,6 +76,44 @@ object Sampling {
       .drop("tok_before")
   }
 
+  /** GPT-style sequence windowing — the pretraining sharder that
+    * [[packBudget]] is NOT: documents are concatenated per shard (in the
+    * deterministic (hash, id) order) and the token stream is sliced into
+    * fixed `seqLen` windows, documents SPLITTING across window boundaries.
+    * Emits one row per (document × window it overlaps): (shard, window,
+    * id, tok_from, tok_len) — tok_from is the 0-based offset INSIDE the
+    * document, so a trainer reassembles window w of a shard by
+    * concatenating its rows' token slices in (start-offset) order.
+    *
+    * The span arithmetic is the whole trick at 100 TB: a document
+    * overlapping windows [w0, w1] yields w1-w0+1 rows via
+    * explode(sequence(w0, w1)) — NO per-token explosion, so the operator
+    * is linear in documents + emitted spans, and every value is exact
+    * BIGINT arithmetic (cumsum via shard-partitioned window, integral
+    * div). One exchange on the shard key, same as packBudget.
+    */
+  def sequenceWindows(df: DataFrame, idCol: String, tokCol: String,
+                      seqLen: Long, shards: Int, salt: String = "",
+                      hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    require(seqLen >= 1 && shards >= 1)
+    val id = col(idCol)
+    val h = pmod(hash(concat(id.cast("string"), lit(salt))), lit(M))
+    val shard = pmod(h, lit(shards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.where(col(tokCol) > 0)
+      .select(id, col(tokCol).as("toks"), h.as("h"), shard.as("shard"))
+      .withColumn("off", sum(col("toks")).over(w) - col("toks"))
+      .withColumn("w0", expr(s"off div ${seqLen}L"))
+      .withColumn("w1", expr(s"(off + toks - 1) div ${seqLen}L"))
+      .select(col("shard"), id, col("toks"), col("off"),
+        explode(sequence(col("w0"), col("w1"))).as("window"))
+      .select(col("shard"), col("window"), id,
+        greatest(lit(0L), col("window") * seqLen - col("off")).as("tok_from"),
+        (least((col("window") + 1) * seqLen - col("off"), col("toks")) -
+          greatest(lit(0L), col("window") * seqLen - col("off"))).as("tok_len"))
+  }
+
   /** Exact per-stratum quota: the `n` rows of each stratum with the
     * smallest (hash, id) priority — a deterministic uniform draw without
     * replacement. Plans as ONE shuffle on the stratum key; Spark 4's

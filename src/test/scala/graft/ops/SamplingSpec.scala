@@ -222,4 +222,46 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.count(_ % 3 == src.last.toString.toInt).toDouble / 200.0
     assert(fracKept("s1") < fracKept("s2") || fracKept("s2") == 1.0)
   }
+
+  test("sequenceWindows: spans exactly tile each shard's token stream") {
+    val s = spark
+    import s.implicits._
+    val L = 10L
+    val df = (0L until 50L).map(i => (i, 1L + (i * 7) % 23)) // varied lengths
+      .toDF("doc_id", "toks")
+    val rows = Sampling.sequenceWindows(df, "doc_id", "toks", seqLen = L,
+        shards = 4, salt = "t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val toksOf = (0L until 50L).map(i => i -> (1L + (i * 7) % 23)).toMap
+    // 1. per-document spans partition [0, toks): contiguous, start at 0
+    rows.groupBy(_._3).foreach { case (id, spans) =>
+      val sorted = spans.sortBy(_._4).toList
+      assert(sorted.head._4 == 0L, s"doc $id first span must start at 0")
+      sorted.sliding(2).foreach {
+        case List(a, b) => assert(a._4 + a._5 == b._4, s"doc $id spans must be contiguous")
+        case _ =>
+      }
+      assert(sorted.map(_._5).sum == toksOf(id), s"doc $id spans must cover all tokens")
+      assert(sorted.forall(_._5 > 0), s"doc $id must not emit empty spans")
+    }
+    // 2. per (shard, window): exactly L tokens except the shard's last window
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((sh, w), spans) =>
+      val lastW = rows.filter(_._1 == sh).map(_._2).max
+      val tot = spans.map(_._5).sum
+      if (w < lastW) assert(tot == L, s"shard $sh window $w must hold exactly $L tokens")
+      else assert(tot >= 1 && tot <= L)
+    }
+    // 3. windows are dense from 0 per shard
+    rows.groupBy(_._1).foreach { case (sh, rs) =>
+      val ws = rs.map(_._2).toSet
+      assert(ws == (0L to ws.max).toSet, s"shard $sh windows must be dense")
+    }
+    // 4. partitioning-invariant
+    val again = Sampling.sequenceWindows(df.repartition(7), "doc_id", "toks",
+        seqLen = L, shards = 4, salt = "t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+  }
 }
