@@ -47,7 +47,7 @@ object Bench {
     // checkpointed rounds of fixed job overhead); q_outlinks is the
     // throughput-bearing half of the graph pipeline and IS timed
     "q_line_dedup", "q_host_boiler", "q_dsir", "q_hll", "q_substr_dedup",
-    "q_sanitize", "q_badwords",
+    "q_sanitize", "q_badwords", "q_seq_windows", "q_decontam_frac", "q_compress_ratio",
     "q_outlinks", "q_anchor_text", "q_ml_quality", "q_lm_score", "q_mix", "q_mix_epochs", "q_robots",
     "q_asof", "q_range_join", "q_incremental", "q_crawl_diff", "q_reg_domain", "q_zorder",
     // q_bpe64 is the one iterative row kept ON PURPOSE: it demonstrates the

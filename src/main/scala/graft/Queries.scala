@@ -1473,6 +1473,23 @@ object Queries {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // --------------------------------------------------- compression ratio
+  // Deflate-ratio quality signal. Rows-only by documented contract: DuckDB
+  // exposes no deflate scalar, so there is no SQL twin — correctness is
+  // pinned by DeflateRatioSpec (direct Deflater comparison + entropy
+  // extremes + interpreted/codegen parity); the planted extremes here make
+  // the rows check meaningful (both tails must appear).
+  private def qCompressRatio(s: SparkSession, dir: String): DataFrame = {
+    val planted = when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" "), repeat(lit("spamspam"), 200)))
+      .when(pmod(col("doc_id"), lit(11)) === 1,
+        concat(col("text"), lit(" "), md5(col("text")), md5(concat(col("text"), lit("x")))))
+      .otherwise(col("text"))
+    docs(s, dir).select(col("doc_id"),
+        CorpusSignals.compressionRatio(planted).as("ratio"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- seq windows
   // GPT-style pretraining sharder: per-shard document concatenation sliced
   // into fixed 128-token windows, docs splitting across boundaries; one
@@ -2556,6 +2573,7 @@ object Queries {
     "q_anchors" -> qAnchors _,
     "q_vocab" -> qVocab _,
     "q_cdc_dup" -> qCdcDup _,
+    "q_compress_ratio" -> qCompressRatio _,
     "q_seq_windows" -> qSeqWindows _,
     "q_substr_dedup" -> qSubstrDedup _,
     "q_line_dedup" -> qLineDedup _,

@@ -319,12 +319,27 @@ object CorpusSignals {
     * false-positive bug ("Scunthorpe"). Emits hit count + keep verdict;
     * scan-side (the set travels as a literal array; a table-valued variant
     * would broadcast-join the same way the decontam grams do).
+    *
+    * Tokens are whitespace units: "bad." does NOT match "bad" — run the
+    * text through [[canonText]]/[[stripInvisible]] (or a punctuation
+    * normalizer) first if the corpus isn't pre-tokenized; that keeps the
+    * matching rule itself exact and auditable.
     */
   def blocklistGate(text: Column, words: Seq[String]): Column = {
     val set = array(words.map(w => lit(w.toLowerCase)): _*)
     val hits = size(filter(split(lower(text), " "), t => array_contains(set, t)))
     struct(hits.cast("long").as("n_bad"), (hits === 0).as("keep"))
   }
+
+  /** Per-document deflate compression ratio (×10^6, integer) — see
+    * [[graft.functions.DeflateRatio]]: high = high-entropy noise, very low
+    * = templated junk; the cut-from-both-ends signal of FineWeb-class
+    * ablations. Scan-side native expression, zero exchange.
+    */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DeflateRatio(
+        org.apache.spark.sql.GraftBridge.expression(text)))
 
   /** HyperLogLog register table (Flajolet et al. 2007) over a value column
     * — the constant-size cardinality sketch a 100 TB dedup/mixing planner
