@@ -1717,10 +1717,16 @@ object Queries {
          'A' || chr(8203) || 'B' || chr(160) || 'C' || chr(7) || substr(text, 1, 40)
            || CASE WHEN doc_id % 2 = 0 THEN chr(8234) || 'x' || chr(8297) ELSE '' END AS t2
          FROM documents)
-       SELECT doc_id, CAST(length(t2) AS BIGINT) AS raw_len,
-         'AB C' || substr(t2, 7, 40) || CASE WHEN doc_id % 2 = 0 THEN 'x' ELSE '' END AS clean,
-         CAST(4 + length(substr(t2, 7, 40)) + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS clean_len
-       FROM d ORDER BY doc_id"""
+       SELECT d.doc_id, CAST(length(t2) AS BIGINT) AS raw_len,
+         -- expectation built from the SOURCE text, not by re-slicing t2:
+         -- a <40-char doc would otherwise pull the planted bidi tail into
+         -- the 40-char slice and corrupt the expected clean string
+         'AB C' || substr(doc.text, 1, 40)
+           || CASE WHEN d.doc_id % 2 = 0 THEN 'x' ELSE '' END AS clean,
+         CAST(4 + length(substr(doc.text, 1, 40))
+           + CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS clean_len
+       FROM d JOIN documents doc ON doc.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
 
   // --------------------------------------------------------------- blocklist
   // C4 §2.2 bad-words gate, token-exact (substring matching is the classic
