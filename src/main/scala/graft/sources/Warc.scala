@@ -145,9 +145,20 @@ object Warc {
 
     private def advance(): Unit = {
       nextRec = null
-      while (nextRec == null) {
-        if (!syncToMagic()) { in.close(); return }
-        parseOne().foreach(r => nextRec = r)
+      try {
+        while (nextRec == null) {
+          if (!syncToMagic()) { in.close(); return }
+          parseOne().foreach(r => nextRec = r)
+        }
+      } catch {
+        case _: java.io.IOException =>
+          // a corrupt COMPRESSED member (CRC/deflate error) throws from the
+          // gunzip stream and cannot be resynced inside the deflate data —
+          // salvage every record already parsed and end the iterator
+          // instead of letting the exception kill the whole task (the
+          // contract: one bad record must not cost a 1 GB container)
+          nextRec = null
+          try in.close() catch { case _: java.io.IOException => () }
       }
     }
 

@@ -234,6 +234,54 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fuzz: single-byte corruption of a plain WARC never throws, loses at most one record") {
+    val n = 8
+    val recs = (0 until n).map(i =>
+      rec("response", Some(s"https://f.example/$i"), http(s"<html>doc $i</html>")))
+    val file = recs.reduce(_ ++ _)
+    val rnd = new scala.util.Random(4242)
+    (1 to 80).foreach { trial =>
+      val mutated = file.clone()
+      val pos = rnd.nextInt(mutated.length)
+      mutated(pos) = (mutated(pos) ^ (1 + rnd.nextInt(255))).toByte
+      val got = Warc.records(mutated).toVector // must terminate, not throw
+      // a flip costs at most its own record, plus one successor when it
+      // lands on a Content-Length digit and ENLARGES the declared span
+      // (the read then swallows the next record's magic)
+      assert(got.size >= n - 2,
+        s"trial $trial: flip at $pos lost ${n - got.size} records")
+      got.foreach(r => assert(r.headers.nonEmpty))
+    }
+    // random garbage prepended/appended must not confuse framing
+    val garbage = Array.fill(257)(rnd.nextInt(256).toByte)
+    val framed = garbage ++ file ++ garbage
+    assert(Warc.records(framed).size == n)
+  }
+
+  test("fuzz: corrupt gzip member salvages the prefix instead of killing the task") {
+    val n = 6
+    val members = (0 until n).map(i =>
+      gz(rec("response", Some(s"https://g.example/$i"), http(s"<html>m $i</html>"))))
+    val offsets = members.scanLeft(0)(_ + _.length) // member k spans [offsets(k), offsets(k+1))
+    val file = members.reduce(_ ++ _)
+    val rnd = new scala.util.Random(77)
+    (1 to 40).foreach { trial =>
+      val k = rnd.nextInt(n)
+      // flip inside member k's DEFLATE payload (past the 10-byte gz header,
+      // before the 8-byte trailer) so the decompressor itself fails
+      val span = offsets(k + 1) - offsets(k)
+      val pos = offsets(k) + 10 + rnd.nextInt(math.max(1, span - 18))
+      val mutated = file.clone()
+      mutated(pos) = (mutated(pos) ^ 0x55).toByte
+      val got = Warc.records(mutated).toVector // prefix salvage, no throw
+      assert(got.size >= k,
+        s"trial $trial: corruption in member $k must keep the $k records before it, got ${got.size}")
+      got.take(k).zipWithIndex.foreach { case (r, i) =>
+        assert(r.targetUri.contains(s"https://g.example/$i"))
+      }
+    }
+  }
+
   test("writeResponses roundtrip: distributed writer → streaming reader, byte-identical payloads") {
     val s = spark
     import s.implicits._
