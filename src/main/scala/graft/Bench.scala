@@ -37,7 +37,7 @@ object Bench {
     "q_sessions", "q_dedup_exact", "q_minhash_sig", "q_minhash_pairs",
     "q_simhash", "q_simhash_pairs", "q_ngram_jaccard", "q_fingerprint",
     "q_cosine_topk", "q_ann_lsh", "q_ann_topk", "q_ivf_topk",
-    "q_embed_neardup", "q_multimodal",
+    "q_embed_neardup", "q_multimodal", "q_frame_sample",
     "q_repetition", "q_gopher_gate", "q_decontam", "q_pii_redact", "q_normalize", "q_host_cap",
     // q_semdedup / q_dedup_clusters are excluded like every iterative-CC
     // query: at bench scale their wall time is per-round fixed job overhead

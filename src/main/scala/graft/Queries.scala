@@ -902,6 +902,37 @@ object Queries {
            i -> ('0x' || substr(hex(encode(text)), 2*i - 1, 2))::BIGINT)), 0)), ',') AS slots_csv
        FROM documents ORDER BY doc_id"""
 
+  // ------------------------------------------------------------ frame sample
+  // Every-2nd-frame sampling over the video subset of the media table
+  // (256-byte stub frames): the oracle re-slices the payload through its
+  // hex encoding and fingerprints the same uppercase-hex frame, so one
+  // byte anywhere in slice arithmetic flips the hash. Final partial frame
+  // included (frame_len < 256 rows must appear).
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir)
+      .where(pmod(col("doc_id"), lit(3)) === 2) // the "video" rows of q_multimodal
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    graft.ops.Multimodal.sampleFrames(media, "doc_id", "payload",
+        frameBytes = 256, stride = 2)
+      .select(col("doc_id"), col("frame_no"),
+        length(col("frame")).cast("long").as("frame_len"),
+        ph(hex(col("frame"))).as("frame_h"))
+      .orderBy("doc_id", "frame_no")
+  }
+
+  private val oFrameSample =
+    """WITH v AS (SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n
+         FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+       f AS (SELECT doc_id, hx, n,
+           unnest(generate_series(0, (n - 1) // 256, 2)) AS frame_no
+         FROM v)
+       SELECT doc_id, frame_no,
+         CAST(least(256, n - frame_no * 256) AS BIGINT) AS frame_len,
+         ('0x' || substr(md5(substr(hx, CAST(frame_no * 512 + 1 AS INTEGER), 512)),
+          1, 15))::BIGINT AS frame_h
+       FROM f ORDER BY doc_id, frame_no"""
+
   // -------------------------------------------------------------- language ID
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -2561,6 +2592,7 @@ object Queries {
     "q_ivf_topk" -> qIvfTopK _,
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_multimodal" -> qMultimodal _,
+    "q_frame_sample" -> qFrameSample _,
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
     "q_token_count" -> qTokenCount _,
@@ -2651,6 +2683,7 @@ object Queries {
     "q_ivf_topk" -> oIvfTopK,
     "q_embed_neardup" -> oEmbedNearDup,
     "q_multimodal" -> oMultimodal,
+    "q_frame_sample" -> oFrameSample,
     "q_lang_id" -> oLangId,
     "q_quality" -> oQuality,
     "q_token_count" -> oTokenCount,

@@ -99,6 +99,31 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling for video payloads — the every-k-th-frame reduction a
+    * video pipeline runs before feature extraction. The container format is
+    * stubbed the same way [[decodeStub]] stubs the codec: the payload is
+    * treated as fixed-`frameBytes` slices (a real demuxer drops in at this
+    * seam and changes only the slicing); what's REAL is the Spark plumbing
+    * — pure Column arithmetic (sequence + explode + binary substring), one
+    * scan, a Generate boundary, NO shuffle, frame rows inheriting the
+    * parent's partitioning for downstream batched extraction. The final
+    * partial frame is kept (its length says so), matching how decoders
+    * emit trailing samples.
+    */
+  def sampleFrames(media: DataFrame, idCol: String, payloadCol: String,
+                   frameBytes: Int = 256, stride: Int = 2): DataFrame = {
+    require(frameBytes >= 1 && stride >= 1)
+    val n = length(col(payloadCol))
+    media.where(n > 0)
+      .select(col(idCol), col(payloadCol).as("__p"),
+        explode(sequence(lit(0L),
+          expr(s"CAST((length($payloadCol) - 1) div $frameBytes AS BIGINT)"),
+          lit(stride.toLong))).as("frame_no"))
+      .select(col(idCol), col("frame_no"),
+        expr(s"substring(__p, CAST(frame_no * $frameBytes + 1 AS INT), $frameBytes)")
+          .as("frame"))
+  }
+
   /** Media features → the similarity-search path: reuse VectorSim over the
     * stub features (cosine top-k, LSH buckets) — the multimodal dedup story
     * is the text story with a different front-end decode.

@@ -387,6 +387,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.nonEmpty && top.head.getDouble(2) == 1.0) // 1↔2 are duplicates
   }
 
+  test("multimodal: sampleFrames slices, strides, keeps the partial tail, skips empties") {
+    val s = spark; import s.implicits._
+    val payload = (0 until 25).map(_.toByte).toArray // frames of 10: [0..9][10..19][20..24]
+    val media = Seq(
+      (1L, payload),
+      (2L, Array.empty[Byte]),                 // empty payloads emit nothing
+      (3L, Array[Byte](7, 8, 9))               // single partial frame
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.sampleFrames(media, "doc_id", "payload",
+        frameBytes = 10, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, 0L, payload.slice(0, 10).toSeq),   // frame 0
+      (1L, 2L, payload.slice(20, 25).toSeq),  // frame 2 (stride skips 1), partial tail
+      (3L, 0L, Seq[Byte](7, 8, 9))))
+    // stride 1 emits every frame
+    val all = Multimodal.sampleFrames(media, "doc_id", "payload", 10, 1)
+      .where(col("doc_id") === 1L).count()
+    assert(all == 3L)
+  }
+
   test("dedupClusters: chains, cycles, stars resolve to min-id components; resolve keeps canonicals") {
     val s = spark; import s.implicits._
     // components: {1,2,3} chain, {10,11,12} cycle, {20,21} pair
