@@ -321,4 +321,63 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q: the harvest path is scan-shaped, no join belongs in it:\n$p")
     }
   }
+
+  // ------------------------------------------------- round-4 late queries
+
+  test("q_sanitize / q_badwords / q_compress_ratio / q_frame_sample: scan-side, no shuffle, no join") {
+    // per-row signals (invisible-char strip, blocklist gate, deflate ratio,
+    // frame spans) must all evaluate in the scan stage; the only exchange
+    // allowed is the final orderBy's range partitioning. frame_sample's
+    // Generate is explode(sequence(frame spans)) — span arithmetic, never
+    // a per-byte or per-token explosion.
+    Seq("q_sanitize", "q_badwords", "q_compress_ratio", "q_frame_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"$q: per-row signal must not join:\n$p")
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("rangepartitioning"))
+      assert(exchanges == 0, s"$q must compute per-row signals without a shuffle:\n$p")
+    }
+  }
+
+  test("q_seq_windows / q_pack: ONE exchange on the shard key, spans never explode tokens") {
+    // the pretraining sharders: a window cumsum partitioned by shard/source
+    // is the single big-side exchange; token positions ride integral span
+    // arithmetic (off div seqLen), so no row ever fans out per token.
+    Seq("q_seq_windows", "q_pack").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: the sharder must not join:\n$p")
+      val initIdx = p.indexOf("== Initial Plan ==")
+      val finalPlan = if (initIdx >= 0) p.substring(0, initIdx) else p
+      val exchanges = finalPlan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("rangepartitioning"))
+      assert(exchanges == 1,
+        s"$q: exactly one hash exchange (the shard window):\n$p")
+    }
+  }
+
+  test("q_decontam_frac: gram containment meets in an equi-join, never all-pairs") {
+    val p = plan("q_decontam_frac")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fractional containment must never compare documents pairwise:\n$p")
+  }
+
+  test("q_hits / q_pagerank: iterative rounds never cartesian; normalizers broadcast") {
+    // per-round lineage is checkpoint-truncated, so the executed plan shows
+    // the final round: score propagation must meet edges in an equi-join,
+    // and the only nested loop allowed is the broadcast of the 1-row
+    // round-max/teleport normalizer.
+    Seq("q_hits", "q_pagerank").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not cartesian:\n$p")
+      // hits: exactly the two 1-row round-max broadcasts (one per score
+      // axis) may plan as nested loops; pagerank's final round is fully
+      // truncated, so none at all
+      val initIdx = p.indexOf("== Initial Plan ==")
+      val finalPlan = if (initIdx >= 0) p.substring(0, initIdx) else p
+      val bnlj = finalPlan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnlj <= 2,
+        s"$q: only the 1-row normalizer broadcasts may nested-loop (saw $bnlj):\n$p")
+    }
+  }
 }
