@@ -1806,6 +1806,72 @@ object Queries {
        FROM g LEFT JOIN r ON r.bucket = g.bucket
        GROUP BY g.bucket ORDER BY g.bucket"""
 
+  // -------------------------------------------------------- count-min sketch
+  // CMS register table (depth 4 × width 64) over the corpus token stream —
+  // the constant-size FREQUENCY sketch next to q_hll's cardinality sketch:
+  // a heavy-hitter scan at 100 TB keeps 256 counters instead of one per
+  // distinct token. Row hashes are the shared 60-bit md5 hash over
+  // "i <token>", so both engines rebuild the identical table.
+  private def qCms(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.cmsRegisters(
+        docs(s, dir).select(explode(split(col("text"), " ")).as("w")),
+        col("w"), depth = 4, width = 64)
+      .orderBy("i", "bucket")
+
+  private val oCms =
+    """WITH toks AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+       d AS (SELECT unnest(generate_series(0, 3))::BIGINT AS i),
+       r AS (SELECT d.i,
+               ('0x' || substr(md5(d.i::VARCHAR || ' ' || t.w), 1, 15))::BIGINT % 64 AS bucket,
+               count(*) AS cnt
+             FROM toks t, d GROUP BY 1, 2),
+       g AS (SELECT d.i, b.bucket FROM d,
+             (SELECT unnest(generate_series(0, 63))::BIGINT AS bucket) b)
+       SELECT g.i, g.bucket, CAST(COALESCE(r.cnt, 0) AS BIGINT) AS cnt
+       FROM g LEFT JOIN r ON r.i = g.i AND r.bucket = g.bucket
+       ORDER BY g.i, g.bucket"""
+
+  // CMS point estimates vs exact counts for a probe set (the distinct
+  // tokens of the first three documents): est = min over rows of the
+  // probed register — the one-sided CMS bound, so `sound` (est ≥ exact)
+  // must hold for every row. Probes explode ×depth and meet the 256-row
+  // register table in a broadcast equi-join; the exact side broadcasts the
+  // probe list into the token scan — nothing corpus-sized shuffles beyond
+  // the probe-keyed counts.
+  private def qCmsEst(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(explode(split(col("text"), " ")).as("w"))
+    val regs = CorpusSignals.cmsRegisters(toks, col("w"), depth = 4, width = 64)
+    val probes = docs(s, dir).where(col("doc_id") < 3)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+    val est = CorpusSignals.cmsEstimate(regs, probes, col("w"), depth = 4, width = 64)
+    val exact = toks.join(broadcast(probes), Seq("w"))
+      .groupBy("w").agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("w"))
+      .select(col("w"), col("est"), col("exact"),
+        (col("est") >= col("exact")).as("sound"))
+      .orderBy("w")
+  }
+
+  private val oCmsEst =
+    """WITH toks AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+       probes AS (SELECT DISTINCT unnest(str_split(text, ' ')) AS w
+                  FROM documents WHERE doc_id < 3),
+       d AS (SELECT unnest(generate_series(0, 3))::BIGINT AS i),
+       r AS (SELECT d.i,
+               ('0x' || substr(md5(d.i::VARCHAR || ' ' || t.w), 1, 15))::BIGINT % 64 AS bucket,
+               count(*) AS cnt
+             FROM toks t, d GROUP BY 1, 2),
+       e AS (SELECT p.w, d.i,
+               ('0x' || substr(md5(d.i::VARCHAR || ' ' || p.w), 1, 15))::BIGINT % 64 AS bucket
+             FROM probes p, d),
+       est AS (SELECT e.w, min(r.cnt) AS est
+               FROM e JOIN r ON r.i = e.i AND r.bucket = e.bucket GROUP BY e.w),
+       ex AS (SELECT t.w, count(*) AS exact FROM toks t JOIN probes p ON p.w = t.w
+              GROUP BY t.w)
+       SELECT est.w, CAST(est.est AS BIGINT) AS est, CAST(ex.exact AS BIGINT) AS exact,
+         est.est >= ex.exact AS sound
+       FROM est JOIN ex ON ex.w = est.w ORDER BY est.w"""
+
   // --------------------------------------------------------------- web graph
   // Outlink harvesting + host-graph PageRank. The Spark side runs the REAL
   // streaming HTML tokenizer over synthesized pages that exercise case-folded
@@ -2618,6 +2684,8 @@ object Queries {
     "q_host_boiler" -> qHostBoiler _,
     "q_dsir" -> qDsir _,
     "q_hll" -> qHll _,
+    "q_cms" -> qCms _,
+    "q_cms_est" -> qCmsEst _,
     "q_sanitize" -> qSanitize _,
     "q_badwords" -> qBadwords _,
     "q_outlinks" -> qOutlinks _,
@@ -2708,6 +2776,8 @@ object Queries {
     "q_host_boiler" -> oHostBoiler,
     "q_dsir" -> oDsir,
     "q_hll" -> oHll,
+    "q_cms" -> oCms,
+    "q_cms_est" -> oCmsEst,
     "q_sanitize" -> oSanitize,
     "q_badwords" -> oBadwords,
     "q_outlinks" -> oOutlinks,

@@ -396,4 +396,54 @@ object CorpusSignals {
           .otherwise(lit(alpha * m * m) / col("z"))
           .as("estimate"))
   }
+
+  /** Count-Min Sketch register table (Cormode & Muthukrishnan 2005) over a
+    * value column — the fixed-size FREQUENCY sketch that pairs with the HLL
+    * cardinality sketch above: a 100 TB heavy-hitter scan (hot n-grams, hot
+    * URLs, hot hosts) keeps depth×width counters instead of one counter per
+    * distinct key. Row i uses an independent 60-bit hash derived by
+    * prefixing the value with "i " before the shared md5-based
+    * [[TextDedup.portableHash]], so every engine sharing the hash rebuilds
+    * the identical table. The aggregate is a plain count over (row, bucket)
+    * — fully map-side combinable: each task collapses its partition to
+    * ≤ depth·width rows before the one constant-size exchange. Absent
+    * buckets are joined back as 0 so the output is always exactly
+    * depth·width rows.
+    */
+  def cmsRegisters(df: DataFrame, value: Column, depth: Int, width: Int,
+                   hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    require(depth >= 1 && width >= 2, "need at least one row, two buckets")
+    val regs = df
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"), value.as("w"))
+      .select(col("i").cast("long").as("i"),
+        pmod(hash(concat(col("i").cast("string"), lit(" "), col("w"))),
+          lit(width.toLong)).as("bucket"))
+      .groupBy("i", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val spark = df.sparkSession
+    spark.range(depth).select(col("id").as("i"))
+      .crossJoin(spark.range(width).select(col("id").as("bucket")))
+      .join(regs, Seq("i", "bucket"), "left")
+      .select(col("i"), col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Point estimates from a CMS register table: for each probe value,
+    * est = min over rows i of register[i][h_i(value)] — the classic
+    * one-sided bound (est ≥ true count, never under). The probe set is
+    * expected to be small (a candidate list, a blocklist, the vocabulary
+    * head): probes explode ×depth and meet the constant-size register
+    * table in a broadcast equi-join, so nothing corpus-sized moves.
+    */
+  def cmsEstimate(registers: DataFrame, probes: DataFrame, value: Column,
+                  depth: Int, width: Int,
+                  hash: Column => Column = TextDedup.portableHash): DataFrame =
+    probes
+      .select(value.as("w"))
+      .select(col("w"), explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .select(col("w"), col("i").cast("long").as("i"),
+        pmod(hash(concat(col("i").cast("string"), lit(" "), col("w"))),
+          lit(width.toLong)).as("bucket"))
+      .join(broadcast(registers), Seq("i", "bucket"))
+      .groupBy("w")
+      .agg(min(col("cnt")).as("est"))
 }

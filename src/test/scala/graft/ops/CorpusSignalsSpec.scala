@@ -241,4 +241,43 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // std error 1.04/sqrt(256) = 6.5%; allow 4 sigma on the fixed data
     assert(math.abs(est - 5000.0) / 5000.0 < 0.26, s"estimate $est")
   }
+
+  test("cmsRegisters: exact d×w shape, total mass = row count, merge = sum") {
+    val s = spark
+    import s.implicits._
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      CorpusSignals.cmsRegisters(df, col("v"), depth = 4, width = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a = (0 until 300).map(i => s"tok${i % 40}").toDF("v")
+    val b = (0 until 200).map(i => s"tok${i % 70}").toDF("v")
+    val ra = regs(a); val rb = regs(b)
+    assert(ra.size == 4 * 32 &&
+      ra.keySet == (for (i <- 0L until 4L; j <- 0L until 32L) yield (i, j)).toSet)
+    // every hash row sees every item once: each row's mass is the row count
+    (0L until 4L).foreach { i =>
+      assert(ra.collect { case ((r, _), c) if r == i => c }.sum == 300L)
+    }
+    // counter-additivity (the 100 TB property: per-task sketches combine by
+    // plain +, exactly what the map-side partial count does)
+    val merged = ra.map { case (k, c) => k -> (c + rb(k)) }
+    assert(regs(a.union(b)) == merged)
+  }
+
+  test("cmsEstimate is one-sided (est >= truth) and exact sans collisions") {
+    val s = spark
+    import s.implicits._
+    val freqs = (0 until 30).map(i => s"w$i" -> (i % 5 + 1).toLong)
+    val stream = freqs.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }.toDF("v")
+    val regs = CorpusSignals.cmsRegisters(stream, col("v"), depth = 4, width = 64)
+    val probes = freqs.map(_._1).toDF("v")
+    val est = CorpusSignals.cmsEstimate(regs, probes, col("v"), depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = freqs.toMap
+    assert(est.keySet == truth.keySet)
+    truth.foreach { case (w, n) => assert(est(w) >= n, s"$w under-counted") }
+    // 30 keys into 4 independent 64-wide rows: min over rows is exact unless
+    // some key collides in ALL four rows — overwhelmingly unlikely on this
+    // fixed data; pin exactness so a hash regression can't hide in the bound
+    assert(est == truth)
+  }
 }
