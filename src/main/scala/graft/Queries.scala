@@ -790,6 +790,84 @@ object Queries {
        SELECT cid, array_to_string(cv, ',') AS cv_str FROM c3 ORDER BY cid"""
   }
 
+  // -------------------------------------------------------- PQ training/ADC
+  // Product quantization (Jégou '11): the third ANN family next to SRP-LSH
+  // (oblivious cuts) and IVF (data-adapted cells) — PQ compresses the
+  // CORPUS REPRESENTATION to m code ids per vector and scores queries from
+  // an m×ksub lookup table (asymmetric distance). Distances are exact
+  // integer L2 over the quantized vectors, so codebooks, codes, and ADC
+  // ranks are bit-identical in both engines. The oracle replays the full
+  // chain: per-subspace Lloyd rounds (ties → lower cid, floor(sum/cnt+.5)
+  // means), encoding, LUT build, and the table-sum ranking.
+  private val oPqAssign: (Int, String) => String = (r, cents) =>
+    s"""a$r AS MATERIALIZED (
+       SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rk
+       FROM (
+         SELECT x.vec_id, x.sub, s.cid,
+           (SELECT sum((x.sv[g.i] - s.cv[g.i]) * (x.sv[g.i] - s.cv[g.i]))
+            FROM generate_series(1, 16) g(i)) AS d
+         FROM sv x JOIN $cents s ON s.sub = x.sub))"""
+
+  private val oPqMeans: Int => String = r =>
+    s"""c$r AS MATERIALIZED (
+       SELECT sub, cid, list(CAST(floor(sm::DOUBLE / cnt + 0.5) AS BIGINT) ORDER BY pos) AS cv
+       FROM (
+         SELECT a.sub, a.cid, g.i AS pos, sum(x.sv[g.i]) AS sm, count(*) AS cnt
+         FROM (SELECT vec_id, sub, cid FROM a$r WHERE rk = 1) a
+         JOIN sv x ON x.vec_id = a.vec_id AND x.sub = a.sub, generate_series(1, 16) g(i)
+         GROUP BY a.sub, a.cid, g.i)
+       GROUP BY sub, cid)"""
+
+  private val oPqPrefix =
+    """WITH qv AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(floor((x::DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+         FROM embeddings),
+       sv AS MATERIALIZED (SELECT vec_id, t.sub, v[t.sub*16 + 1 : t.sub*16 + 16] AS sv
+         FROM qv, generate_series(0, 3) t(sub)),
+       seeds AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv
+         WHERE vec_id IN (SELECT vec_id FROM qv ORDER BY vec_id LIMIT 4)),
+    """
+
+  private def qPqTrain(s: SparkSession, dir: String): DataFrame =
+    VectorSim.pqCodebooks(embs(s, dir), "vec_id", "embedding",
+        m = 4, ksub = 4, iters = 2)
+      .select(col("sub"), col("cid"), array_join(col("cv"), ",").as("cv_str"))
+      .orderBy("sub", "cid")
+
+  private val oPqTrain: String =
+    oPqPrefix +
+      Seq(oPqAssign(1, "seeds"), oPqMeans(1), oPqAssign(2, "c1"), oPqMeans(2))
+        .mkString(",\n") +
+      "\n SELECT sub, cid, array_to_string(cv, ',') AS cv_str FROM c2 ORDER BY sub, cid"
+
+  private def qPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    VectorSim.pqTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = 4, ksub = 4, iters = 1)
+      .select(col("query_id"), col("nbr_id"), col("adist"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val oPqTopK: String =
+    oPqPrefix +
+      Seq(oPqAssign(1, "seeds"), oPqMeans(1), oPqAssign(2, "c1")).mkString(",\n") +
+      """,
+       enc AS (SELECT vec_id AS nbr_id, sub, cid FROM a2 WHERE rk = 1),
+       lut AS MATERIALIZED (
+         SELECT x.vec_id AS query_id, x.sub, s.cid,
+           (SELECT sum((x.sv[g.i] - s.cv[g.i]) * (x.sv[g.i] - s.cv[g.i]))
+            FROM generate_series(1, 16) g(i)) AS d
+         FROM sv x JOIN c1 s ON s.sub = x.sub WHERE x.vec_id < 10),
+       cand AS (
+         SELECT l.query_id, e.nbr_id, CAST(sum(l.d) AS BIGINT) AS adist
+         FROM enc e JOIN lut l ON l.sub = e.sub AND l.cid = e.cid AND l.query_id <> e.nbr_id
+         GROUP BY 1, 2),
+       ranked AS (SELECT query_id, nbr_id, adist,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, nbr_id) AS BIGINT) AS rank
+         FROM cand)
+       SELECT query_id, nbr_id, adist, rank FROM ranked WHERE rank <= 5
+       ORDER BY query_id, rank"""
+
   // ------------------------------------------------------------- SemDeDup
   // Semantic dedup (Abbas et al. 2023): IVF-cell clustering (the q_ivf_topk
   // coarse quantizer, bit-identical both engines), within-cell cosine
@@ -2700,6 +2778,8 @@ object Queries {
     "q_mix" -> qMix _,
     "q_mix_epochs" -> qMixEpochs _,
     "q_ivf_train" -> qIvfTrain _,
+    "q_pq_train" -> qPqTrain _,
+    "q_pq_topk" -> qPqTopK _,
     "q_robots" -> qRobots _,
     "q_crawl_diff" -> qCrawlDiff _,
     "q_reg_domain" -> qRegDomain _,
@@ -2791,6 +2871,8 @@ object Queries {
     "q_mix" -> oMix,
     "q_mix_epochs" -> oMixEpochs,
     "q_ivf_train" -> oIvfTrain,
+    "q_pq_train" -> oPqTrain,
+    "q_pq_topk" -> oPqTopK,
     "q_robots" -> oRobots,
     "q_crawl_diff" -> oCrawlDiff,
     "q_reg_domain" -> oRegDomain,

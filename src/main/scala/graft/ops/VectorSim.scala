@@ -313,6 +313,131 @@ object VectorSim {
       .where(col("score") >= minCosine)
   }
 
+  // ------------------------------------------------------------------- PQ
+  // Product quantization (Jégou, Douze, Schmid, TPAMI 2011): split each
+  // vector into m contiguous subvectors, train an independent ksub-centroid
+  // codebook per subspace, and represent a vector by its m code ids. A
+  // query then scores the WHOLE corpus from an m×ksub lookup table of
+  // subspace distances (ADC) — at 100 TB the corpus side carries m codes
+  // per vector instead of the raw floats, and scoring is a broadcast-LUT
+  // equi-join, never a per-pair dot product. All distances are exact
+  // integer L2 over the quantized vectors (‖a−b‖² = a·a − 2a·b + b·b via
+  // the codegen-native DotLong), so codebooks, codes, and ADC ranks are
+  // bit-reproducible across engines and partitionings.
+
+  /** (id, sub, sv, svv): the m contiguous dsub-dim subvectors of each
+    * quantized vector, with the per-subvector self-dot precomputed
+    * scan-side (every later distance needs it; once, not per candidate).
+    */
+  private def pqSubvectors(corpus: DataFrame, idCol: String, embCol: String,
+                           m: Int, scale: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    corpus.select(col(idCol).as("id"), quantize(col(embCol), scale).as("v"))
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("id"), col("sub").cast("long").as("sub"),
+        slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
+      .withColumn("svv", dot(col("sv"), col("sv")))
+  }
+
+  /** Nearest codebook entry per (vector, subspace): broadcast the m×ksub
+    * codebook, join on the subspace id, keep the argmin by exact integer
+    * L2 (ties → lower cid) via the same min-of-struct shape as
+    * [[assignNearest]] — the partial aggregate collapses the ksub scored
+    * rows before the exchange, so the shuffle carries n·m rows, not
+    * n·m·ksub.
+    */
+  private def pqAssign(svecs: DataFrame, books: DataFrame): DataFrame =
+    svecs.join(broadcast(books), Seq("sub"))
+      .select(col("id"), col("sub"), struct(
+        (col("svv") - lit(2L) * dot(col("sv"), col("cv")) + col("cvv")).as("d"),
+        col("cid").as("cid"), col("sv").as("sv"), col("svv").as("svv")).as("cand"))
+      .groupBy("id", "sub").agg(min(col("cand")).as("b"))
+      .select(col("id"), col("sub"), col("b.sv").as("sv"),
+        col("b.svv").as("svv"), col("b.cid").as("cid"), col("b.d").as("d"))
+
+  /** Train the PQ codebooks: `iters` deterministic Lloyd rounds per
+    * subspace, run for ALL m subspaces in the same jobs (the subspace id is
+    * just another grouping key — m independent k-means for the price of
+    * one). Seeds are the subvectors of the ksub smallest ids; means
+    * re-quantize floor(sum/count + 0.5) exactly like [[ivfCentroids]], so
+    * both engines round identically. Returns (sub, cid, cv, cvv); a
+    * codebook entry that attracts no vectors drops out and stays out.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+                  m: Int = 4, ksub: Int = 4, scale: Int = 1000,
+                  iters: Int = 1, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    require(iters >= 1, "at least one Lloyd step")
+    val base = pqSubvectors(corpus, idCol, embCol, m, scale, dim)
+    val seedIds = corpus.select(col(idCol).as("id")).orderBy("id").limit(ksub)
+    var books = base.join(broadcast(seedIds), Seq("id"))
+      .select(col("sub"), col("id").as("cid"), col("sv").as("cv"),
+        col("svv").as("cvv"))
+    var r = 0
+    while (r < iters) {
+      val assigned = pqAssign(base, books)
+      val sums = assigned.select(col("sub"), col("cid"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cid", "pos")
+        .agg(sum(col("x")).as("sm"), count(lit(1)).as("cnt"))
+      books = sums.groupBy("sub", "cid")
+        .agg(array_sort(collect_list(struct(col("pos"),
+          floor(col("sm").cast("double") / col("cnt") + 0.5).cast("long").as("m")))).as("pm"))
+        .select(col("sub"), col("cid"),
+          transform(col("pm"), x => x.getField("m")).as("cv"))
+        .withColumn("cvv", dot(col("cv"), col("cv")))
+      if (iters > 1) books = Checkpointer.truncate(books)
+      r += 1
+    }
+    books
+  }
+
+  /** PQ-encode the corpus against a trained codebook: (id, codes) where
+    * codes[sub] is the nearest entry's cid in that subspace. The 100 TB
+    * artifact: m longs per vector instead of dim floats.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, embCol: String,
+               books: DataFrame, m: Int = 4, scale: Int = 1000,
+               dim: Int = 64): DataFrame =
+    pqAssign(pqSubvectors(corpus, idCol, embCol, m, scale, dim), books)
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+      .select(col("id"), transform(col("sc"), x => x.getField("cid")).as("codes"))
+
+  /** ANN top-k via PQ/ADC: train codebooks on the corpus, encode every
+    * corpus vector to m codes, build each query's m×ksub subspace-distance
+    * lookup table, and score candidates by the table sum — the asymmetric
+    * distance ‖q − reconstruction(codes)‖², an exact BIGINT. Ranking is
+    * ascending distance, ties → lower neighbor id.
+    *
+    * Plan shape: the LUT (|Q|·m·ksub rows) broadcasts into the encoded
+    * corpus scan as a (sub, code) equi-join — each encoded row meets
+    * exactly |Q| LUT rows — and the per-pair sum is a hash aggregate whose
+    * map-side partial collapses the m rows of a pair before the exchange:
+    * the shuffle carries n·|Q| rows and NO vector payloads. Complements
+    * [[annTopK]] (oblivious cuts) and [[ivfTopK]] (data-adapted cells):
+    * PQ compresses the corpus representation itself, the standard
+    * memory/recall trade at billion-vector scale.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, k: Int = 5, m: Int = 4, ksub: Int = 4,
+             scale: Int = 1000, iters: Int = 1, dim: Int = 64): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, embCol, m, ksub, scale, iters, dim)
+    val enc = pqAssign(pqSubvectors(corpus, idCol, embCol, m, scale, dim), books)
+      .select(col("id").as("nbr_id"), col("sub"), col("cid"))
+    val lut = pqSubvectors(queries, idCol, embCol, m, scale, dim)
+      .join(broadcast(books), Seq("sub"))
+      .select(col("id").as("query_id"), col("sub"), col("cid"),
+        (col("svv") - lit(2L) * dot(col("sv"), col("cv")) + col("cvv")).as("d"))
+    val e = enc.alias("e"); val l = lut.alias("l")
+    val cand = e.join(broadcast(l),
+        col("e.sub") === col("l.sub") && col("e.cid") === col("l.cid") &&
+          col("query_id") =!= col("nbr_id"))
+      .groupBy("query_id", "nbr_id").agg(sum(col("d")).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("nbr_id"))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Exact near-dup pairs via a block-replicated theta join (the 1-Bucket
     * theta-join of Okcan & Riedewald, SIGMOD 2011): every vector lands in
     * block g = hash(id) % B; the left role replicates each vector to keys
