@@ -1236,6 +1236,71 @@ object Queries {
        ORDER BY doc_id"""
   }
 
+  // ----------------------------------------------------------- inverted index
+  // The retrieval-side artifact BM25 presupposes: flat (term, doc, tf, dl)
+  // posting rows (NOT array-assembled lists — a hot term must be a hot
+  // shuffle key, not one giant array row), probed here for a fixed term
+  // set so the output is bounded.
+  private def qPostings(s: SparkSession, dir: String): DataFrame =
+    Ranking.postings(docs(s, dir), "doc_id", "text")
+      .where(col("term").isin("spark", "hash", "window", "join", "data"))
+      .orderBy("term", "id")
+
+  private val oPostings =
+    """WITH toks AS (
+         SELECT doc_id AS id, len(t)::DOUBLE AS dl, unnest(t) AS term
+         FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents))
+       SELECT term, id, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+       FROM toks WHERE term IN ('spark', 'hash', 'window', 'join', 'data')
+       GROUP BY term, id ORDER BY term, id"""
+
+  // Batch BM25 retrieval THROUGH the index: broadcast (qid, term) pairs
+  // prune the postings scan, per-term df is aggregated over those matching
+  // rows, and each (query, doc) score is an explicit ascending-term-order
+  // left fold (bit-stable float sum; the oracle folds the identically
+  // ordered list with the same 0.0 seed). Query 1 carries a term absent
+  // from the corpus ('shuffle') — partial disjunctive matches verified.
+  private def qSearch(s: SparkSession, dir: String): DataFrame =
+    Ranking.searchTopK(docs(s, dir), "doc_id", "text",
+        queries = Seq(
+          0L -> Seq("spark", "hash"),
+          1L -> Seq("window", "shuffle"),
+          2L -> Seq("the", "data", "join")),
+        k = 10)
+      .select(col("qid"), col("id").as("doc_id"), col("n_terms"),
+        col("score"), col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+
+  private val oSearch =
+    """WITH qt(qid, term) AS (
+         VALUES (0::BIGINT, 'spark'), (0::BIGINT, 'hash'),
+                (1::BIGINT, 'window'), (1::BIGINT, 'shuffle'),
+                (2::BIGINT, 'the'), (2::BIGINT, 'data'), (2::BIGINT, 'join')),
+       toks AS (
+         SELECT doc_id AS id, len(t)::DOUBLE AS dl, unnest(t) AS term
+         FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)),
+       idx AS (
+         SELECT term, id, count(*) AS tf, min(dl) AS dl FROM toks
+         WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term, id),
+       dfs AS (SELECT term, count(*)::DOUBLE AS df FROM idx GROUP BY term),
+       stats AS (
+         SELECT count(*)::DOUBLE AS n, sum(len(str_split(text, ' '))::DOUBLE) AS sdl
+         FROM documents),
+       hits AS (
+         SELECT q.qid, i.id, i.term,
+           ((s.n - d.df + 0.5) / (d.df + 0.5)) *
+           ((i.tf::DOUBLE * 2.5) / (i.tf::DOUBLE + 1.5 * (0.25 + 0.75 * (i.dl / (s.sdl / s.n))))) AS w
+         FROM idx i JOIN qt q ON q.term = i.term JOIN dfs d ON d.term = i.term, stats s),
+       scored AS (
+         SELECT qid, id, CAST(count(*) AS BIGINT) AS n_terms,
+           list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY term)), (a, b) -> a + b) AS score
+         FROM hits GROUP BY qid, id),
+       ranked AS (SELECT qid, id AS doc_id, n_terms, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS BIGINT) AS rank
+         FROM scored)
+       SELECT qid, doc_id, n_terms, score, rank FROM ranked WHERE rank <= 10
+       ORDER BY qid, rank"""
+
   // ------------------------------------------------------ URL canonicalization
   // canonUrl over synthesized URLs exercising every rule: scheme/host case,
   // default vs real ports, tracking params mixed with real ones (must sort),
@@ -2746,6 +2811,8 @@ object Queries {
     "q_curate" -> qCurate _,
     "q_url_canon" -> qUrlCanon _,
     "q_bm25" -> qBm25 _,
+    "q_postings" -> qPostings _,
+    "q_search" -> qSearch _,
     "q_report" -> qReport _,
     "q_decontam" -> qDecontam _,
     "q_decontam_frac" -> qDecontamFrac _,
@@ -2841,6 +2908,8 @@ object Queries {
     "q_curate" -> oCurate,
     "q_url_canon" -> oUrlCanon,
     "q_bm25" -> oBm25,
+    "q_postings" -> oPostings,
+    "q_search" -> oSearch,
     "q_report" -> oReport,
     "q_decontam" -> oDecontam,
     "q_decontam_frac" -> oDecontamFrac,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval-style ranking over the corpus: BM25 scoring of documents
@@ -62,5 +63,68 @@ object Ranking {
       .reduce(_ + _)
     scored.select(col("id"), hits.as("n_terms"), w.as("score"))
       .where(col("n_terms") > 0)
+  }
+
+  /** The inverted index as a dataset artifact: one row per (term, doc) —
+    * (term, id, tf, dl). Deliberately FLAT, not array-assembled posting
+    * lists: at corpus scale a hot term ("the") is then just a hot shuffle
+    * key spread over many rows, not a single array row that must fit in
+    * one task's memory. The document length rides along from the scan
+    * (min over identical values — no second corpus pass or join at query
+    * time). Persist bucketed/partitioned by term for repeated retrieval;
+    * one (term, id) shuffle to build.
+    */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextStats.tokenCount(col(textCol)).cast("double").as("dl"),
+        explode(TextStats.toks(col(textCol))).as("term"))
+      .groupBy("term", "id")
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+
+  /** Batch retrieval over the inverted index: BM25 top-k per query,
+    * disjunctive (≥1 term matches; `n_terms` counts how many). Same
+    * transcendental-free weight as [[bm25]]; per-document scores are
+    * summed by an explicit left fold in ASCENDING TERM ORDER (float + is
+    * not associative — a data-order sum would not be bit-reproducible),
+    * so for an alphabetically-ordered term list the score is bit-identical
+    * to [[bm25]]'s fixed-order sum (absent terms contribute an exact +0.0
+    * there).
+    *
+    * Scale shape: the query batch broadcasts into the index scan (an
+    * equi-join on term prunes to matching postings only), per-term df is
+    * one aggregate over those matching postings, corpus N/Σdl is ONE
+    * 1-row broadcast aggregate, and the (query, doc) sum is a hash
+    * aggregate over hit rows — nothing corpus-sized shuffles except the
+    * index build itself, which is the persisted artifact.
+    */
+  def searchTopK(df: DataFrame, idCol: String, textCol: String,
+                 queries: Seq[(Long, Seq[String])], k: Int = 10,
+                 k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "searchTopK: need at least one query")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .toDF("qid", "term")
+    val idx = postings(df, idCol, textCol)
+    val dfs = idx.join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = df.agg(count(lit(1)).cast("double").as("n"),
+      sum(TextStats.tokenCount(col(textCol)).cast("double")).as("sdl"))
+    val w = ((col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+      ((col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * (col("dl") / (col("sdl") / col("n"))))))
+    val hits = idx.join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("id"), col("term"), w.as("w"))
+    val scored = hits.groupBy("qid", "id")
+      .agg(count(lit(1)).as("n_terms"),
+        array_sort(collect_list(struct(col("term"), col("w").as("w")))).as("cw"))
+      .select(col("qid"), col("id"), col("n_terms"),
+        aggregate(transform(col("cw"), x => x.getField("w")),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    val rw = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(rw)).where(col("rank") <= k)
   }
 }

@@ -76,4 +76,62 @@ class RankingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(a == b)
   }
+
+  test("postings: flat (term, doc) rows with exact tf and the doc length") {
+    val s = spark; import s.implicits._
+    val got = Ranking.postings(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val exp = docs.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1).toSeq
+      toks.distinct.map(w => (w, id) -> ((toks.count(_ == w).toLong, toks.size.toDouble)))
+    }.toMap
+    assert(got == exp)
+  }
+
+  test("searchTopK score is bit-identical to bm25 for a sorted term list") {
+    val s = spark; import s.implicits._
+    val df = docs.toDF("doc_id", "text")
+    // terms alphabetically ordered: bm25 sums left-to-right in given order,
+    // searchTopK folds in ascending term order — same order, and bm25's
+    // zero-tf terms add an exact +0.0, so the doubles must agree bitwise
+    val sorted = terms.sorted
+    val viaIndex = Ranking.searchTopK(df, "doc_id", "text",
+        queries = Seq(7L -> sorted), k = 100)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val direct = Ranking.bm25(df, "doc_id", "text", sorted)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(viaIndex == direct)
+  }
+
+  test("searchTopK: disjunctive partial matches, absent terms, k cutoff, rank ties") {
+    val s = spark; import s.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val got = Ranking.searchTopK(df, "doc_id", "text",
+        queries = Seq(
+          0L -> Seq("spark", "nosuchtoken"),
+          1L -> Seq("nosuchtoken"),
+          2L -> Seq("filler", "hash")),
+        k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // query 1 matches nothing and is absent entirely
+    assert(!got.keys.exists(_._1 == 1L))
+    // query 0: 'spark' docs only, n_terms = 1, top-2 of the three spark docs
+    assert(got((0L, 1))._2 == 1L && got((0L, 2))._2 == 1L)
+    // query 2 matched docs: 2 (hash), 5 (hash), 6 (filler) — k=2 keeps two
+    assert(got.keys.count(_._1 == 2L) == 2)
+  }
+
+  test("searchTopK plan: query/df/stats joins broadcast; no BNLJ") {
+    val s = spark; import s.implicits._
+    val plan = Ranking.searchTopK(docs.toDF("doc_id", "text"), "doc_id", "text",
+        queries = Seq(0L -> Seq("spark", "hash")), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastNestedLoopJoin BuildRight"),
+      "only the 1-row stats cross join may nest")
+    assert(plan.contains("BroadcastHashJoin"), "term joins must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
