@@ -362,6 +362,48 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fractional containment must never compare documents pairwise:\n$p")
   }
 
+  test("q_cms: corpus collapses to registers BEFORE any join; fill frame is the only nested loop") {
+    // the sketch property: the one hash exchange carries ≤ depth·width
+    // partially-combined counter rows, never the token stream; the (i,
+    // bucket) fill frame (two tiny Ranges crossed) then LEFT-joins the
+    // aggregate — so every join input is constant-size.
+    val p = plan("q_cms")
+    val initIdx = p.indexOf("== Initial Plan ==")
+    val f = if (initIdx >= 0) p.substring(0, initIdx) else p
+    assert(f.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 1,
+      s"one exchange, the register aggregate:\n$p")
+    assert(f.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1 &&
+      f.contains("Range (0, 4"),
+      s"only the depth x width Range frame may cross:\n$p")
+    assert("HashAggregate\\(keys=\\[i#\\d+L, bucket#\\d+L\\]".r.findFirstIn(f).isDefined,
+      s"register counts must map-side combine on (i, bucket):\n$p")
+  }
+
+  test("q_pq_topk: ADC is broadcast/equi only — codes, LUT, and ranks never nest") {
+    // the PQ promise: after encoding, the corpus is m code rows per vector
+    // and every scoring join is a broadcast hash join (codebook by sub,
+    // LUT by (sub, cid)); the top-k bound pushes down as WindowGroupLimit.
+    val p = plan("q_pq_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"ADC must never plan a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"LUT join must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k must push down:\n$p")
+  }
+
+  test("q_postings / q_search: index build is ONE corpus exchange; retrieval broadcasts") {
+    val pp = plan("q_postings")
+    assert(!pp.contains("Join"), s"the index build must not join:\n$pp")
+    val ps = plan("q_search")
+    val initIdx = ps.indexOf("== Initial Plan ==")
+    val f = if (initIdx >= 0) ps.substring(0, initIdx) else ps
+    // only the 1-row corpus-stats broadcast may nested-loop
+    assert(f.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"q_search: only the 1-row stats cross may nest:\n$ps")
+    assert(f.contains("BroadcastHashJoin"), s"q_search: term joins broadcast:\n$ps")
+    assert(f.contains("WindowGroupLimit"), s"q_search: top-k pushes down:\n$ps")
+  }
+
   test("q_hits / q_pagerank: iterative rounds never cartesian; normalizers broadcast") {
     // per-round lineage is checkpoint-truncated, so the executed plan shows
     // the final round: score propagation must meet edges in an equi-join,
