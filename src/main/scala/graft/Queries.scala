@@ -1949,6 +1949,35 @@ object Queries {
        FROM g LEFT JOIN r ON r.bucket = g.bucket
        GROUP BY g.bucket ORDER BY g.bucket"""
 
+  // ------------------------------------------------------------- grouped HLL
+  // Per-source approximate distinct-token counts as the integral HLL
+  // summary (v = empty registers, zint = 2^55-scaled harmonic sum): the
+  // per-key cardinality profile a corpus report wants at 100 TB without a
+  // per-key distinct. Both columns are exact BIGINTs, so the oracle
+  // replays the identical register arithmetic; the double estimate is a
+  // separate helper (spec-pinned envelope, not hash-compared).
+  private def qHllByKey(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.hllByKey(
+        docs(s, dir).select(col("source"),
+          explode(split(col("text"), " ")).as("w")),
+        col("source"), col("w"), m = 64)
+      .withColumnRenamed("key", "source")
+      .orderBy("source")
+
+  private val oHllByKey =
+    """WITH h AS (
+         SELECT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+         FROM (SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)),
+       r AS (SELECT source, h % 64 AS bucket,
+               CASE WHEN (h // 64) = 0 THEN 55
+                    ELSE 54 - length(bin(h // 64)) + 1 END AS rho
+             FROM h),
+       g AS (SELECT source, bucket, max(rho) AS rho_max FROM r GROUP BY 1, 2)
+       SELECT source, CAST(64 - count(*) AS BIGINT) AS v,
+         CAST(sum(1::BIGINT << (55 - rho_max)::INT) +
+              (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS zint
+       FROM g GROUP BY source ORDER BY source"""
+
   // -------------------------------------------------------- count-min sketch
   // CMS register table (depth 4 × width 64) over the corpus token stream —
   // the constant-size FREQUENCY sketch next to q_hll's cardinality sketch:
@@ -2829,6 +2858,7 @@ object Queries {
     "q_host_boiler" -> qHostBoiler _,
     "q_dsir" -> qDsir _,
     "q_hll" -> qHll _,
+    "q_hll_by_key" -> qHllByKey _,
     "q_cms" -> qCms _,
     "q_cms_est" -> qCmsEst _,
     "q_sanitize" -> qSanitize _,
@@ -2925,6 +2955,7 @@ object Queries {
     "q_host_boiler" -> oHostBoiler,
     "q_dsir" -> oDsir,
     "q_hll" -> oHll,
+    "q_hll_by_key" -> oHllByKey,
     "q_cms" -> oCms,
     "q_cms_est" -> oCmsEst,
     "q_sanitize" -> oSanitize,

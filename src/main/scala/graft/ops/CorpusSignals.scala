@@ -397,6 +397,62 @@ object CorpusSignals {
           .as("estimate"))
   }
 
+  /** Per-key HLL summary: approximate distinct counts BY GROUP (distinct
+    * tokens per source, distinct URLs per host) as two EXACT integers per
+    * key — `v` (empty registers) and `zint` = Σ_buckets 2^(W+1 − rho), the
+    * harmonic denominator scaled by 2^(W+1) so it stays in BIGINT
+    * arithmetic (≤ m·2^(W+1) = 2^61): order-independent, bit-stable on any
+    * engine, unlike a floating Σ2^(−rho). The double estimate is
+    * [[hllEstimateFromSummary]] — kept OUT of the summary so the
+    * verifiable artifact is integral. Shuffle shape: the (key, bucket)
+    * max-aggregate is map-side combinable, so the exchange carries
+    * ≤ |keys|·m partially-combined rows regardless of corpus size; the
+    * second aggregate collapses m rows per key. Summaries of disjoint
+    * corpus slices do NOT merge by adding zint — merge at the register
+    * level (per-bucket max), which is what the map-side partial already
+    * does in one pass.
+    */
+  def hllByKey(df: DataFrame, key: Column, value: Column, m: Int,
+               hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0, "m must be a power of two")
+    val logm = java.lang.Integer.numberOfTrailingZeros(m)
+    val W = 60 - logm
+    val h = hash(value)
+    df.select(key.as("key"), pmod(h, lit(m.toLong)).as("bucket"),
+        shiftright(h, logm).as("w"))
+      .select(col("key"), col("bucket"),
+        when(col("w") === 0L, lit(W + 1).cast("long"))
+          .otherwise(lit(W).cast("long") - length(bin(col("w"))) + 1L).as("rho"))
+      .groupBy("key", "bucket")
+      .agg(max(col("rho")).as("rho_max"))
+      .groupBy("key")
+      .agg((lit(m.toLong) - count(lit(1))).as("v"),
+        sum(expr(s"shiftleft(cast(1 as bigint), cast(${W + 1} - rho_max as int))"))
+          .as("zp"))
+      .select(col("key"), col("v"),
+        (col("zp") + col("v") * lit(1L << (W + 1))).as("zint"))
+  }
+
+  /** The standard HLL estimate from a [[hllByKey]] summary row: the
+    * harmonic mean with the small-range linear-counting correction —
+    * z = zint / 2^(W+1), est = α_m·m²/z, or m·ln(m/v) when the raw
+    * estimate falls under 2.5m and empty registers remain.
+    */
+  def hllEstimateFromSummary(v: Column, zint: Column, m: Int): Column = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val logm = java.lang.Integer.numberOfTrailingZeros(m)
+    val W = 60 - logm
+    val raw = lit(alpha * m * m * math.pow(2.0, W + 1)) / zint.cast("double")
+    when(v > 0 && raw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(raw)
+  }
+
   /** Count-Min Sketch register table (Cormode & Muthukrishnan 2005) over a
     * value column — the fixed-size FREQUENCY sketch that pairs with the HLL
     * cardinality sketch above: a 100 TB heavy-hitter scan (hot n-grams, hot

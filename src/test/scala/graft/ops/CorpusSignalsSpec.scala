@@ -242,6 +242,45 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.26, s"estimate $est")
   }
 
+  test("hllByKey: per-key summary equals the global registers of that key's slice") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 800).map(i => ("a", s"tok-${i % 300}")) ++
+      (0 until 200).map(i => ("b", s"other-${i % 50}"))
+    val df = rows.toDF("k", "v")
+    val got = CorpusSignals.hllByKey(df, col("k"), col("v"), m = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: run the SINGLE-set register op on each key's slice and
+    // summarize — v = empty registers, zint = Σ 2^(55 - rho)
+    for (k <- Seq("a", "b")) {
+      val regs = CorpusSignals.hllRegisters(df.where(col("k") === k), col("v"), m = 64)
+        .collect().map(r => r.getLong(1))
+      val v = regs.count(_ == 0L).toLong
+      val zint = regs.map(r => 1L << (55 - r).toInt).sum
+      assert(got(k) == ((v, zint)), k)
+    }
+    // duplicate-invariance carries over: the sketch summarizes a SET
+    val tripled = CorpusSignals.hllByKey(df.union(df).union(df),
+        col("k"), col("v"), m = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(tripled == got)
+  }
+
+  test("hllEstimateFromSummary: both branches land in the error envelope") {
+    val s = spark
+    import s.implicits._
+    // 5000 distinct (harmonic branch) and 40 distinct (linear counting)
+    val rows = (0 until 5000).map(i => ("big", s"tok-$i-x")) ++
+      (0 until 400).map(i => ("small", s"s-${i % 40}"))
+    val est = CorpusSignals.hllByKey(rows.toDF("k", "v"), col("k"), col("v"), m = 64)
+      .select(col("key"), CorpusSignals.hllEstimateFromSummary(
+        col("v"), col("zint"), m = 64).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // std error 1.04/sqrt(64) = 13%; allow 4 sigma on the fixed data
+    assert(math.abs(est("big") - 5000.0) / 5000.0 < 0.52, s"big ${est("big")}")
+    assert(math.abs(est("small") - 40.0) / 40.0 < 0.52, s"small ${est("small")}")
+  }
+
   test("cmsRegisters: exact d×w shape, total mass = row count, merge = sum") {
     val s = spark
     import s.implicits._
