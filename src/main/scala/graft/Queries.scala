@@ -2044,6 +2044,76 @@ object Queries {
          est.est >= ex.exact AS sound
        FROM est JOIN ex ON ex.w = est.w ORDER BY est.w"""
 
+  // ------------------------------------------------------------ bloom filter
+  // Portable Bloom membership sketch over token bigrams — the third sketch
+  // next to q_hll (how many distinct) and q_cms (how often): 64 words × 63
+  // data bits, k=3 hashes of "i <bigram>" on the shared 60-bit md5, so
+  // both engines build bit-identical bitmaps. Insert set = bigrams of
+  // doc_id < 250; the probe query checks EVERY corpus bigram and outputs
+  // the exact-membership truth plus the no-false-negative verdict.
+  private def bigramsOf(text: Column): Column = {
+    val t = split(text, " ")
+    // guard: Spark sequence(1, 0) DESCENDS instead of being empty
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array())
+  }
+
+  private def qBloom(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.bloomRegisters(
+        docs(s, dir).where(col("doc_id") < 250)
+          .select(explode(bigramsOf(col("text"))).as("b")),
+        col("b"), words = 64, k = 3)
+      .orderBy("word")
+
+  private val oBloom =
+    """WITH bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS b
+         FROM (SELECT str_split(text, ' ') AS t FROM documents WHERE doc_id < 250)),
+       p AS (SELECT ('0x' || substr(md5(d.i::VARCHAR || ' ' || bg.b), 1, 15))::BIGINT % 4032 AS p
+         FROM bg, (SELECT unnest(generate_series(0, 2))::BIGINT AS i) d),
+       r AS (SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)::INT) AS bits
+         FROM p GROUP BY 1),
+       g AS (SELECT unnest(generate_series(0, 63))::BIGINT AS word)
+       SELECT g.word, CAST(COALESCE(r.bits, 0) AS BIGINT) AS bits
+       FROM g LEFT JOIN r ON r.word = g.word ORDER BY g.word"""
+
+  private def qBloomProbe(s: SparkSession, dir: String): DataFrame = {
+    val ins = docs(s, dir).where(col("doc_id") < 250)
+      .select(explode(bigramsOf(col("text"))).as("b"))
+    val regs = CorpusSignals.bloomRegisters(ins, col("b"), words = 64, k = 3)
+    val probes = docs(s, dir)
+      .select(explode(bigramsOf(col("text"))).as("b")).distinct()
+    val present = ins.distinct().select(col("b").as("w"), lit(true).as("p"))
+    CorpusSignals.bloomProbe(regs, probes, col("b"), words = 64, k = 3)
+      .join(present, Seq("w"), "left")
+      .select(col("w"), col("maybe"),
+        coalesce(col("p"), lit(false)).as("present"),
+        (!coalesce(col("p"), lit(false)) || col("maybe")).as("sound"))
+      .orderBy("w")
+  }
+
+  private val oBloomProbe =
+    """WITH bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS b
+         FROM (SELECT str_split(text, ' ') AS t FROM documents WHERE doc_id < 250)),
+       hp AS (SELECT ('0x' || substr(md5(d.i::VARCHAR || ' ' || bg.b), 1, 15))::BIGINT % 4032 AS p
+         FROM bg, (SELECT unnest(generate_series(0, 2))::BIGINT AS i) d),
+       r AS (SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)::INT) AS bits
+         FROM hp GROUP BY 1),
+       probes AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS w
+         FROM (SELECT str_split(text, ' ') AS t FROM documents)),
+       pe AS (SELECT p.w, d.i,
+           ('0x' || substr(md5(d.i::VARCHAR || ' ' || p.w), 1, 15))::BIGINT % 4032 AS p
+         FROM probes p, (SELECT unnest(generate_series(0, 2))::BIGINT AS i) d),
+       verdict AS (
+         SELECT pe.w, min(CASE WHEN (r.bits & (1::BIGINT << (pe.p % 63)::INT)) =
+                                    (1::BIGINT << (pe.p % 63)::INT) THEN 1 ELSE 0 END) AS m
+         FROM pe JOIN r ON r.word = pe.p // 63 GROUP BY pe.w),
+       ins AS (SELECT DISTINCT b AS w FROM bg)
+       SELECT v.w, v.m = 1 AS maybe, ins.w IS NOT NULL AS present,
+         (ins.w IS NULL) OR v.m = 1 AS sound
+       FROM verdict v LEFT JOIN ins ON ins.w = v.w ORDER BY v.w"""
+
   // --------------------------------------------------------------- web graph
   // Outlink harvesting + host-graph PageRank. The Spark side runs the REAL
   // streaming HTML tokenizer over synthesized pages that exercise case-folded
@@ -2861,6 +2931,8 @@ object Queries {
     "q_hll_by_key" -> qHllByKey _,
     "q_cms" -> qCms _,
     "q_cms_est" -> qCmsEst _,
+    "q_bloom" -> qBloom _,
+    "q_bloom_probe" -> qBloomProbe _,
     "q_sanitize" -> qSanitize _,
     "q_badwords" -> qBadwords _,
     "q_outlinks" -> qOutlinks _,
@@ -2958,6 +3030,8 @@ object Queries {
     "q_hll_by_key" -> oHllByKey,
     "q_cms" -> oCms,
     "q_cms_est" -> oCmsEst,
+    "q_bloom" -> oBloom,
+    "q_bloom_probe" -> oBloomProbe,
     "q_sanitize" -> oSanitize,
     "q_badwords" -> oBadwords,
     "q_outlinks" -> oOutlinks,

@@ -483,6 +483,61 @@ object CorpusSignals {
       .select(col("i"), col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Portable Bloom filter registers (Bloom, CACM 1970): the MEMBERSHIP
+    * sketch completing the family — HLL answers "how many distinct", CMS
+    * "how often", Bloom "have I seen this". The bitmap is `words` BIGINTs
+    * with 63 data bits each (bit 63 stays clear: a 1<<63 shift overflows
+    * signed 64-bit in other engines, and portability of the register table
+    * IS the point — ship it to any system sharing the hash). Hash i of a
+    * value is the shared 60-bit md5 hash of "i <value>" (the CMS scheme),
+    * so engines rebuild identical bitmaps. The aggregate is bit_or over
+    * (word) — fully map-side combinable: each task collapses to ≤ `words`
+    * rows before the one constant-size exchange, which is also exactly how
+    * two filters merge. Absent words are joined back as 0 so the table is
+    * always `words` rows.
+    */
+  def bloomRegisters(df: DataFrame, value: Column, words: Int, k: Int,
+                     hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    require(words >= 1 && k >= 1, "need at least one word and one hash")
+    val mBits = words.toLong * 63L
+    val regs = df
+      .select(explode(sequence(lit(0), lit(k - 1))).as("i"), value.as("w"))
+      .select(pmod(hash(concat(col("i").cast("string"), lit(" "), col("w"))),
+        lit(mBits)).as("p"))
+      .select(expr("p div 63").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))").as("b"))
+      .groupBy("word").agg(expr("bit_or(b)").as("bits"))
+    df.sparkSession.range(words).select(col("id").as("word"))
+      .join(regs, Seq("word"), "left")
+      .select(col("word"), coalesce(col("bits"), lit(0L)).as("bits"))
+  }
+
+  /** Membership probes against a [[bloomRegisters]] table: (w, maybe).
+    * `maybe = false` is DEFINITIVE (a Bloom filter has no false
+    * negatives — the spec proves it on planted data); `maybe = true` is
+    * subject to the standard false-positive rate. The probe set explodes
+    * ×k and meets the constant-size register table in a broadcast
+    * equi-join; the per-value verdict is an all-bits-set min — map-side
+    * combinable, nothing corpus-sized moves.
+    */
+  def bloomProbe(registers: DataFrame, probes: DataFrame, value: Column,
+                 words: Int, k: Int,
+                 hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    val mBits = words.toLong * 63L
+    probes
+      .select(value.as("w"))
+      .select(col("w"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col("w"),
+        pmod(hash(concat(col("i").cast("string"), lit(" "), col("w"))),
+          lit(mBits)).as("p"))
+      .select(col("w"), expr("p div 63").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))").as("b"))
+      .join(broadcast(registers), Seq("word"))
+      .groupBy("w")
+      .agg(min((col("bits").bitwiseAND(col("b")) === col("b")).cast("int")).as("m"))
+      .select(col("w"), (col("m") === 1).as("maybe"))
+  }
+
   /** Point estimates from a CMS register table: for each probe value,
     * est = min over rows i of register[i][h_i(value)] — the classic
     * one-sided bound (est ≥ true count, never under). The probe set is

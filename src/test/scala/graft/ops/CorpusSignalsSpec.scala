@@ -302,6 +302,43 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(regs(a.union(b)) == merged)
   }
 
+  test("bloomRegisters/bloomProbe: no false negatives, bit-63 clear, merge = OR") {
+    val s = spark
+    import s.implicits._
+    val a = (0 until 300).map(i => s"key-a-$i").toDF("v")
+    val b = (0 until 200).map(i => s"key-b-$i").toDF("v")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      CorpusSignals.bloomRegisters(df, col("v"), words = 32, k = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ra = regs(a); val rb = regs(b)
+    assert(ra.keySet == (0L until 32L).toSet)
+    // data bit 63 must never be set: the table stays portable to engines
+    // where 1<<63 overflows
+    assert((ra.values ++ rb.values).forall(_ >= 0L), "bit 63 leaked")
+    // mergeability: union = per-word OR (what the map-side partial does)
+    assert(regs(a.union(b)) == ra.map { case (w, x) => w -> (x | rb(w)) })
+    // the membership contract: NO false negatives, ever
+    val got = CorpusSignals.bloomProbe(
+        CorpusSignals.bloomRegisters(a, col("v"), words = 32, k = 3),
+        a, col("v"), words = 32, k = 3)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got.size == 300 && got.values.forall(identity), "false negative")
+  }
+
+  test("bloomProbe false-positive rate stays in the designed envelope") {
+    val s = spark
+    import s.implicits._
+    val ins = (0 until 500).map(i => s"present-$i").toDF("v")
+    val absent = (0 until 1000).map(i => s"absent-$i").toDF("v")
+    val regs = CorpusSignals.bloomRegisters(ins, col("v"), words = 64, k = 3)
+    val fp = CorpusSignals.bloomProbe(regs, absent, col("v"), words = 64, k = 3)
+      .where(col("maybe")).count()
+    // theory: (1 - e^(-3*500/4032))^3 ≈ 3.0%; this fixed data must stay
+    // well under 10% and must produce at least one definitive negative
+    assert(fp < 100, s"false-positive rate blew the envelope: $fp/1000")
+    assert(fp < 1000, "a saturated filter answers nothing")
+  }
+
   test("cmsEstimate is one-sided (est >= truth) and exact sans collisions") {
     val s = spark
     import s.implicits._
