@@ -2044,6 +2044,40 @@ object Queries {
          est.est >= ex.exact AS sound
        FROM est JOIN ex ON ex.w = est.w ORDER BY est.w"""
 
+  // ---------------------------------------------------------- phrase matching
+  // One-pass Aho–Corasick counts for a mixed pattern set: multi-word
+  // phrases, a self-overlapping pattern ("a a" counts every overlap), a
+  // repeated-word phrase, an absent phrase (all-zero column), and a
+  // sub-token fragment ("ta" matches inside "table") — the raw-substring
+  // semantics the oracle replays with a per-position scan. k patterns,
+  // ONE traversal per document, zero exchange.
+  private val phrasePatterns = Seq(
+    "table hash", "part filter", "a a", "table table", "no such phrase", "ta")
+
+  private def qPhraseMatch(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        CorpusSignals.multiMatchCounts(col("text"), phrasePatterns).as("c"))
+      .select(col("doc_id"), array_join(col("c"), ",").as("counts"),
+        aggregate(col("c"), lit(0L), (a, x) => a + x).as("n_hits"))
+      .orderBy("doc_id")
+
+  private val oPhraseMatch: String = {
+    val cs = phrasePatterns.zipWithIndex.map { case (p, i) =>
+      s"""len(list_filter(generate_series(1, len(text) - ${p.length} + 1),
+          i -> substr(text, i, ${p.length}) = '$p')) AS c$i"""
+    }.mkString(",\n           ")
+    val idx = phrasePatterns.indices
+    s"""WITH m AS (
+         SELECT doc_id,
+           $cs
+         FROM documents)
+       SELECT doc_id,
+         ${idx.map(i => s"c$i::VARCHAR").mkString(" || ',' || ")} AS counts,
+         CAST(${idx.map(i => s"c$i").mkString(" + ")} AS BIGINT) AS n_hits
+       FROM m ORDER BY doc_id"""
+  }
+
   // ------------------------------------------------------------ bloom filter
   // Portable Bloom membership sketch over token bigrams — the third sketch
   // next to q_hll (how many distinct) and q_cms (how often): 64 words × 63
@@ -2931,6 +2965,7 @@ object Queries {
     "q_hll_by_key" -> qHllByKey _,
     "q_cms" -> qCms _,
     "q_cms_est" -> qCmsEst _,
+    "q_phrase_match" -> qPhraseMatch _,
     "q_bloom" -> qBloom _,
     "q_bloom_probe" -> qBloomProbe _,
     "q_sanitize" -> qSanitize _,
@@ -3030,6 +3065,7 @@ object Queries {
     "q_hll_by_key" -> oHllByKey,
     "q_cms" -> oCms,
     "q_cms_est" -> oCmsEst,
+    "q_phrase_match" -> oPhraseMatch,
     "q_bloom" -> oBloom,
     "q_bloom_probe" -> oBloomProbe,
     "q_sanitize" -> oSanitize,

@@ -331,6 +331,18 @@ object CorpusSignals {
     struct(hits.cast("long").as("n_bad"), (hits === 0).as("keep"))
   }
 
+  /** Per-pattern counts of ALL substring occurrences (overlaps included)
+    * in one pass — see [[graft.functions.MultiMatch]]: the Aho–Corasick
+    * phrase scanner for multi-word blocklists and contamination probes,
+    * where k patterns must not cost k regexp passes over the corpus.
+    * Returns array<long> aligned with `patterns`. Substring semantics —
+    * compose with [[blocklistGate]] for token-exact matching.
+    */
+  def multiMatchCounts(text: Column, patterns: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MultiMatch(
+        org.apache.spark.sql.GraftBridge.expression(text), patterns))
+
   /** Per-document deflate compression ratio (×10^6, integer) — see
     * [[graft.functions.DeflateRatio]]: high = high-entropy noise, very low
     * = templated junk; the cut-from-both-ends signal of FineWeb-class
