@@ -1978,6 +1978,35 @@ object Queries {
               (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS zint
        FROM g GROUP BY source ORDER BY source"""
 
+  // ------------------------------------------------- HLL as a true aggregate
+  // The same per-source register vectors as q_hll_by_key, but computed by
+  // the custom TypedImperativeAggregate (one m-long buffer per group per
+  // task, buffer-merge on the reduce side) — the Catalyst-aggregate form
+  // of the sketch, verified value-identical to the relational arithmetic.
+  private def qHllAgg(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source")
+      .agg(CorpusSignals.hllSketchAgg(col("w"), m = 64).as("r"))
+      .select(col("source"), array_join(col("r"), ",").as("regs"))
+      .orderBy("source")
+
+  private val oHllAgg =
+    """WITH h AS (
+         SELECT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+         FROM (SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)),
+       r AS (SELECT source, h % 64 AS bucket,
+               CASE WHEN (h // 64) = 0 THEN 55
+                    ELSE 54 - length(bin(h // 64)) + 1 END AS rho
+             FROM h),
+       g AS (SELECT source, bucket, max(rho) AS rho_max FROM r GROUP BY 1, 2),
+       f AS (SELECT s.source, b.bucket, COALESCE(g.rho_max, 0) AS rho
+             FROM (SELECT DISTINCT source FROM documents) s
+             CROSS JOIN (SELECT unnest(generate_series(0, 63))::BIGINT AS bucket) b
+             LEFT JOIN g ON g.source = s.source AND g.bucket = b.bucket)
+       SELECT source, array_to_string(list(rho::BIGINT ORDER BY bucket), ',') AS regs
+       FROM f GROUP BY source ORDER BY source"""
+
   // -------------------------------------------------------- count-min sketch
   // CMS register table (depth 4 × width 64) over the corpus token stream —
   // the constant-size FREQUENCY sketch next to q_hll's cardinality sketch:
@@ -2963,6 +2992,7 @@ object Queries {
     "q_dsir" -> qDsir _,
     "q_hll" -> qHll _,
     "q_hll_by_key" -> qHllByKey _,
+    "q_hll_agg" -> qHllAgg _,
     "q_cms" -> qCms _,
     "q_cms_est" -> qCmsEst _,
     "q_phrase_match" -> qPhraseMatch _,
@@ -3063,6 +3093,7 @@ object Queries {
     "q_dsir" -> oDsir,
     "q_hll" -> oHll,
     "q_hll_by_key" -> oHllByKey,
+    "q_hll_agg" -> oHllAgg,
     "q_cms" -> oCms,
     "q_cms_est" -> oCmsEst,
     "q_phrase_match" -> oPhraseMatch,

@@ -465,6 +465,20 @@ object CorpusSignals {
       .otherwise(raw)
   }
 
+  /** The HLL register vector as a true AGGREGATE column — see
+    * [[graft.functions.HllSketchAgg]]: `groupBy(host).agg(hllSketchAgg(
+    * url, 64))` keeps one m-long buffer per group per task and merges
+    * buffers on the reduce side, so the exchange carries one array row
+    * per group instead of m register rows, and the sketch composes with
+    * other aggregates in the same pass. Bit-identical to [[hllRegisters]]
+    * run on each group's slice (cross-pinned in HllSketchAggSpec).
+    */
+  def hllSketchAgg(value: Column, m: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.HllSketchAgg(
+        org.apache.spark.sql.GraftBridge.expression(value), m)
+        .toAggregateExpression())
+
   /** Count-Min Sketch register table (Cormode & Muthukrishnan 2005) over a
     * value column — the fixed-size FREQUENCY sketch that pairs with the HLL
     * cardinality sketch above: a 100 TB heavy-hitter scan (hot n-grams, hot
