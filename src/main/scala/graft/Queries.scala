@@ -868,6 +868,67 @@ object Queries {
        SELECT query_id, nbr_id, adist, rank FROM ranked WHERE rank <= 5
        ORDER BY query_id, rank"""
 
+  // ------------------------------------------------------- text embeddings
+  // Model-free document embeddings from the text table itself (feature
+  // hashing + signed random projection, all-integer), then the SAME ANN
+  // machinery over them — the end-to-end connector: a similarity signal
+  // with no external model anywhere. q_text_embed verifies the vectors;
+  // q_text_ann verifies the full composition text → embedding → SRP-LSH
+  // bucket → exact rerank, bit for bit.
+  private def qTextEmbed(s: SparkSession, dir: String): DataFrame =
+    VectorSim.textEmbedding(docs(s, dir), "doc_id", "text", dim = 16)
+      .select(col("id").as("doc_id"), array_join(col("emb"), ",").as("emb"))
+      .orderBy("doc_id")
+
+  private val oTextEmbed =
+    """WITH toks AS (
+         SELECT doc_id AS id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1048576 AS hf
+         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)),
+       e AS (
+         SELECT id, t.j, sum(((t.j*1048576 + hf) * 2654435761) % 1000003 % 19 - 9) AS e
+         FROM toks, generate_series(0, 15) t(j) GROUP BY id, t.j)
+       SELECT id AS doc_id, array_to_string(list(CAST(e AS BIGINT) ORDER BY j), ',') AS emb
+       FROM e GROUP BY id ORDER BY doc_id"""
+
+  private def qTextAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = VectorSim.textEmbedding(docs(s, dir), "doc_id", "text", dim = 16)
+    VectorSim.annTopK(emb, emb.where(col("id") < 5), "id", "emb",
+        k = 5, planes = 8, dim = 16)
+      .select(col("query_id"), col("nbr_id"), col("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val oTextAnn =
+    """WITH toks AS (
+         SELECT doc_id AS id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1048576 AS hf
+         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)),
+       e AS (
+         SELECT id, t.j, sum(((t.j*1048576 + hf) * 2654435761) % 1000003 % 19 - 9) AS e
+         FROM toks, generate_series(0, 15) t(j) GROUP BY id, t.j),
+       qv AS (SELECT id, list(CAST(e AS BIGINT) * 1000 ORDER BY j) AS v
+         FROM e GROUP BY id),
+       dots AS (
+         SELECT id, t.j, sum(v[g.i] * (((t.j*64 + g.i) * 2654435761) % 1000003 % 19 - 9)) AS d
+         FROM qv, generate_series(0, 7) t(j), generate_series(1, 16) g(i)
+         GROUP BY id, t.j),
+       sigs AS (
+         SELECT id, CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+         FROM dots GROUP BY id),
+       cand AS (
+         SELECT q.id AS query_id, c.id AS nbr_id,
+           (SELECT sum(a.v[g.i] * b.v[g.i]) FROM generate_series(1, 16) g(i))::DOUBLE /
+           (sqrt((SELECT sum(a.v[g.i] * a.v[g.i]) FROM generate_series(1, 16) g(i))::DOUBLE) *
+            sqrt((SELECT sum(b.v[g.i] * b.v[g.i]) FROM generate_series(1, 16) g(i))::DOUBLE)) AS score
+         FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND q.id <> c.id
+         JOIN qv a ON a.id = q.id JOIN qv b ON b.id = c.id
+         WHERE q.id < 5),
+       ranked AS (SELECT query_id, nbr_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS BIGINT) AS rank
+         FROM cand)
+       SELECT query_id, nbr_id, score, rank FROM ranked WHERE rank <= 5
+       ORDER BY query_id, rank"""
+
   // ------------------------------------------------------------- SemDeDup
   // Semantic dedup (Abbas et al. 2023): IVF-cell clustering (the q_ivf_topk
   // coarse quantizer, bit-identical both engines), within-cell cosine
@@ -3013,6 +3074,8 @@ object Queries {
     "q_mix_epochs" -> qMixEpochs _,
     "q_ivf_train" -> qIvfTrain _,
     "q_pq_train" -> qPqTrain _,
+    "q_text_embed" -> qTextEmbed _,
+    "q_text_ann" -> qTextAnn _,
     "q_pq_topk" -> qPqTopK _,
     "q_robots" -> qRobots _,
     "q_crawl_diff" -> qCrawlDiff _,
@@ -3113,6 +3176,8 @@ object Queries {
     "q_mix_epochs" -> oMixEpochs,
     "q_ivf_train" -> oIvfTrain,
     "q_pq_train" -> oPqTrain,
+    "q_text_embed" -> oTextEmbed,
+    "q_text_ann" -> oTextAnn,
     "q_pq_topk" -> oPqTopK,
     "q_robots" -> oRobots,
     "q_crawl_diff" -> oCrawlDiff,

@@ -313,6 +313,34 @@ object VectorSim {
       .where(col("score") >= minCosine)
   }
 
+  /** Deterministic model-free text embedding: feature hashing (Weinberger
+    * et al., ICML 2009) + signed random projection — emb[j] = Σ_tokens
+    * w(j, h(token) mod 2^20), with w the same Knuth-hash signed weight
+    * family as [[planeWeightValue]]. All integer arithmetic (products stay
+    * < 2^63 because the token feature is folded to 20 bits first — other
+    * engines CHECK multiply overflow), so the vectors are bit-identical
+    * everywhere and feed the whole ANN/SemDeDup stack directly: cosine is
+    * scale-invariant, so the downstream ×1000 quantization is exact and
+    * harmless. One (id) shuffle with map-side partial sums; at 100 TB this
+    * is how you get a similarity signal BEFORE any model exists to embed
+    * with. Returns (id, emb: array<bigint>).
+    */
+  def textEmbedding(df: DataFrame, idCol: String, textCol: String,
+                    dim: Int = 16): DataFrame = {
+    require(dim >= 1, "textEmbedding: dim must be positive")
+    val toks = df.select(col(idCol).as("id"),
+        explode(TextStats.toks(col(textCol))).as("tok"))
+      .select(col("id"),
+        pmod(TextDedup.portableHash(col("tok")), lit(1048576L)).as("hf"))
+    val sums = (0 until dim).map { j =>
+      sum(pmod((lit(j.toLong * 1048576L) + col("hf")) * lit(2654435761L),
+        lit(1000003L)) % 19L - 9L).as(s"__e$j")
+    }
+    toks.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        array((0 until dim).map(j => col(s"__e$j")): _*).as("emb"))
+  }
+
   // ------------------------------------------------------------------- PQ
   // Product quantization (Jégou, Douze, Schmid, TPAMI 2011): split each
   // vector into m contiguous subvectors, train an independent ksub-centroid

@@ -231,6 +231,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(1L) > m(2L))
   }
 
+  test("textEmbedding: brute-force parity, order-invariance, similarity ordering") {
+    val df = docsDf(
+      1L -> "spark shuffles data across the cluster",
+      2L -> "across the cluster spark shuffles data", // permutation of 1
+      3L -> "spark shuffles data across the grid",    // one token differs
+      4L -> "entirely different words appear here now")
+    val got = VectorSim.textEmbedding(df, "doc_id", "text", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    // brute force: the documented arithmetic, token by token
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8"))
+      (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+    }
+    def emb(text: String): Seq[Long] = (0 until 8).map { j =>
+      text.split(" ", -1).map { t =>
+        val hf = h60(t) % 1048576L
+        ((j * 1048576L + hf) * 2654435761L) % 1000003L % 19L - 9L
+      }.sum
+    }
+    got.foreach { case (id, v) =>
+      val text = Seq("spark shuffles data across the cluster",
+        "across the cluster spark shuffles data",
+        "spark shuffles data across the grid",
+        "entirely different words appear here now")(id.toInt - 1)
+      assert(v == emb(text), s"doc $id")
+    }
+    // bag-of-words: a permutation embeds identically
+    assert(got(1L) == got(2L))
+    // cosine ordering: near-identical docs beat unrelated docs
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      d / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    assert(cos(got(1L), got(3L)) > cos(got(1L), got(4L)))
+  }
+
   test("fingerprintScan matches the brute rolling-hash model on edge cases") {
     val P = 1000000007L; val B = 257L
     def model(s: String, n: Int = 8): (Long, Long, Long) = {
