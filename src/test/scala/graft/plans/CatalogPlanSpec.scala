@@ -404,6 +404,34 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.contains("WindowGroupLimit"), s"q_search: top-k pushes down:\n$ps")
   }
 
+  test("q_hll_agg: ObjectHashAggregate partial+final, ONE exchange of array buffers") {
+    // the TypedImperativeAggregate promise: per-group register buffers
+    // combine map-side (partial ObjectHashAggregate before the exchange),
+    // so the shuffle carries one buffer row per (group, task)
+    val p = plan("q_hll_agg")
+    val initIdx = p.indexOf("== Initial Plan ==")
+    val f = if (initIdx >= 0) p.substring(0, initIdx) else p
+    assert(f.contains("ObjectHashAggregate"), s"sketch must aggregate as objects:\n$p")
+    assert(!f.contains("Join"), s"the aggregate form must not join:\n$p")
+    assert(f.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 1,
+      s"one exchange of partially-merged buffers:\n$p")
+  }
+
+  test("q_text_embed / q_text_ann: embedding is ONE exchange; ANN stays equi-join") {
+    val pe = plan("q_text_embed")
+    val initE = pe.indexOf("== Initial Plan ==")
+    val fe = if (initE >= 0) pe.substring(0, initE) else pe
+    assert(!fe.contains("Join"), s"the featurizer must not join:\n$pe")
+    assert(fe.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 1,
+      s"one (id) exchange with map-side partial sums:\n$pe")
+    val pa = plan("q_text_ann")
+    assert(!pa.contains("BroadcastNestedLoopJoin") && !pa.contains("CartesianProduct"),
+      s"the composed ANN must stay a bucket equi-join:\n$pa")
+    assert(pa.contains("WindowGroupLimit"), s"top-k must push down:\n$pa")
+  }
+
   test("q_hits / q_pagerank: iterative rounds never cartesian; normalizers broadcast") {
     // per-round lineage is checkpoint-truncated, so the executed plan shows
     // the final round: score propagation must meet edges in an equi-join,

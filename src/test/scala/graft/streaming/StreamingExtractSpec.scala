@@ -167,4 +167,36 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(want.values.exists(!_._3) && want.values.exists(_._3))
     } finally q.stop()
   }
+
+  test("hll_sketch maintains per-key registers incrementally across stream batches") {
+    // the 100 TB live-ingest property: the custom TypedImperativeAggregate
+    // runs as a streaming stateful aggregation, and after ANY batch split
+    // the state equals the batch-mode sketch over everything seen — max
+    // merge is what the state store applies between batches
+    val s = spark
+    import s.implicits._
+    import graft.ops.CorpusSignals
+    val batch1 = (0 until 300).map(i => ("a", s"tok-${i % 120}")) ++
+      (0 until 100).map(i => ("b", s"b-${i % 30}"))
+    val batch2 = (0 until 200).map(i => ("a", s"late-${i % 90}")) ++
+      (0 until 50).map(i => ("c", s"c-$i"))
+    val want = (batch1 ++ batch2).toDF("k", "v")
+      .groupBy("k").agg(CorpusSignals.hllSketchAgg(col("v"), m = 32).as("r"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDF().toDF("k", "v")
+      .groupBy("k").agg(CorpusSignals.hllSketchAgg(col("v"), m = 32).as("r"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("hll_stream").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(got == want, "streamed state diverges from the batch sketch")
+    } finally q.stop()
+  }
 }
