@@ -2134,6 +2134,52 @@ object Queries {
          est.est >= ex.exact AS sound
        FROM est JOIN ex ON ex.w = est.w ORDER BY est.w"""
 
+  // ---------------------------------------------------- round-4 curation chain
+  // The second end-to-end composition (Curation.curate2): sanitize →
+  // Aho–Corasick phrase gate → exact dedup → per-source cap → packing.
+  // Invisible characters are PLANTED Spark-side (leading zero-width,
+  // trailing bidi isolate) so the sanitizer does real work while the
+  // oracle chain starts from the plain text the strip provably recovers.
+  private val curate2Phrases = Seq("slow key", "vector small")
+
+  private def qCurate2(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"), col("source"),
+      concat(lit("\u200b"), col("text"), lit("\u2066")).as("text"))
+    Curation.curate2(planted, "doc_id", "text", "source",
+        phrases = curate2Phrases, cap = 20L, budget = 2000L)
+      .select(col("id").as("doc_id"), col("src").as("source"),
+        col("n_tokens"), col("pack"))
+      .orderBy("doc_id")
+  }
+
+  private val oCurate2: String = {
+    val gates = curate2Phrases.map { p =>
+      s"""len(list_filter(generate_series(1, len(text) - ${p.length} + 1),
+          i -> substr(text, i, ${p.length}) = '$p')) = 0"""
+    }.mkString("\n           AND ")
+    s"""WITH gated AS (
+         SELECT doc_id AS id, source AS src, text AS t
+         FROM documents
+         WHERE $gates),
+       dedup AS (
+         SELECT id, src, t FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY ('0x' || substr(md5(t), 1, 15))::BIGINT ORDER BY id) AS rk
+           FROM gated) WHERE rk = 1),
+       capped AS (
+         SELECT id, src, t FROM (
+           SELECT *, row_number() OVER (PARTITION BY src
+             ORDER BY ('0x' || substr(md5('cap ' || id::VARCHAR), 1, 15))::BIGINT, id) AS rk
+           FROM dedup) WHERE rk <= 20),
+       toks AS (
+         SELECT id, src, CAST(len(str_split(t, ' ')) AS BIGINT) AS n_tokens
+         FROM capped)
+       SELECT id AS doc_id, src AS source, n_tokens,
+         CAST((sum(n_tokens) OVER (PARTITION BY src ORDER BY id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000 AS BIGINT) AS pack
+       FROM toks ORDER BY doc_id"""
+  }
+
   // ---------------------------------------------------------- phrase matching
   // One-pass Aho–Corasick counts for a mixed pattern set: multi-word
   // phrases, a self-overlapping pattern ("a a" counts every overlap), a
@@ -3057,6 +3103,7 @@ object Queries {
     "q_cms" -> qCms _,
     "q_cms_est" -> qCmsEst _,
     "q_phrase_match" -> qPhraseMatch _,
+    "q_curate2" -> qCurate2 _,
     "q_bloom" -> qBloom _,
     "q_bloom_probe" -> qBloomProbe _,
     "q_sanitize" -> qSanitize _,
@@ -3160,6 +3207,7 @@ object Queries {
     "q_cms" -> oCms,
     "q_cms_est" -> oCmsEst,
     "q_phrase_match" -> oPhraseMatch,
+    "q_curate2" -> oCurate2,
     "q_bloom" -> oBloom,
     "q_bloom_probe" -> oBloomProbe,
     "q_sanitize" -> oSanitize,

@@ -70,4 +70,47 @@ object Curation {
     Sampling.packBudget(cut, "grp", "id", "n_tokens", budget)
       .select(col("id"), col("grp"), col("n_tokens"), col("quality"), col("pack"))
   }
+
+  /** The round-4 gate chain composed end to end — a second curation
+    * pipeline from this round's operators, same composability contract as
+    * [[curate]] (every stage is the standalone-verified arithmetic):
+    *
+    *   1. sanitize       invisible-char hygiene        (CorpusSignals.stripInvisible)
+    *   2. phrase gate    one-pass Aho–Corasick, drop on ANY hit
+    *   3. exact dedup    first-id-wins on the clean-text hash
+    *   4. per-source cap at most `cap` docs per source, hash-ordered
+    *                     (the host-cap shape: deterministic, order-free)
+    *   5. packing        fixed token budgets per source (Sampling.packBudget)
+    *
+    * Plan shape: stages 1–2 are scan-side (the automaton rides the scan,
+    * zero exchange); stage 3 is one exchange on the 60-bit clean-text
+    * hash with the rank-1 bound pushed map-side; stages 4–5 share ONE
+    * exchange on the source key. Two big-side exchanges, one corpus scan.
+    */
+  def curate2(df: DataFrame, idCol: String, textCol: String, srcCol: String,
+              phrases: Seq[String], cap: Long = 20L,
+              budget: Long = 2000L): DataFrame = {
+    require(phrases.nonEmpty, "curate2: need at least one blocked phrase")
+    val clean = df.select(col(idCol).as("id"), col(srcCol).as("src"),
+      CorpusSignals.stripInvisible(col(textCol)).as("t"))
+    val gated = clean
+      .withColumn("__hits",
+        aggregate(CorpusSignals.multiMatchCounts(col("t"), phrases),
+          lit(0L), (a, x) => a + x))
+      .where(col("__hits") === 0L).drop("__hits")
+    val wD = Window.partitionBy(col("__k")).orderBy(col("id"))
+    val deduped = gated
+      .withColumn("__k", TextDedup.portableHash(col("t")))
+      .withColumn("__rk", row_number().over(wD))
+      .where(col("__rk") === 1).drop("__k", "__rk")
+    val wC = Window.partitionBy(col("src")).orderBy(col("__h"), col("id"))
+    val capped = deduped
+      .withColumn("__h", TextDedup.portableHash(
+        concat(lit("cap "), col("id").cast("string"))))
+      .withColumn("__rk", row_number().over(wC))
+      .where(col("__rk") <= cap).drop("__h", "__rk")
+      .withColumn("n_tokens", TextStats.tokenCount(col("t")).cast("long"))
+    Sampling.packBudget(capped, "src", "id", "n_tokens", budget)
+      .select(col("id"), col("src"), col("n_tokens"), col("pack"))
+  }
 }

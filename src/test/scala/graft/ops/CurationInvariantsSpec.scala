@@ -38,6 +38,42 @@ class CurationInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toDF("doc_id", "text", "source")
   }
 
+  test("curate2: phrase gate bites, dedup sees THROUGH invisible chars, cap holds") {
+    val s = spark
+    import s.implicits._
+    // duplicates differing only by planted invisible chars must collapse
+    // (the sanitize stage runs BEFORE the dedup hash); docs carrying the
+    // blocked phrase must vanish; no source exceeds the cap
+    val rows = (0L until 120L).map { i =>
+      val body =
+        if (i % 10 == 0) s"contains the dup scan key body ${(i / 10) % 2}" // 12 docs, 2 texts
+        else if (i % 7 == 0) s"bad phrase here in doc $i"
+        else s"regular doc $i with the fast sort scan words"
+      val planted = if (i % 2 == 0) "\u200b" + body + "\u2066" else body
+      (i, planted, s"s${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val out = Curation.curate2(rows, "doc_id", "text", "source",
+        phrases = Seq("bad phrase"), cap = 25L, budget = 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ids = out.map(_._1).toSet
+    // every blocked doc is gone
+    assert((0L until 120L).filter(i => i % 7 == 0 && i % 10 != 0)
+      .forall(!ids.contains(_)), "phrase gate must drop every hit")
+    // the 12 planted near-duplicates (2 distinct CLEAN texts) keep exactly 2
+    assert(ids.count(_ % 10 == 0) == 2,
+      "invisible-char variants must dedup to one survivor per clean text")
+    assert(ids.count(i => i % 10 == 0 && i < 20) == 2, "first ids win")
+    // cap per source
+    out.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.length <= 25, s"source $src over cap")
+    }
+    // packing: within each source, pack ids are a contiguous 0-based range
+    out.groupBy(_._2).foreach { case (src, rs) =>
+      val packs = rs.map(_._4).distinct.sorted
+      assert(packs.head == 0L && packs.sameElements(0L until packs.length.toLong), src)
+    }
+  }
+
   test("lineDedup: conservation, survivor uniqueness, survivors are original lines") {
     val lines: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       t => split(t, " ") // 1-word "lines": maximal duplication pressure
