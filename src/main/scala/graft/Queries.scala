@@ -2072,8 +2072,9 @@ object Queries {
   // CMS register table (depth 4 × width 64) over the corpus token stream —
   // the constant-size FREQUENCY sketch next to q_hll's cardinality sketch:
   // a heavy-hitter scan at 100 TB keeps 256 counters instead of one per
-  // distinct token. Row hashes are the shared 60-bit md5 hash over
-  // "i <token>", so both engines rebuild the identical table.
+  // distinct token. Row hashes are Kirsch–Mitzenmacher double hashing over
+  // two shared 60-bit md5 hashes, so both engines rebuild the identical
+  // table at two digests per token.
   private def qCms(s: SparkSession, dir: String): DataFrame =
     CorpusSignals.cmsRegisters(
         docs(s, dir).select(explode(split(col("text"), " ")).as("w")),
@@ -2082,11 +2083,12 @@ object Queries {
 
   private val oCms =
     """WITH toks AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+       hs AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5('~ ' || w), 1, 15))::BIGINT AS h2
+              FROM toks),
        d AS (SELECT unnest(generate_series(0, 3))::BIGINT AS i),
-       r AS (SELECT d.i,
-               ('0x' || substr(md5(d.i::VARCHAR || ' ' || t.w), 1, 15))::BIGINT % 64 AS bucket,
-               count(*) AS cnt
-             FROM toks t, d GROUP BY 1, 2),
+       r AS (SELECT d.i, (hs.h1 + d.i * hs.h2) % 64 AS bucket, count(*) AS cnt
+             FROM hs, d GROUP BY 1, 2),
        g AS (SELECT d.i, b.bucket FROM d,
              (SELECT unnest(generate_series(0, 63))::BIGINT AS bucket) b)
        SELECT g.i, g.bucket, CAST(COALESCE(r.cnt, 0) AS BIGINT) AS cnt
@@ -2118,13 +2120,15 @@ object Queries {
     """WITH toks AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
        probes AS (SELECT DISTINCT unnest(str_split(text, ' ')) AS w
                   FROM documents WHERE doc_id < 3),
+       hs AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5('~ ' || w), 1, 15))::BIGINT AS h2
+              FROM toks),
        d AS (SELECT unnest(generate_series(0, 3))::BIGINT AS i),
-       r AS (SELECT d.i,
-               ('0x' || substr(md5(d.i::VARCHAR || ' ' || t.w), 1, 15))::BIGINT % 64 AS bucket,
-               count(*) AS cnt
-             FROM toks t, d GROUP BY 1, 2),
+       r AS (SELECT d.i, (hs.h1 + d.i * hs.h2) % 64 AS bucket, count(*) AS cnt
+             FROM hs, d GROUP BY 1, 2),
        e AS (SELECT p.w, d.i,
-               ('0x' || substr(md5(d.i::VARCHAR || ' ' || p.w), 1, 15))::BIGINT % 64 AS bucket
+               (('0x' || substr(md5(p.w), 1, 15))::BIGINT +
+                d.i * ('0x' || substr(md5('~ ' || p.w), 1, 15))::BIGINT) % 64 AS bucket
              FROM probes p, d),
        est AS (SELECT e.w, min(r.cnt) AS est
                FROM e JOIN r ON r.i = e.i AND r.bucket = e.bucket GROUP BY e.w),
@@ -2240,8 +2244,11 @@ object Queries {
   private val oBloom =
     """WITH bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS b
          FROM (SELECT str_split(text, ' ') AS t FROM documents WHERE doc_id < 250)),
-       p AS (SELECT ('0x' || substr(md5(d.i::VARCHAR || ' ' || bg.b), 1, 15))::BIGINT % 4032 AS p
-         FROM bg, (SELECT unnest(generate_series(0, 2))::BIGINT AS i) d),
+       hs AS (SELECT ('0x' || substr(md5(b), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5('~ ' || b), 1, 15))::BIGINT AS h2
+              FROM bg),
+       p AS (SELECT (hs.h1 + d.i * hs.h2) % 4032 AS p
+         FROM hs, (SELECT unnest(generate_series(0, 2))::BIGINT AS i) d),
        r AS (SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)::INT) AS bits
          FROM p GROUP BY 1),
        g AS (SELECT unnest(generate_series(0, 63))::BIGINT AS word)
@@ -2266,14 +2273,18 @@ object Queries {
   private val oBloomProbe =
     """WITH bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS b
          FROM (SELECT str_split(text, ' ') AS t FROM documents WHERE doc_id < 250)),
-       hp AS (SELECT ('0x' || substr(md5(d.i::VARCHAR || ' ' || bg.b), 1, 15))::BIGINT % 4032 AS p
-         FROM bg, (SELECT unnest(generate_series(0, 2))::BIGINT AS i) d),
+       hs AS (SELECT ('0x' || substr(md5(b), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5('~ ' || b), 1, 15))::BIGINT AS h2
+              FROM bg),
+       hp AS (SELECT (hs.h1 + d.i * hs.h2) % 4032 AS p
+         FROM hs, (SELECT unnest(generate_series(0, 2))::BIGINT AS i) d),
        r AS (SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)::INT) AS bits
          FROM hp GROUP BY 1),
        probes AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS w
          FROM (SELECT str_split(text, ' ') AS t FROM documents)),
        pe AS (SELECT p.w, d.i,
-           ('0x' || substr(md5(d.i::VARCHAR || ' ' || p.w), 1, 15))::BIGINT % 4032 AS p
+           (('0x' || substr(md5(p.w), 1, 15))::BIGINT +
+            d.i * ('0x' || substr(md5('~ ' || p.w), 1, 15))::BIGINT) % 4032 AS p
          FROM probes p, (SELECT unnest(generate_series(0, 2))::BIGINT AS i) d),
        verdict AS (
          SELECT pe.w, min(CASE WHEN (r.bits & (1::BIGINT << (pe.p % 63)::INT)) =

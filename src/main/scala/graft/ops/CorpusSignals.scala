@@ -483,23 +483,27 @@ object CorpusSignals {
     * value column — the fixed-size FREQUENCY sketch that pairs with the HLL
     * cardinality sketch above: a 100 TB heavy-hitter scan (hot n-grams, hot
     * URLs, hot hosts) keeps depth×width counters instead of one counter per
-    * distinct key. Row i uses an independent 60-bit hash derived by
-    * prefixing the value with "i " before the shared md5-based
-    * [[TextDedup.portableHash]], so every engine sharing the hash rebuilds
-    * the identical table. The aggregate is a plain count over (row, bucket)
-    * — fully map-side combinable: each task collapses its partition to
-    * ≤ depth·width rows before the one constant-size exchange. Absent
-    * buckets are joined back as 0 so the output is always exactly
-    * depth·width rows.
+    * distinct key. Row hashes use Kirsch–Mitzenmacher double hashing
+    * (ESA 2006): h_i = (h1 + i·h2) mod width over TWO 60-bit md5 hashes
+    * computed ONCE per value BEFORE the ×depth explode — after the
+    * explode, bucketing is pure integer arithmetic, so depth rows cost two
+    * digests instead of depth digest-plus-concat passes (measured ~2-3× on
+    * the bench corpus). Both engines rebuild the identical table. The
+    * aggregate is a plain count over (row, bucket) — fully map-side
+    * combinable: each task collapses its partition to ≤ depth·width rows
+    * before the one constant-size exchange. Absent buckets are joined back
+    * as 0 so the output is always exactly depth·width rows.
     */
   def cmsRegisters(df: DataFrame, value: Column, depth: Int, width: Int,
                    hash: Column => Column = TextDedup.portableHash): DataFrame = {
     require(depth >= 1 && width >= 2, "need at least one row, two buckets")
+    require(depth <= 7, "h1 + i*h2 must stay under 2^63: depth <= 7")
     val regs = df
-      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"), value.as("w"))
+      .select(hash(value).as("h1"), hash(concat(lit("~ "), value)).as("h2"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"),
+        col("h1"), col("h2"))
       .select(col("i").cast("long").as("i"),
-        pmod(hash(concat(col("i").cast("string"), lit(" "), col("w"))),
-          lit(width.toLong)).as("bucket"))
+        pmod(col("h1") + col("i") * col("h2"), lit(width.toLong)).as("bucket"))
       .groupBy("i", "bucket")
       .agg(count(lit(1)).as("cnt"))
     val spark = df.sparkSession
@@ -515,8 +519,10 @@ object CorpusSignals {
     * with 63 data bits each (bit 63 stays clear: a 1<<63 shift overflows
     * signed 64-bit in other engines, and portability of the register table
     * IS the point — ship it to any system sharing the hash). Hash i of a
-    * value is the shared 60-bit md5 hash of "i <value>" (the CMS scheme),
-    * so engines rebuild identical bitmaps. The aggregate is bit_or over
+    * value is Kirsch–Mitzenmacher double hashing (ESA 2006; the Guava
+    * Bloom construction): p_i = (h1 + i·h2) mod mBits over two 60-bit md5
+    * hashes computed once per value — k probe bits cost two digests, and
+    * engines rebuild identical bitmaps. The aggregate is bit_or over
     * (word) — fully map-side combinable: each task collapses to ≤ `words`
     * rows before the one constant-size exchange, which is also exactly how
     * two filters merge. Absent words are joined back as 0 so the table is
@@ -525,11 +531,12 @@ object CorpusSignals {
   def bloomRegisters(df: DataFrame, value: Column, words: Int, k: Int,
                      hash: Column => Column = TextDedup.portableHash): DataFrame = {
     require(words >= 1 && k >= 1, "need at least one word and one hash")
+    require(k <= 7, "h1 + i*h2 must stay under 2^63: k <= 7")
     val mBits = words.toLong * 63L
     val regs = df
-      .select(explode(sequence(lit(0), lit(k - 1))).as("i"), value.as("w"))
-      .select(pmod(hash(concat(col("i").cast("string"), lit(" "), col("w"))),
-        lit(mBits)).as("p"))
+      .select(hash(value).as("h1"), hash(concat(lit("~ "), value)).as("h2"))
+      .select(explode(sequence(lit(0), lit(k - 1))).as("i"), col("h1"), col("h2"))
+      .select(pmod(col("h1") + col("i") * col("h2"), lit(mBits)).as("p"))
       .select(expr("p div 63").as("word"),
         expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))").as("b"))
       .groupBy("word").agg(expr("bit_or(b)").as("bits"))
@@ -552,10 +559,12 @@ object CorpusSignals {
     val mBits = words.toLong * 63L
     probes
       .select(value.as("w"))
-      .select(col("w"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col("w"), hash(col("w")).as("h1"),
+        hash(concat(lit("~ "), col("w"))).as("h2"))
+      .select(col("w"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
       .select(col("w"),
-        pmod(hash(concat(col("i").cast("string"), lit(" "), col("w"))),
-          lit(mBits)).as("p"))
+        pmod(col("h1") + col("i") * col("h2"), lit(mBits)).as("p"))
       .select(col("w"), expr("p div 63").as("word"),
         expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))").as("b"))
       .join(broadcast(registers), Seq("word"))
@@ -576,10 +585,12 @@ object CorpusSignals {
                   hash: Column => Column = TextDedup.portableHash): DataFrame =
     probes
       .select(value.as("w"))
-      .select(col("w"), explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .select(col("w"), hash(col("w")).as("h1"),
+        hash(concat(lit("~ "), col("w"))).as("h2"))
+      .select(col("w"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
       .select(col("w"), col("i").cast("long").as("i"),
-        pmod(hash(concat(col("i").cast("string"), lit(" "), col("w"))),
-          lit(width.toLong)).as("bucket"))
+        pmod(col("h1") + col("i") * col("h2"), lit(width.toLong)).as("bucket"))
       .join(broadcast(registers), Seq("i", "bucket"))
       .groupBy("w")
       .agg(min(col("cnt")).as("est"))
