@@ -507,6 +507,30 @@ object Queries {
        WHERE ('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 15))::BIGINT % 1000000 < 200000
        ORDER BY doc_id"""
 
+  // Priority sampling (DLT 2007): fixed-k weight-aware sample with the
+  // unbiased estimation weight max(w, τ). Priorities are one IEEE
+  // multiply-then-divide of exact integers, so both engines rank — and
+  // tie-break — identically; the whole selection + τ + estimator column
+  // is value-verified.
+  private def qPrioritySample(s: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(
+        docs(s, dir).withColumn("w", TextStats.tokenCount(col("text")).cast("long")),
+        "doc_id", "w", k = 20, salt = "ps", hash = ph)
+      .select(col("id").as("doc_id"), col("w"), col("est_w"))
+      .orderBy("doc_id")
+
+  private val oPrioritySample =
+    """WITH pr AS (
+         SELECT doc_id AS id, len(str_split(text, ' '))::DOUBLE AS w,
+           len(str_split(text, ' '))::DOUBLE * 1073741824.0 /
+             ((('0x' || substr(md5(doc_id::VARCHAR || 'ps'), 1, 15))::BIGINT % 1073741824 + 1)::DOUBLE) AS q
+         FROM documents),
+       top AS (SELECT * FROM pr ORDER BY q DESC, id LIMIT 21),
+       tau AS (SELECT CASE WHEN count(*) > 20 THEN min(q) ELSE 0.0 END AS tau FROM top),
+       kept AS (SELECT * FROM top ORDER BY q DESC, id LIMIT 20)
+       SELECT id AS doc_id, w, greatest(w, tau) AS est_w
+       FROM kept, tau ORDER BY doc_id"""
+
   private def qSampleSplit(s: SparkSession, dir: String): DataFrame = {
     val splits = Sampling.hashSplit(docs(s, dir), "doc_id", Seq(0.8, 0.1, 0.1),
       salt = "sp", hash = ph)
@@ -3069,6 +3093,7 @@ object Queries {
     "q_simhash56_pairs" -> qSimhash56Pairs _,
     "q_dedup_clusters" -> qDedupClusters _,
     "q_sample_hash" -> qSampleHash _,
+    "q_priority_sample" -> qPrioritySample _,
     "q_sample_split" -> qSampleSplit _,
     "q_sample_strata" -> qSampleStrata _,
     "q_quality_cut" -> qQualityCut _,
@@ -3174,6 +3199,7 @@ object Queries {
     "q_simhash56_pairs" -> oSimhash56Pairs,
     "q_dedup_clusters" -> oDedupClusters,
     "q_sample_hash" -> oSampleHash,
+    "q_priority_sample" -> oPrioritySample,
     "q_sample_split" -> oSampleSplit,
     "q_sample_strata" -> oSampleStrata,
     "q_quality_cut" -> oQualityCut,

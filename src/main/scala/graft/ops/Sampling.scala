@@ -28,6 +28,42 @@ object Sampling {
       < math.floor(frac * M).toLong)
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    * weight-aware FIXED-k sample with unbiased subset-sum estimation —
+    * the sampler a mixing/ablation pipeline wants when "keep 10k docs,
+    * favor token-heavy ones, and let me estimate any subset's token mass
+    * from the sample alone". Each row gets priority q = w/u with
+    * u = (hash(id, salt) mod 2^30 + 1)/2^30; the k largest-q rows are
+    * kept, each carrying est_w = max(w, τ) where τ is the (k+1)-th
+    * priority (0 when the input has ≤ k rows, making the sample exact).
+    * E[Σ_{kept ∩ S} est_w] = Σ_S w for every fixed subset S — the DLT
+    * estimator.
+    *
+    * Determinism: u is hash-derived, never RNG, and q = (w·2^30)/(h+1)
+    * is IEEE multiply-then-divide of exact integers — correctly rounded,
+    * so every engine computes bit-identical priorities; ties break by id.
+    * Plan shape: the selection is orderBy+limit → TakeOrderedAndProject
+    * (per-partition top-(k+1) heaps meet in ONE tiny exchange — no global
+    * sort); τ is a 1-row broadcast back onto the k kept rows.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     salt: String = "",
+                     hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = pmod(hash(concat(col(idCol).cast("string"), lit(salt))),
+      lit(1073741824L)) + lit(1L)
+    val pr = df.select(col(idCol).as("id"), col(weightCol).cast("double").as("w"),
+        u.cast("double").as("__u"))
+      .withColumn("q", col("w") * lit(1073741824.0) / col("__u"))
+      .drop("__u")
+    val top = pr.orderBy(col("q").desc, col("id")).limit(k + 1)
+    val tau = top.agg(
+      when(count(lit(1)) > k, min(col("q"))).otherwise(lit(0.0)).as("tau"))
+    top.orderBy(col("q").desc, col("id")).limit(k)
+      .crossJoin(broadcast(tau))
+      .select(col("id"), col("w"), greatest(col("w"), col("tau")).as("est_w"))
+  }
+
   /** Disjoint train/validation/test split by hash range over ONE salt:
     * row r lands in split i iff hash(r) mod M falls in i's range. Exact
     * complement guarantee (no row in two splits, no row dropped) — the

@@ -41,6 +41,44 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a != c)
   }
 
+  test("prioritySample: brute-force parity, small-input exactness, TakeOrdered plan") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 500L).map(i => (i, 1L + (i * 37) % 200)) // skewed weights
+    val df = rows.toDF("doc_id", "w")
+    val got = Sampling.prioritySample(df, "doc_id", "w", k = 25, salt = "t")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // brute force with the documented arithmetic (hash60 == portableHash,
+    // pinned in HllSketchAggSpec)
+    def q(id: Long, w: Long): Double = {
+      val h = graft.functions.HllSketchAgg.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString + "t"))
+      w.toDouble * 1073741824.0 / ((h % 1073741824L + 1L).toDouble)
+    }
+    val ranked = rows.map { case (id, w) => (q(id, w), id, w) }
+      .sortBy { case (qq, id, _) => (-qq, id) }
+    val tau = ranked(25)._1
+    val expect = ranked.take(25)
+      .map { case (qq, id, w) => id -> ((w.toDouble, math.max(w.toDouble, tau))) }
+      .toMap
+    assert(got == expect)
+    assert(got.values.forall { case (w, e) => e >= w }, "est_w >= w always")
+    // partitioning invariance
+    val again = Sampling.prioritySample(df.repartition(13), "doc_id", "w",
+        k = 25, salt = "t")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(again == got)
+    // input <= k: everything kept and the estimator is EXACT (tau = 0)
+    val small = Sampling.prioritySample(df.where(col("doc_id") < 10), "doc_id",
+        "w", k = 25, salt = "t")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+    assert(small.length == 10 && small.forall { case (_, (w, e)) => e == w })
+    // plan: per-partition top-k heaps, not a global sort
+    val plan = Sampling.prioritySample(df, "doc_id", "w", k = 25, salt = "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"selection must not global-sort:\n$plan")
+  }
+
   test("hashSplit: exact partition of the corpus — disjoint and complete") {
     val splits = Sampling.hashSplit(corpus, "doc_id", Seq(0.8, 0.1, 0.1), salt = "sp")
     val sets = splits.map(_.collect().map(_.getLong(0)).toSet)
