@@ -52,7 +52,7 @@ object Bench {
     "q_asof", "q_range_join", "q_incremental", "q_crawl_diff", "q_reg_domain", "q_zorder",
     "q_cms", "q_cms_est", "q_hll_by_key", "q_hll_agg", "q_bloom", "q_bloom_probe",
     "q_phrase_match", "q_postings", "q_search", "q_pq_topk",
-    "q_text_embed", "q_text_ann",
+    "q_text_embed", "q_text_ann", "q_curate2", "q_priority_sample",
     // q_pq_train is excluded like every iterative trainer (q_ivf_train):
     // k checkpointed Lloyd rounds measure fixed job overhead, not dataflow
     // q_bpe64 is the one iterative row kept ON PURPOSE: it demonstrates the
