@@ -2162,6 +2162,34 @@ object Queries {
          est.est >= ex.exact AS sound
        FROM est JOIN ex ON ex.w = est.w ORDER BY est.w"""
 
+  // ------------------------------------------------- CMS as a true aggregate
+  // Per-source frequency registers via the custom sum-merge
+  // TypedImperativeAggregate — the grouped form of q_cms, one counter
+  // array per source through the exchange.
+  private def qCmsAgg(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source")
+      .agg(CorpusSignals.cmsSketchAgg(col("w"), depth = 4, width = 64).as("r"))
+      .select(col("source"), array_join(col("r"), ",").as("regs"))
+      .orderBy("source")
+
+  private val oCmsAgg =
+    """WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS w FROM documents),
+       hs AS (SELECT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5('~ ' || w), 1, 15))::BIGINT AS h2
+              FROM toks),
+       d AS (SELECT unnest(generate_series(0, 3))::BIGINT AS i),
+       r AS (SELECT source, d.i, (hs.h1 + d.i * hs.h2) % 64 AS bucket, count(*) AS cnt
+             FROM hs, d GROUP BY 1, 2, 3),
+       f AS (SELECT s.source, d.i, b.bucket, COALESCE(r.cnt, 0) AS cnt
+             FROM (SELECT DISTINCT source FROM documents) s
+             CROSS JOIN d
+             CROSS JOIN (SELECT unnest(generate_series(0, 63))::BIGINT AS bucket) b
+             LEFT JOIN r ON r.source = s.source AND r.i = d.i AND r.bucket = b.bucket)
+       SELECT source, array_to_string(list(CAST(cnt AS BIGINT) ORDER BY i, bucket), ',') AS regs
+       FROM f GROUP BY source ORDER BY source"""
+
   // ---------------------------------------------------- round-4 curation chain
   // The second end-to-end composition (Curation.curate2): sanitize →
   // Aho–Corasick phrase gate → exact dedup → per-source cap → packing.
@@ -3138,6 +3166,7 @@ object Queries {
     "q_hll_agg" -> qHllAgg _,
     "q_cms" -> qCms _,
     "q_cms_est" -> qCmsEst _,
+    "q_cms_agg" -> qCmsAgg _,
     "q_phrase_match" -> qPhraseMatch _,
     "q_curate2" -> qCurate2 _,
     "q_bloom" -> qBloom _,
@@ -3243,6 +3272,7 @@ object Queries {
     "q_hll_agg" -> oHllAgg,
     "q_cms" -> oCms,
     "q_cms_est" -> oCmsEst,
+    "q_cms_agg" -> oCmsAgg,
     "q_phrase_match" -> oPhraseMatch,
     "q_curate2" -> oCurate2,
     "q_bloom" -> oBloom,

@@ -479,6 +479,19 @@ object CorpusSignals {
         org.apache.spark.sql.GraftBridge.expression(value), m)
         .toAggregateExpression())
 
+  /** The CMS register table as a true AGGREGATE column — see
+    * [[graft.functions.CmsSketchAgg]]: `groupBy(host).agg(cmsSketchAgg(
+    * token, 4, 64))` keeps one depth×width counter array per group per
+    * task, merged by element-wise + on the reduce side. Bit-identical to
+    * [[cmsRegisters]] run on each group's slice (row-major flattening;
+    * cross-pinned in CmsSketchAggSpec).
+    */
+  def cmsSketchAgg(value: Column, depth: Int, width: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CmsSketchAgg(
+        org.apache.spark.sql.GraftBridge.expression(value), depth, width)
+        .toAggregateExpression())
+
   /** Count-Min Sketch register table (Cormode & Muthukrishnan 2005) over a
     * value column — the fixed-size FREQUENCY sketch that pairs with the HLL
     * cardinality sketch above: a 100 TB heavy-hitter scan (hot n-grams, hot
