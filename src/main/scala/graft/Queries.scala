@@ -2190,6 +2190,29 @@ object Queries {
        SELECT source, array_to_string(list(CAST(cnt AS BIGINT) ORDER BY i, bucket), ',') AS regs
        FROM f GROUP BY source ORDER BY source"""
 
+  // ------------------------------------------------ bounded top-k aggregate
+  // Per-source longest documents via the k-bounded heap-merge
+  // TypedImperativeAggregate — map-side combine to ≤k-entry buffers,
+  // vs the rank window's shuffle of candidate rows per group.
+  private def qTopKAgg(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(CorpusSignals.topKAgg(
+        col("doc_id"), length(col("text")).cast("long"), k = 5).as("t"))
+      .select(col("source"), posexplode(col("t")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+      .orderBy("source", "rank")
+
+  private val oTopKAgg =
+    """WITH s AS (SELECT source, doc_id, length(text)::BIGINT AS score FROM documents),
+       r AS (SELECT source, doc_id, score,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY score DESC, doc_id) AS rank
+             FROM s)
+       SELECT source, rank::BIGINT AS rank, doc_id, score
+       FROM r WHERE rank <= 5 ORDER BY source, rank"""
+
   // ---------------------------------------------------- round-4 curation chain
   // The second end-to-end composition (Curation.curate2): sanitize →
   // Aho–Corasick phrase gate → exact dedup → per-source cap → packing.
@@ -3167,6 +3190,7 @@ object Queries {
     "q_cms" -> qCms _,
     "q_cms_est" -> qCmsEst _,
     "q_cms_agg" -> qCmsAgg _,
+    "q_topk_agg" -> qTopKAgg _,
     "q_phrase_match" -> qPhraseMatch _,
     "q_curate2" -> qCurate2 _,
     "q_bloom" -> qBloom _,
@@ -3273,6 +3297,7 @@ object Queries {
     "q_cms" -> oCms,
     "q_cms_est" -> oCmsEst,
     "q_cms_agg" -> oCmsAgg,
+    "q_topk_agg" -> oTopKAgg,
     "q_phrase_match" -> oPhraseMatch,
     "q_curate2" -> oCurate2,
     "q_bloom" -> oBloom,

@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   * Registered names: `py_findall`, `extract_items` (generator),
   * `word_shingles` (generator), `rolling_fingerprint`, `rolling_anchors`,
   * `gram_stats`, `norm_nfc`, `deflate_ratio`, `multi_match`,
-  * `hll_sketch` (aggregate), `cms_sketch` (aggregate). Each delegates to the owning object's
+  * `hll_sketch` (aggregate), `cms_sketch` (aggregate), `topk_agg`
+  * (aggregate). Each delegates to the owning object's
   * `register`, so the names and literal-argument validation stay defined
   * in exactly one place.
   */
@@ -31,5 +32,6 @@ object GraftFunctions {
     MultiMatch.register(spark)
     HllSketchAgg.register(spark)
     CmsSketchAgg.register(spark)
+    TopKAgg.register(spark)
   }
 }

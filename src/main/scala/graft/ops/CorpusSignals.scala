@@ -492,6 +492,22 @@ object CorpusSignals {
         org.apache.spark.sql.GraftBridge.expression(value), depth, width)
         .toAggregateExpression())
 
+  /** Bounded top-k per group as a true AGGREGATE column — see
+    * [[graft.functions.TopKAgg]]: `groupBy(host).agg(topKAgg(id, score,
+    * k))` combines map-side into one ≤k-entry buffer per (group, task)
+    * and exchanges buffers only — the scale replacement for the rank
+    * window, which must shuffle candidate rows per group before ranking.
+    * Result is the top-k set under (score DESC, id ASC): order-free and
+    * bit-deterministic (parity with the rank window pinned in
+    * TopKAggSpec).
+    */
+  def topKAgg(id: Column, score: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TopKAgg(
+        org.apache.spark.sql.GraftBridge.expression(id),
+        org.apache.spark.sql.GraftBridge.expression(score), k)
+        .toAggregateExpression())
+
   /** Count-Min Sketch register table (Cormode & Muthukrishnan 2005) over a
     * value column — the fixed-size FREQUENCY sketch that pairs with the HLL
     * cardinality sketch above: a 100 TB heavy-hitter scan (hot n-grams, hot

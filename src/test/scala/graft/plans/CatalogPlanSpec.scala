@@ -404,18 +404,35 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.contains("WindowGroupLimit"), s"q_search: top-k pushes down:\n$ps")
   }
 
-  test("q_hll_agg: ObjectHashAggregate partial+final, ONE exchange of array buffers") {
-    // the TypedImperativeAggregate promise: per-group register buffers
-    // combine map-side (partial ObjectHashAggregate before the exchange),
-    // so the shuffle carries one buffer row per (group, task)
-    val p = plan("q_hll_agg")
+  test("q_hll_agg / q_cms_agg: ObjectHashAggregate partial+final, ONE exchange of array buffers") {
+    // the TypedImperativeAggregate promise: per-group register/counter
+    // buffers combine map-side (partial ObjectHashAggregate before the
+    // exchange), so the shuffle carries one buffer row per (group, task)
+    Seq("q_hll_agg", "q_cms_agg").foreach { q =>
+      val p = plan(q)
+      val initIdx = p.indexOf("== Initial Plan ==")
+      val f = if (initIdx >= 0) p.substring(0, initIdx) else p
+      assert(f.contains("ObjectHashAggregate"), s"$q: sketch must aggregate as objects:\n$p")
+      assert(!f.contains("Join"), s"$q: the aggregate form must not join:\n$p")
+      assert(f.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning")) == 1,
+        s"$q: one exchange of partially-merged buffers:\n$p")
+    }
+  }
+
+  test("q_topk_agg: k-bounded buffers replace the rank window — no Window operator") {
+    // the aggregate form's promise vs the window formulation: candidate
+    // rows combine map-side into ≤k-entry ObjectHashAggregate buffers;
+    // no Window/WindowGroupLimit, no join, one hash exchange of buffers
+    val p = plan("q_topk_agg")
     val initIdx = p.indexOf("== Initial Plan ==")
     val f = if (initIdx >= 0) p.substring(0, initIdx) else p
-    assert(f.contains("ObjectHashAggregate"), s"sketch must aggregate as objects:\n$p")
+    assert(f.contains("ObjectHashAggregate"), s"top-k must aggregate as objects:\n$p")
+    assert(!f.contains("Window"), s"the aggregate form must not plan a window:\n$p")
     assert(!f.contains("Join"), s"the aggregate form must not join:\n$p")
     assert(f.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning")) == 1,
-      s"one exchange of partially-merged buffers:\n$p")
+      s"one exchange of k-bounded buffers:\n$p")
   }
 
   test("q_text_embed / q_text_ann: embedding is ONE exchange; ANN stays equi-join") {
