@@ -122,6 +122,8 @@ case class ExtractPagesExec(child: SparkPlan, mode: String,
   * strategy at session build time, the deployment-grade registration path.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => ExtractPagesStrategy)
+    ext.injectOptimizerRule(_ => TopKWindowRewrite)
+  }
 }
