@@ -199,4 +199,41 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want, "streamed state diverges from the batch sketch")
     } finally q.stop()
   }
+
+  test("cms_sketch and topk_agg run as streaming stateful aggregations with batch parity") {
+    // same property for the sum-merge and heap-merge aggregates: after any
+    // batch split the state equals the batch-mode result over everything
+    // seen — counter addition and top-k-set merge are what the state store
+    // applies between batches
+    val s = spark
+    import s.implicits._
+    import graft.ops.CorpusSignals
+    val batch1 = (0 until 300).map(i => ("a", i.toLong, (i * 37 % 23).toLong)) ++
+      (0 until 100).map(i => ("b", (1000 + i).toLong, (i % 9).toLong))
+    val batch2 = (0 until 200).map(i => ("a", (2000 + i).toLong, (i * 11 % 29).toLong))
+    val all = (batch1 ++ batch2).toDF("k", "id", "score")
+    def aggBoth(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("k")
+      .agg(
+        CorpusSignals.cmsSketchAgg(concat_ws("-", col("id"), col("score")), 3, 16).as("c"),
+        CorpusSignals.topKAgg(col("id"), col("score"), 4).as("t"))
+    def snap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getString(0) -> ((r.getSeq[Long](1).toSeq,
+        r.getSeq[org.apache.spark.sql.Row](2).map(e => (e.getLong(0), e.getLong(1))).toSeq))
+    }.toMap
+    val want = snap(aggBoth(all).collect())
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = aggBoth(mem.toDF().toDF("k", "id", "score"))
+      .writeStream.format("memory").queryName("cms_topk_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = snap(spark.table("cms_topk_stream").collect())
+      assert(got == want, "streamed state diverges from the batch aggregates")
+    } finally q.stop()
+  }
 }
