@@ -2190,6 +2190,34 @@ object Queries {
        SELECT source, array_to_string(list(CAST(cnt AS BIGINT) ORDER BY i, bucket), ',') AS regs
        FROM f GROUP BY source ORDER BY source"""
 
+  // ------------------------------------------------- charset detect/decode
+  // Raw-crawl byte payloads synthesized Spark-side in four planted
+  // variants (plain UTF-8, UTF-8 BOM, bare cp1252 smart quotes, meta-
+  // declared latin1 with a planted 0xE9), pushed through the native
+  // charset_of/decode_web expressions. Rows-only by documented contract:
+  // the UTF-8 validation state machine and the WHATWG fallback table are
+  // not ANSI-SQL-expressible; correctness is pinned byte-level in
+  // CharsetDetectSpec. Deterministic integral output (counts + decoded
+  // char mass per planted variant).
+  private def qCharset(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("u8"))
+      .select(pmod(col("doc_id"), lit(4)).as("variant"),
+        when(pmod(col("doc_id"), lit(4)) === 0, col("u8"))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(unhex(lit("EFBBBF")), col("u8")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(unhex(lit("93")), col("u8"), unhex(lit("94"))))
+          .otherwise(concat(
+            encode(lit("<meta charset=iso-8859-1>"), "utf-8"),
+            unhex(lit("E9")), col("u8")))
+          .as("b"))
+      .select(col("variant"), CorpusSignals.charsetOf(col("b")).as("cs"),
+        length(CorpusSignals.decodeWeb(col("b"))).cast("long").as("chars"))
+      .groupBy("variant", "cs")
+      .agg(count(lit(1)).as("docs"), sum(col("chars")).as("chars"))
+      .orderBy("variant", "cs")
+
   // ------------------------------------------------ bounded top-k aggregate
   // Per-source longest documents via the k-bounded heap-merge
   // TypedImperativeAggregate — map-side combine to ≤k-entry buffers,
@@ -3191,6 +3219,7 @@ object Queries {
     "q_cms_est" -> qCmsEst _,
     "q_cms_agg" -> qCmsAgg _,
     "q_topk_agg" -> qTopKAgg _,
+    "q_charset" -> qCharset _,
     "q_phrase_match" -> qPhraseMatch _,
     "q_curate2" -> qCurate2 _,
     "q_bloom" -> qBloom _,

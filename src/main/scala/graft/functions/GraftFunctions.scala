@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
   * `word_shingles` (generator), `rolling_fingerprint`, `rolling_anchors`,
   * `gram_stats`, `norm_nfc`, `deflate_ratio`, `multi_match`,
   * `hll_sketch` (aggregate), `cms_sketch` (aggregate), `topk_agg`
-  * (aggregate). Each delegates to the owning object's
+  * (aggregate), `charset_of`, `decode_web`. Each delegates to the owning
+  * object's
   * `register`, so the names and literal-argument validation stay defined
   * in exactly one place.
   */
@@ -33,5 +34,7 @@ object GraftFunctions {
     HllSketchAgg.register(spark)
     CmsSketchAgg.register(spark)
     TopKAgg.register(spark)
+    CharsetOf.register(spark)
+    DecodeWeb.register(spark)
   }
 }

@@ -492,6 +492,23 @@ object CorpusSignals {
         org.apache.spark.sql.GraftBridge.expression(value), depth, width)
         .toAggregateExpression())
 
+  /** Detected charset of a raw crawl payload (see
+    * [[graft.core.CharsetDetect]]): BOM → strict whole-payload UTF-8
+    * validation → WHATWG-normalized meta label → windows-1252 fallback.
+    * Scan-side native expression, zero exchange.
+    */
+  def charsetOf(bin: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CharsetOf(org.apache.spark.sql.GraftBridge.expression(bin)))
+
+  /** Charset-detected decode of raw crawl bytes to text — the step
+    * between a WARC payload and every downstream text operator; valid
+    * UTF-8 never turns into mojibake regardless of its meta label.
+    */
+  def decodeWeb(bin: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DecodeWeb(org.apache.spark.sql.GraftBridge.expression(bin)))
+
   /** Bounded top-k per group as a true AGGREGATE column — see
     * [[graft.functions.TopKAgg]]: `groupBy(host).agg(topKAgg(id, score,
     * k))` combines map-side into one ≤k-entry buffer per (group, task)

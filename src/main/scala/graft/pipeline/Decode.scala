@@ -126,7 +126,11 @@ object Decode {
         }
       } else if (html != null) {
         try {
-          val ex = Boilerplate.extract(new String(html, StandardCharsets.UTF_8))
+          // charset-detected decode (BOM → strict UTF-8 validation → meta
+          // label → windows-1252 fallback): identical to the previous
+          // UTF-8-only path on valid UTF-8 payloads (the whole golden
+          // corpus), and no longer mojibake on legacy-charset crawls
+          val ex = Boilerplate.extract(graft.core.CharsetDetect.decode(html))
           val tables: Seq[Seq[Seq[Option[String]]]] = ex.tables
           (Vector(PageData(1L, ex.text, None, None, tables)), "html", ex.spans,
             html.length.toLong, None)
