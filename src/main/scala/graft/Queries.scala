@@ -814,6 +814,121 @@ object Queries {
        SELECT cid, array_to_string(cv, ',') AS cv_str FROM c3 ORDER BY cid"""
   }
 
+  // ------------------------------------------------------------- ANN recall
+  // The evaluation harness for the approximate paths: recall@k of SRP-LSH
+  // (q_ann_topk's contract) and IVF probe-2 (q_ivf_topk's contract) against
+  // the exact brute-force top-k (q_cosine_topk's contract), per query.
+  // "Measure, don't guess": the three candidate-generation strategies are
+  // each verified bit-level on their own rows; THIS row verifies the
+  // quality relationship between them — integral hit counts, so the result
+  // is hash-stable across engines. At 100 TB this is the query you run on
+  // a sample to pick planes/nprobe before committing the full-corpus job.
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.where(col("vec_id") < 10)
+    val exact = VectorSim.cosineTopK(e, q, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("nbr_id"))
+    val lsh = VectorSim.annTopK(e, q, "vec_id", "embedding", k = 5, planes = 8)
+      .select(col("query_id"), col("nbr_id"))
+    val ivf = VectorSim.ivfTopK(e, q, "vec_id", "embedding",
+        k = 5, c = 8, nprobe = 2)
+      .select(col("query_id"), col("nbr_id"))
+    val ex = exact.groupBy("query_id").agg(count(lit(1)).as("exact_k"))
+    val lh = exact.join(lsh, Seq("query_id", "nbr_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("lsh_hits"))
+    val ih = exact.join(ivf, Seq("query_id", "nbr_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("ivf_hits"))
+    ex.join(lh, Seq("query_id"), "left").join(ih, Seq("query_id"), "left")
+      .select(col("query_id"), col("exact_k"),
+        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+      .orderBy("query_id")
+  }
+
+  // Shares qv; the exact / LSH / IVF blocks are the three green oracles
+  // with renamed CTEs (MATERIALIZED where the chain re-inlines — the q_hits
+  // lesson), reduced to their (query_id, nbr_id) sets, then joined.
+  private val oAnnRecall =
+    """WITH qv AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(floor((x::DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+         FROM embeddings),
+       ex_scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           (SELECT sum(q.v[g.i] * c.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+           (sqrt((SELECT sum(q.v[g.i] * q.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+            sqrt((SELECT sum(c.v[g.i] * c.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+         FROM qv q, qv c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       ex_top AS MATERIALIZED (
+         SELECT query_id, nbr_id FROM (
+           SELECT query_id, nbr_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+           FROM ex_scored) WHERE rank <= 5),
+       lsh_dots AS (
+         SELECT vec_id, t.j, sum(v[g.i] * (((t.j*64 + g.i) * 2654435761) % 1000003 % 19 - 9)) AS d
+         FROM qv, generate_series(0, 7) t(j), generate_series(1, 64) g(i)
+         GROUP BY vec_id, t.j),
+       lsh_sigs AS MATERIALIZED (
+         SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+         FROM lsh_dots GROUP BY vec_id),
+       lsh_cand AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           (SELECT sum(a.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+           (sqrt((SELECT sum(a.v[g.i] * a.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+            sqrt((SELECT sum(b.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+         FROM lsh_sigs q JOIN lsh_sigs c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         JOIN qv a ON a.vec_id = q.vec_id JOIN qv b ON b.vec_id = c.vec_id
+         WHERE q.vec_id < 10),
+       lsh_top AS MATERIALIZED (
+         SELECT query_id, nbr_id FROM (
+           SELECT query_id, nbr_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+           FROM lsh_cand) WHERE rank <= 5),
+       seeds AS (SELECT vec_id AS cid, v AS cv FROM qv ORDER BY vec_id LIMIT 8),
+       ivf_a1 AS (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+         FROM (
+           SELECT x.vec_id, s.cid,
+             (SELECT sum(x.v[g.i] * s.cv[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+             (sqrt((SELECT sum(x.v[g.i] * x.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+              sqrt((SELECT sum(s.cv[g.i] * s.cv[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+           FROM qv x, seeds s)),
+       ivf_sums AS (
+         SELECT a.cid, g.i AS pos, sum(x.v[g.i]) AS sm, count(*) AS cnt
+         FROM (SELECT vec_id, cid FROM ivf_a1 WHERE rk = 1) a
+         JOIN qv x ON x.vec_id = a.vec_id, generate_series(1, 64) g(i)
+         GROUP BY a.cid, g.i),
+       ivf_cents AS MATERIALIZED (SELECT cid, list(CAST(floor(sm::DOUBLE / cnt + 0.5) AS BIGINT) ORDER BY pos) AS cv
+         FROM ivf_sums GROUP BY cid),
+       ivf_a2 AS MATERIALIZED (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+         FROM (
+           SELECT x.vec_id, s.cid,
+             (SELECT sum(x.v[g.i] * s.cv[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+             (sqrt((SELECT sum(x.v[g.i] * x.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+              sqrt((SELECT sum(s.cv[g.i] * s.cv[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+           FROM qv x, ivf_cents s)),
+       ivf_lists AS (SELECT vec_id AS nbr_id, cid FROM ivf_a2 WHERE rk = 1),
+       ivf_probes AS (SELECT vec_id AS query_id, cid FROM ivf_a2 WHERE rk <= 2 AND vec_id < 10),
+       ivf_cand AS (
+         SELECT p.query_id, l.nbr_id,
+           (SELECT sum(a.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE /
+           (sqrt((SELECT sum(a.v[g.i] * a.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE) *
+            sqrt((SELECT sum(b.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))::DOUBLE)) AS score
+         FROM ivf_probes p JOIN ivf_lists l ON l.cid = p.cid AND l.nbr_id <> p.query_id
+         JOIN qv a ON a.vec_id = p.query_id JOIN qv b ON b.vec_id = l.nbr_id),
+       ivf_top AS MATERIALIZED (
+         SELECT query_id, nbr_id FROM (
+           SELECT query_id, nbr_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+           FROM ivf_cand) WHERE rank <= 5)
+       SELECT e.query_id,
+         count(*) AS exact_k,
+         CAST(coalesce(sum(CASE WHEN l.nbr_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS lsh_hits,
+         CAST(coalesce(sum(CASE WHEN i.nbr_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS ivf_hits
+       FROM ex_top e
+       LEFT JOIN lsh_top l ON l.query_id = e.query_id AND l.nbr_id = e.nbr_id
+       LEFT JOIN ivf_top i ON i.query_id = e.query_id AND i.nbr_id = e.nbr_id
+       GROUP BY e.query_id ORDER BY e.query_id"""
+
   // -------------------------------------------------------- PQ training/ADC
   // Product quantization (Jégou '11): the third ANN family next to SRP-LSH
   // (oblivious cuts) and IVF (data-adapted cells) — PQ compresses the
@@ -2745,6 +2860,115 @@ object Queries {
        FROM p ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------- crawl frontier
+  // The crawl-scheduling composition: URL canonicalization (tracking-param /
+  // fragment / default-port strip collapses the planted duplicates) → exact
+  // frontier dedup keeping the first-seen doc per canonical URL →
+  // registered-domain politeness grouping → per-domain top-k schedule via
+  // the k-bounded heap-merge aggregate. Every stage is a kernel with its own
+  // green row (q_url_canon, q_dedup_exact's keep-min shape, q_reg_domain,
+  // q_topk_agg); THIS row verifies the composition. Scale shape: synthesis +
+  // canon + host extraction ride the scan; ONE exchange on curl for the
+  // dedup, ONE on domain carrying ≤k-entry buffers for the schedule — no
+  // window over corpus-sized data anywhere.
+  private def qFrontier(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    // every doc ≡ 9 (mod 10) is a tracking-param variant of doc d-9: same
+    // query-string arm (9 ≡ 0 mod 3 keeps d and d-9 aligned), different
+    // fragment arm — identical iff the canonicalizer strips both
+    val eff = when(pmod(d, lit(10)) === 9, d - 9).otherwise(d)
+    val m4 = pmod(eff, lit(4))
+    val host =
+      when(m4 === 0, concat(lit("a"), pmod(eff, lit(5)).cast("string"),
+        lit(".Example.COM")))
+        .when(m4 === 1, concat(lit("s"), pmod(eff, lit(5)).cast("string"),
+          lit(".shop.co.uk")))
+        .when(m4 === 2, lit("example.org"))
+        .otherwise(concat(lit("x.y"), pmod(eff, lit(3)).cast("string"),
+          lit(".com.au")))
+    val url = concat(lit("http://"), host, lit(":80/Doc/"), eff.cast("string"),
+      when(pmod(d, lit(3)) === 0, lit("?utm_source=tw&b=2&a=1&gclid=g1"))
+        .when(pmod(d, lit(3)) === 1, lit("?fbclid=f9&utm_campaign=c"))
+        .otherwise(lit("")),
+      when(pmod(d, lit(5)) === 0, lit("#frag")).otherwise(lit("")))
+    val canon = docs(s, dir)
+      .select(d.as("doc_id"), col("n_chars"),
+        CorpusSignals.canonUrl(url).as("curl"))
+    val dedup = canon.groupBy(col("curl"))
+      .agg(min(struct(col("doc_id"), col("n_chars"))).as("w"))
+      .select(col("curl"), col("w.doc_id").as("doc_id"),
+        col("w.n_chars").as("priority"))
+    dedup
+      .select(col("doc_id"), col("priority"),
+        CorpusSignals.registeredDomain(
+          regexp_extract(col("curl"), "://([^/:]*)", 1)).as("domain"))
+      .groupBy(col("domain"))
+      .agg(CorpusSignals.topKAgg(col("doc_id"), col("priority"), k = 8).as("t"))
+      .select(col("domain"), posexplode(col("t")))
+      .select(col("domain"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("priority"))
+      .orderBy("domain", "rank")
+  }
+
+  private val oFrontier: String = {
+    val track = "^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+    val suf = CorpusSignals.MultiLabelSuffixes.map(s => s"'$s'").mkString(", ")
+    s"""WITH e AS (
+         SELECT doc_id, n_chars,
+           CASE WHEN doc_id % 10 = 9 THEN doc_id - 9 ELSE doc_id END AS eff
+         FROM documents),
+       u AS (
+         SELECT doc_id, n_chars,
+           'http://' ||
+           (CASE WHEN eff % 4 = 0 THEN 'a' || (eff % 5)::VARCHAR || '.Example.COM'
+                 WHEN eff % 4 = 1 THEN 's' || (eff % 5)::VARCHAR || '.shop.co.uk'
+                 WHEN eff % 4 = 2 THEN 'example.org'
+                 ELSE 'x.y' || (eff % 3)::VARCHAR || '.com.au' END) ||
+           ':80/Doc/' || eff::VARCHAR ||
+           (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=tw&b=2&a=1&gclid=g1'
+                 WHEN doc_id % 3 = 1 THEN '?fbclid=f9&utm_campaign=c' ELSE '' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+         FROM e),
+       parts AS (
+         SELECT doc_id, n_chars,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS proto,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+           coalesce(list_aggregate(list_sort(list_filter(
+             str_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '$track'))), 'string_agg', '&'), '') AS cq
+         FROM u),
+       c AS (
+         SELECT doc_id, n_chars,
+           proto || '://' ||
+           (CASE WHEN proto = 'http' THEN regexp_replace(auth0, ':80$$', '')
+                 WHEN proto = 'https' THEN regexp_replace(auth0, ':443$$', '')
+                 ELSE auth0 END) || path ||
+           (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS curl
+         FROM parts),
+       ded AS (
+         SELECT curl, min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS priority
+         FROM c GROUP BY curl),
+       p AS (
+         SELECT doc_id, priority, host, str_split(host, '.') AS ts
+         FROM (SELECT doc_id, priority,
+                 regexp_extract(curl, '://([^/:]*)', 1) AS host FROM ded)),
+       dom AS (
+         SELECT doc_id, priority,
+           CASE WHEN len(ts) <= 2 THEN host
+                WHEN (ts[-2] || '.' || ts[-1]) IN ($suf)
+                  THEN ts[-3] || '.' || ts[-2] || '.' || ts[-1]
+                ELSE ts[-2] || '.' || ts[-1] END AS domain
+         FROM p),
+       r AS (
+         SELECT domain, doc_id, priority,
+           row_number() OVER (PARTITION BY domain
+                              ORDER BY priority DESC, doc_id) AS rank
+         FROM dom)
+       SELECT domain, rank::BIGINT AS rank, doc_id, priority
+       FROM r WHERE rank <= 8 ORDER BY domain, rank"""
+  }
+
   // -------------------------------------------------------------- crawl diff
   // Snapshot delta: prev is missing every 10th doc (→ added in curr), curr
   // is missing doc_id ≡ 3 (mod 10) (→ removed), docs ≡ 0 (mod 7) carry
@@ -3182,6 +3406,7 @@ object Queries {
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_topk" -> qAnnTopK _,
+    "q_ann_recall" -> qAnnRecall _,
     "q_ivf_topk" -> qIvfTopK _,
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_multimodal" -> qMultimodal _,
@@ -3194,6 +3419,7 @@ object Queries {
     "q_gopher_gate" -> qGopherGate _,
     "q_curate" -> qCurate _,
     "q_url_canon" -> qUrlCanon _,
+    "q_frontier" -> qFrontier _,
     "q_bm25" -> qBm25 _,
     "q_postings" -> qPostings _,
     "q_search" -> qSearch _,
@@ -3291,6 +3517,7 @@ object Queries {
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_topk" -> oAnnTopK,
+    "q_ann_recall" -> oAnnRecall,
     "q_ivf_topk" -> oIvfTopK,
     "q_embed_neardup" -> oEmbedNearDup,
     "q_multimodal" -> oMultimodal,
@@ -3303,6 +3530,7 @@ object Queries {
     "q_gopher_gate" -> oGopherGate,
     "q_curate" -> oCurate,
     "q_url_canon" -> oUrlCanon,
+    "q_frontier" -> oFrontier,
     "q_bm25" -> oBm25,
     "q_postings" -> oPostings,
     "q_search" -> oSearch,
