@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{Bpe, CorpusSignals, Curation, Decontam, Incremental, QualityModel, Ranking, Sampling, Temporal, TextDedup, TextStats, VectorSim, WebGraph}
+import graft.ops.{Bpe, CorpusSignals, Curation, Decontam, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Temporal, TextDedup, TextStats, VectorSim, WebGraph}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2599,6 +2599,137 @@ object Queries {
            AS anchors
        FROM documents ORDER BY doc_id"""
 
+  // Head-metadata extraction through the REAL tokenizer, differential like
+  // q_outlinks: the generator plants attr-name case (LANG, META NAME),
+  // both quote styles plus an unquoted value, entities in title/og content,
+  // messy title whitespace, a space-separated rel token list ("alternate
+  // CANONICAL"), robots-directive casing/spacing and the `none` alias,
+  // first-wins duplicates (late description, second canonical, body
+  // <title>). The oracle rebuilds every expected field arithmetically
+  // from doc_id.
+  private def qPageMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val lang = (id % 3) match {
+          case 0 => " lang=\"en\""
+          case 1 => " LANG='fr-CA'"
+          case _ => ""
+        }
+        val desc = (id % 4) match {
+          case 0 => s"""<meta name="description" content="Summary &amp; notes $id">"""
+          case 1 => ""
+          case 2 => s"""<META NAME='Description' CONTENT='Summary of $id'>"""
+          case _ => s"""<meta content="Trailing $id" name=description>"""
+        }
+        val robots = (id % 5) match {
+          case 0 => """<meta name="robots" content="noindex">"""
+          case 1 => """<meta name="robots" content="NoFollow , noarchive">"""
+          case 2 => """<meta name="robots" content="NONE">"""
+          case 3 => ""
+          case _ => """<meta name="robots" content="index, follow">"""
+        }
+        val links =
+          if (id % 2 == 0)
+            s"""<link rel="alternate CANONICAL" href="https://ex.org/c/$id"><link rel="canonical" href="https://ex.org/dup">"""
+          else """<link rel="stylesheet" href="/s.css">"""
+        val og =
+          if (id % 3 == 0)
+            s"""<meta property="og:title" content="OG &quot;$id&quot;">"""
+          else ""
+        val html =
+          s"""<!DOCTYPE html><HTML$lang><head>
+             |<title>
+             |  Doc &amp;
+             |  Page $id
+             |</title>
+             |$desc$robots$links$og
+             |<meta name="description" content="late dup">
+             |</head><body><title>Ignored</title>
+             |<p>${graft.html.Tokenizer.encode(text.take(60))}</p></body></html>""".stripMargin
+        (id, s"https://h${id % 37}.example.com/doc/$id", html)
+      }.toDF("doc_id", "url", "html")
+    PageMeta.extract(pages, "doc_id", "url", "html").orderBy("doc_id")
+  }
+
+  private val oPageMeta =
+    """SELECT doc_id,
+         'https://h' || (doc_id % 37)::VARCHAR || '.example.com/doc/' || doc_id::VARCHAR AS url,
+         'Doc & Page ' || doc_id::VARCHAR AS title,
+         CASE WHEN doc_id % 4 = 0 THEN 'Summary & notes ' || doc_id::VARCHAR
+              WHEN doc_id % 4 = 1 THEN 'late dup'
+              WHEN doc_id % 4 = 2 THEN 'Summary of ' || doc_id::VARCHAR
+              ELSE 'Trailing ' || doc_id::VARCHAR END AS description,
+         CASE WHEN doc_id % 2 = 0 THEN 'https://ex.org/c/' || doc_id::VARCHAR
+              ELSE '' END AS canonical,
+         CASE WHEN doc_id % 3 = 0 THEN 'en'
+              WHEN doc_id % 3 = 1 THEN 'fr-CA' ELSE '' END AS lang,
+         CASE WHEN doc_id % 3 = 0 THEN 'OG "' || doc_id::VARCHAR || '"'
+              ELSE '' END AS og_title,
+         (doc_id % 5 = 0 OR doc_id % 5 = 2) AS noindex,
+         (doc_id % 5 = 1 OR doc_id % 5 = 2) AS nofollow
+       FROM documents ORDER BY doc_id"""
+
+  // Sitemap parsing, differential like q_outlinks: every 10th doc is a
+  // <sitemapindex> (2 child sitemaps, one without lastmod), the rest are
+  // <urlset>s planting surrounding-whitespace locs, an entity-escaped
+  // query string (&amp; → &), a loc-less entry that must be DROPPED, and
+  // sparse optional fields. The oracle rebuilds the expected entry table
+  // arithmetically from doc_id.
+  private def qSitemap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val h = s"https://h${id % 37}.example.com"
+        val xml =
+          if (id % 10 == 0)
+            s"""<?xml version="1.0" encoding="UTF-8"?>
+               |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+               | <sitemap><loc>$h/sitemap-$id-1.xml</loc><lastmod>2025-01-02</lastmod></sitemap>
+               | <sitemap><loc>$h/sitemap-$id-2.xml</loc></sitemap>
+               |</sitemapindex>""".stripMargin
+          else
+            s"""<?xml version="1.0" encoding="UTF-8"?>
+               |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+               | <url><loc>$h/doc/$id</loc><lastmod>2024-0${id % 9 + 1}-01</lastmod><changefreq>daily</changefreq><priority>0.${id % 10}</priority></url>
+               | <url><loc>
+               |   $h/a?x=$id&amp;y=2
+               | </loc></url>
+               | <url><lastmod>2024-01-01</lastmod></url>
+               | <url><loc>https://h${(id + 1) % 37}.example.com/next/${id + 1}</loc><priority>1.0</priority></url>
+               |</urlset>""".stripMargin
+        (id, xml)
+      }.toDF("doc_id", "xml")
+    Sitemap.parse(pages, "doc_id", "xml").orderBy("doc_id", "entry_no")
+  }
+
+  private val oSitemap =
+    """WITH u AS (SELECT doc_id, 'https://h' || (doc_id % 37)::VARCHAR || '.example.com' AS h
+           FROM documents WHERE doc_id % 10 <> 0),
+         sm AS (SELECT doc_id, 'https://h' || (doc_id % 37)::VARCHAR || '.example.com' AS h
+           FROM documents WHERE doc_id % 10 = 0)
+       SELECT * FROM (
+         SELECT doc_id, 0::BIGINT AS entry_no, 'url' AS kind,
+           h || '/doc/' || doc_id::VARCHAR AS loc,
+           '2024-0' || (doc_id % 9 + 1)::VARCHAR || '-01' AS lastmod,
+           'daily' AS changefreq, '0.' || (doc_id % 10)::VARCHAR AS priority
+         FROM u
+         UNION ALL
+         SELECT doc_id, 1::BIGINT, 'url',
+           h || '/a?x=' || doc_id::VARCHAR || '&y=2', '', '', '' FROM u
+         UNION ALL
+         SELECT doc_id, 2::BIGINT, 'url',
+           'https://h' || ((doc_id + 1) % 37)::VARCHAR || '.example.com/next/'
+             || (doc_id + 1)::VARCHAR, '', '', '1.0' FROM u
+         UNION ALL
+         SELECT doc_id, 0::BIGINT, 'sitemap',
+           h || '/sitemap-' || doc_id::VARCHAR || '-1.xml', '2025-01-02', '', ''
+         FROM sm
+         UNION ALL
+         SELECT doc_id, 1::BIGINT, 'sitemap',
+           h || '/sitemap-' || doc_id::VARCHAR || '-2.xml', '', '', '' FROM sm)
+       ORDER BY doc_id, entry_no"""
+
   // Host-level PageRank over the harvested link graph: outlinks → hostEdges
   // (absolute hrefs to their host, relative hrefs to the source host) →
   // 4 iterations of the exact integer recurrence (WebGraph.pagerank). The
@@ -2996,6 +3127,41 @@ object Queries {
               WHEN hp = hc THEN 'unchanged' ELSE 'changed' END AS status
        FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
        ORDER BY doc_id"""
+
+  // ----------------------------------------------------------- crawl upsert
+  // Latest-wins MERGE: every even doc gets a re-fetch whose timestamp is
+  // newer (≡0 mod 6: update wins), equal (≡4 mod 6: ts tie → updates-side
+  // wins by contract), or older (≡2 mod 6: base survives). The oracle
+  // replays the same precedence with an explicit (ts DESC, src DESC)
+  // window rank.
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      (col("doc_id") * 7 % 1000).as("ts"),
+      substring(col("text"), 1, 40).as("payload"))
+    val delta = when(pmod(col("doc_id"), lit(6)) === 0, 100L)
+      .when(pmod(col("doc_id"), lit(6)) === 4, 0L)
+      .otherwise(-100L)
+    val updates = base.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), (col("ts") + delta).as("ts"),
+        concat(lit("v2:"), col("payload")).as("payload"))
+    Incremental.upsertLatest(base, updates, "doc_id", "ts").orderBy("doc_id")
+  }
+
+  private val oUpsert =
+    """WITH base AS (SELECT doc_id, doc_id * 7 % 1000 AS ts,
+           substr(text, 1, 40) AS payload, 0 AS src FROM documents),
+       upd AS (SELECT doc_id,
+           ts + CASE WHEN doc_id % 6 = 0 THEN 100
+                     WHEN doc_id % 6 = 4 THEN 0 ELSE -100 END AS ts,
+           'v2:' || payload AS payload, 1 AS src
+         FROM base WHERE doc_id % 2 = 0),
+       u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+       r AS (SELECT doc_id, ts, payload,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY ts DESC, src DESC) AS rn
+             FROM u)
+       SELECT doc_id, CAST(ts AS BIGINT) AS ts, payload
+       FROM r WHERE rn = 1 ORDER BY doc_id"""
 
   // ------------------------------------------------------------------ robots
   // RFC 9309 longest-match decision over a synthesized per-host rules
@@ -3454,6 +3620,9 @@ object Queries {
     "q_badwords" -> qBadwords _,
     "q_outlinks" -> qOutlinks _,
     "q_anchor_text" -> qAnchorText _,
+    "q_page_meta" -> qPageMeta _,
+    "q_sitemap" -> qSitemap _,
+    "q_upsert" -> qUpsert _,
     "q_pagerank" -> qPagerank _,
     "q_hits" -> qHits _,
     "q_ml_quality" -> qMlQuality _,
@@ -3563,6 +3732,9 @@ object Queries {
     "q_badwords" -> oBadwords,
     "q_outlinks" -> oOutlinks,
     "q_anchor_text" -> oAnchorText,
+    "q_page_meta" -> oPageMeta,
+    "q_sitemap" -> oSitemap,
+    "q_upsert" -> oUpsert,
     "q_pagerank" -> oPagerank,
     "q_hits" -> oHits,
     "q_ml_quality" -> oMlQuality,

@@ -59,6 +59,35 @@ object Incremental {
     definitelyNew.unionByName(residual)
   }
 
+  /** Latest-wins upsert (MERGE semantics for a rolling crawl): merge an
+    * `updates` batch into `base` keeping, per `key`, the row with the
+    * greatest `tsCol`; on ts ties the updates side wins (re-fetching a page
+    * at the same timestamp replaces it), and any remaining tie breaks on
+    * the payload's natural struct order so the result is a total order —
+    * deterministic under any partitioning.
+    *
+    * Shape: ONE exchange on `key`, and crucially max-of-struct is an
+    * ALGEBRAIC aggregate — the partial max runs map-side, so a dup-heavy
+    * recrawl collapses before the shuffle. The window-rank formulation of
+    * the same merge (`row_number over (partition by key order by ts desc)`)
+    * shuffles EVERY row and then sorts; this shuffles one survivor
+    * candidate per (key, input partition). Both frames must share a
+    * schema; columns keep their `base` order.
+    */
+  def upsertLatest(base: DataFrame, updates: DataFrame, key: String,
+                   tsCol: String): DataFrame = {
+    require(base.columns.toSeq == updates.columns.toSeq,
+      s"schema mismatch: ${base.columns.toSeq} vs ${updates.columns.toSeq}")
+    val payload = base.columns.filter(c => c != key && c != tsCol).toSeq
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val winner = max(struct(
+      (col(tsCol) +: col("__src") +: payload.map(c => col(s"`$c`"))): _*))
+    val outCols = base.columns.toSeq.map(c =>
+      if (c == key) col(key) else col(s"__w.`$c`").as(c))
+    tagged.groupBy(col(key)).agg(winner.as("__w")).select(outCols: _*)
+  }
+
   /** Crawl delta between two snapshots: one full-outer join on `key`,
     * status ∈ {added, removed, changed, unchanged} — the report a rolling
     * crawl reads before deciding what to re-extract. Contents compare by

@@ -157,6 +157,41 @@ class TemporalIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
       joined.columns.toSeq == Seq("url", "status"))
   }
 
+  test("upsertLatest: newer wins, ts tie goes to updates, stale update loses") {
+    val s = spark; import s.implicits._
+    val base = Seq((1L, 10L, "b1"), (2L, 10L, "b2"), (3L, 10L, "b3"),
+      (4L, 10L, "b4")).toDF("url", "ts", "text")
+    val upd = Seq((1L, 20L, "u1"), (2L, 10L, "u2"), (3L, 5L, "u3"),
+      (5L, 1L, "u5")).toDF("url", "ts", "text")
+    val got = Incremental.upsertLatest(base, upd, "url", "ts")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == Map(
+      1L -> ((20L, "u1")), // newer update wins
+      2L -> ((10L, "u2")), // ts tie: updates side wins
+      3L -> ((10L, "b3")), // stale update loses
+      4L -> ((10L, "b4")), // untouched base row survives
+      5L -> ((1L, "u5")))) // brand-new key inserts
+    assert(Incremental.upsertLatest(base, upd, "url", "ts").columns.toSeq ==
+      Seq("url", "ts", "text"))
+  }
+
+  test("upsertLatest plans one hash aggregate with a map-side partial — no window, no join") {
+    val s = spark; import s.implicits._
+    val base = Seq((1L, 10L, "a")).toDF("url", "ts", "text")
+    val plan = Incremental.upsertLatest(base, base, "url", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"), plan)
+  }
+
+  test("upsertLatest rejects mismatched schemas") {
+    val s = spark; import s.implicits._
+    val a = Seq((1L, 1L, "x")).toDF("url", "ts", "text")
+    val b = Seq((1L, 1L)).toDF("url", "ts")
+    intercept[IllegalArgumentException](Incremental.upsertLatest(a, b, "url", "ts"))
+  }
+
   test("bloomAntiJoin argument guards") {
     val s = spark; import s.implicits._
     val d = Seq(1L).toDF("key")
