@@ -467,4 +467,53 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q: only the 1-row normalizer broadcasts may nested-loop (saw $bnlj):\n$p")
     }
   }
+
+  test("q_page_meta / q_sitemap: tokenizer harvest rides the scan — no exchange before the final sort") {
+    Seq("q_page_meta", "q_sitemap").foreach { q =>
+      val p = plan(q)
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("rangepartitioning"))
+      assert(exchanges == 0, s"$q: harvest must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
+  // AQE's toString carries Final AND Initial plans — count on the final only
+  private def finalPlanOf(p: String): String = {
+    val initIdx = p.indexOf("== Initial Plan ==")
+    if (initIdx >= 0) p.substring(0, initIdx) else p
+  }
+
+  test("q_upsert: merge is ONE algebraic aggregate — partial max map-side, no window, no join") {
+    val p = plan("q_upsert")
+    assert(!p.contains("Window"), s"latest-wins must not rank-window:\n$p")
+    assert(!p.contains("Join"), s"latest-wins must not join:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial max"),
+      s"dup collapse must happen map-side before the exchange:\n$p")
+    val hashEx = finalPlanOf(p).linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"exactly one key exchange (saw $hashEx):\n$p")
+  }
+
+  test("q_frontier: canon+domain ride the scan; two key exchanges, no window over corpus") {
+    val p = plan("q_frontier")
+    assert(!p.contains("Window"), s"schedule must use the k-bounded aggregate:\n$p")
+    assert(!p.contains("Join"), s"frontier must not join:\n$p")
+    val hashEx = finalPlanOf(p).linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2,
+      s"exactly dedup(curl) + schedule(domain) exchanges (saw $hashEx):\n$p")
+  }
+
+  test("q_ann_recall: recall joins meet on (query_id, nbr_id) equi keys — never all-pairs") {
+    val p = plan("q_ann_recall")
+    assert(!p.contains("CartesianProduct"), s"recall must not cartesian:\n$p")
+    val initIdx = p.indexOf("== Initial Plan ==")
+    val finalPlan = if (initIdx >= 0) p.substring(0, initIdx) else p
+    // the only nested loops allowed are the centroid/query broadcasts the
+    // underlying ANN kernels already pin elsewhere
+    assert(!finalPlan.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && !l.contains("BuildRight")),
+      s"q_ann_recall: unexpected nested loop:\n$p")
+  }
 }
