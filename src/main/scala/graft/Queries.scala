@@ -3200,6 +3200,49 @@ object Queries {
               FROM j)
        SELECT doc_id, a AS allowed FROM rk WHERE rn = 1 ORDER BY doc_id"""
 
+  // ---------------------------------------------------------- robots directives
+  // Sitemap: directives (group-independent, case-insensitive key, document
+  // order) and Crawl-delay (winning-group-only: the * group's 99 must NOT
+  // leak into the graftbot decision; unparseable values ignored) from
+  // synthesized robots.txt bodies. Agent "graftbot" matches the mixed-case
+  // "GraftBot" token at specificity 8.
+  private def qRobotsDirectives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bodies = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val h = s"https://h${id % 37}.example.com"
+        val delayLine =
+          if (id % 3 == 0)
+            (if (id % 5 == 0) "Crawl-delay: fast\n" // unparseable → ignored
+             else s"Crawl-delay: ${id % 7 + 1}\n")
+          else ""
+        val sm2 =
+          if (id % 2 == 0) s"sitemap: $h/s2.xml\n" else ""
+        val body =
+          s"""# robots for host ${id % 37}
+             |Sitemap: $h/sitemap.xml
+             |User-agent: GraftBot
+             |$delayLine Disallow: /tmp/
+             |$sm2 User-agent: *
+             |Crawl-delay: 99
+             |Allow: /
+             |""".stripMargin
+        (id, body)
+      }.toDF("doc_id", "body")
+    graft.ops.Robots.directives(bodies, "doc_id", "body", "graftbot")
+      .orderBy("doc_id")
+  }
+
+  private val oRobotsDirectives =
+    """SELECT doc_id,
+         'https://h' || (doc_id % 37)::VARCHAR || '.example.com/sitemap.xml'
+           || CASE WHEN doc_id % 2 = 0
+                THEN '|https://h' || (doc_id % 37)::VARCHAR || '.example.com/s2.xml'
+                ELSE '' END AS sitemaps,
+         CASE WHEN doc_id % 3 = 0 AND doc_id % 5 <> 0 THEN doc_id % 7 + 1
+              ELSE -1 END AS crawl_delay
+       FROM documents ORDER BY doc_id"""
+
   // --------------------------------------------------------------- mix epochs
   // Upsampling mixture: the same weight vector as q_mix but with whole
   // epochs — source s appears copies_s (+1 for the hash-selected
@@ -3623,6 +3666,7 @@ object Queries {
     "q_page_meta" -> qPageMeta _,
     "q_sitemap" -> qSitemap _,
     "q_upsert" -> qUpsert _,
+    "q_robots_directives" -> qRobotsDirectives _,
     "q_pagerank" -> qPagerank _,
     "q_hits" -> qHits _,
     "q_ml_quality" -> qMlQuality _,
@@ -3735,6 +3779,7 @@ object Queries {
     "q_page_meta" -> oPageMeta,
     "q_sitemap" -> oSitemap,
     "q_upsert" -> oUpsert,
+    "q_robots_directives" -> oRobotsDirectives,
     "q_pagerank" -> oPagerank,
     "q_hits" -> oHits,
     "q_ml_quality" -> oMlQuality,

@@ -27,16 +27,23 @@ object Robots {
     * the overwhelming majority of real rules are; route wildcard rules to
     * [[matches]] for per-record evaluation.
     */
-  def parseRules(content: String, agent: String): Vector[Rule] = {
+  def parseRules(content: String, agent: String): Vector[Rule] =
+    winningGroups(content, agent).flatMap(_.rules)
+
+  private final case class Group(agents: Vector[String], rules: Vector[Rule],
+                                 delay: Option[Long])
+
+  private def winningGroups(content: String, agent: String): Vector[Group] = {
     val lc = agent.toLowerCase
-    final case class Group(agents: Vector[String], rules: Vector[Rule])
     var groups = Vector.empty[Group]
     var curAgents = Vector.empty[String]
     var curRules = Vector.empty[Rule]
+    var curDelay: Option[Long] = None
     var inRules = false
     def flush(): Unit = {
-      if (curAgents.nonEmpty) groups :+= Group(curAgents, curRules)
-      curAgents = Vector.empty; curRules = Vector.empty; inRules = false
+      if (curAgents.nonEmpty) groups :+= Group(curAgents, curRules, curDelay)
+      curAgents = Vector.empty; curRules = Vector.empty; curDelay = None
+      inRules = false
     }
     content.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -51,7 +58,12 @@ object Robots {
           case "allow" | "disallow" =>
             inRules = true
             if (value.nonEmpty) curRules :+= Rule(value, key == "allow")
-          case _ => () // crawl-delay, sitemap, unknown: ignored here
+          case "crawl-delay" =>
+            // de-facto standard, not RFC 9309 — rule-like: it belongs to
+            // the open group, and a later user-agent line starts a new one
+            inRules = true
+            if (curDelay.isEmpty) curDelay = value.toLongOption
+          case _ => () // sitemap, unknown: group-independent, ignored here
         }
       }
     }
@@ -69,8 +81,53 @@ object Robots {
     val scored = groups.map(g => (specificity(g), g)).filter(_._1 >= 0)
     scored.map(_._1).maxOption match {
       case None => Vector.empty
-      case Some(best) => scored.collect { case (s, g) if s == best => g.rules }.flatten
+      case Some(best) => scored.collect { case (s, g) if s == best => g }
     }
+  }
+
+  /** Crawl-delay (seconds) for `agent`: the first delay declared among the
+    * winning groups in document order, None when the winning groups carry
+    * none — the `*` group's delay does NOT leak into a more specific
+    * group's decision (same winner-takes-all as the rules themselves).
+    * Unparseable values are ignored.
+    */
+  def crawlDelay(content: String, agent: String): Option[Long] =
+    winningGroups(content, agent).flatMap(_.delay).headOption
+
+  /** `Sitemap:` directives (sitemaps.org robots.txt submission): case
+    * -insensitive key, group-INDEPENDENT per RFC 9309 §2.2.4 "other
+    * records" — harvested wherever they appear, in document order,
+    * duplicates preserved (the caller's frontier dedups). Values are
+    * absolute URLs by contract; '#' still starts a comment (sitemap URLs
+    * don't carry fragments).
+    */
+  def sitemaps(content: String): Vector[String] =
+    content.linesIterator.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(c + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.toVector
+
+  /** Per-host directive harvest as a DataFrame op: for each robots.txt
+    * body, the sitemap list ('|'-joined, document order) and the
+    * crawl-delay for `agent` (-1 when absent). Scan-side map, one output
+    * row per input row, no exchange — the discovery companion to
+    * [[allowedDecision]]: its sitemap URLs feed [[Sitemap.parse]], its
+    * delay feeds the frontier scheduler.
+    */
+  def directives(df: DataFrame, idCol: String, contentCol: String,
+                 agent: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, body) =>
+        (id, sitemaps(body).mkString("|"), crawlDelay(body, agent).getOrElse(-1L))
+      }
+      .toDF(idCol, "sitemaps", "crawl_delay")
   }
 
   /** Single-rule match with RFC wildcards: '*' spans anything, '$' anchors

@@ -162,4 +162,57 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(
       (1L, false), (2L, true), (3L, false), (4L, false), (5L, true)))
   }
+
+  test("sitemaps: group-independent, case-insensitive key, document order, dups kept") {
+    val txt =
+      """Sitemap: https://a.example.com/s1.xml
+        |User-agent: graftbot
+        |Disallow: /x/
+        |sitemap: https://a.example.com/s2.xml
+        |User-agent: *
+        |SITEMAP: https://a.example.com/s1.xml
+        |Sitemap:
+        |""".stripMargin
+    assert(Robots.sitemaps(txt) == Vector(
+      "https://a.example.com/s1.xml",
+      "https://a.example.com/s2.xml",
+      "https://a.example.com/s1.xml")) // duplicate preserved; empty dropped
+  }
+
+  test("crawlDelay: winning group only — the * delay never leaks; unparseable ignored") {
+    val txt =
+      """User-agent: graftbot
+        |Crawl-delay: 4
+        |Disallow: /x/
+        |User-agent: *
+        |Crawl-delay: 99
+        |Allow: /
+        |""".stripMargin
+    assert(Robots.crawlDelay(txt, "graftbot").contains(4L))
+    assert(Robots.crawlDelay(txt, "otherbot").contains(99L))
+    // winning group has no delay → None, NOT the * group's 99
+    val noDelay = "User-agent: graftbot\nDisallow: /x/\nUser-agent: *\nCrawl-delay: 99\n"
+    assert(Robots.crawlDelay(noDelay, "graftbot").isEmpty)
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: fast\n", "b").isEmpty)
+    // crawl-delay is rule-like: a user-agent line after it starts a NEW group
+    val grouped = "User-agent: a\nCrawl-delay: 7\nUser-agent: b\nDisallow: /y/\n"
+    assert(Robots.parseRules(grouped, "b") == Vector(Robots.Rule("/y/", allow = false)))
+    assert(Robots.parseRules(grouped, "a").isEmpty)
+    assert(Robots.crawlDelay(grouped, "a").contains(7L))
+    assert(Robots.crawlDelay(grouped, "b").isEmpty)
+  }
+
+  test("directives: scan-side harvest with no exchange") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "Sitemap: https://a/s.xml\nUser-agent: graftbot\nCrawl-delay: 3\nDisallow: /x/\n"),
+      (2L, "User-agent: *\nDisallow: /\n")).toDF("id", "body")
+    val got = Robots.directives(df, "id", "body", "graftbot")
+      .orderBy("id").collect()
+    assert(got(0).getString(1) == "https://a/s.xml" && got(0).getLong(2) == 3L)
+    assert(got(1).getString(1) == "" && got(1).getLong(2) == -1L)
+    val p = Robots.directives(df, "id", "body", "graftbot")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
 }
