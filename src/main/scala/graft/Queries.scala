@@ -2991,6 +2991,34 @@ object Queries {
        FROM p ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------------------- IDN hosts
+  // ACE/punycode host canonicalization (RFC 3492/5890): five fixture arms —
+  // mixed-case umlaut, lowercase umlaut, CJK, pure-ASCII pass-through,
+  // already-ACE pass-through. The Spark side runs the hand-rolled bootstring
+  // encoder (spec-pinned against RFC §7.1 vectors AND java.net.IDN); the
+  // oracle states the expected ACE constants, so any encoder drift breaks
+  // the hash.
+  private def qIdnHost(s: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(5))
+    val host = when(m === 0, lit("Bücher.Example.COM"))
+      .when(m === 1, lit("münchen.de"))
+      .when(m === 2, lit("日本語.jp"))
+      .when(m === 3, lit("Plain.Example.ORG"))
+      .otherwise(lit("xn--caf-dma.example"))
+    docs(s, dir).select(col("doc_id"),
+        CorpusSignals.idnHost(host).as("ace"))
+      .orderBy("doc_id")
+  }
+
+  private val oIdnHost =
+    """SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'xn--bcher-kva.example.com'
+              WHEN doc_id % 5 = 1 THEN 'xn--mnchen-3ya.de'
+              WHEN doc_id % 5 = 2 THEN 'xn--wgv71a119e.jp'
+              WHEN doc_id % 5 = 3 THEN 'plain.example.org'
+              ELSE 'xn--caf-dma.example' END AS ace
+       FROM documents ORDER BY doc_id"""
+
   // ---------------------------------------------------------- crawl frontier
   // The crawl-scheduling composition: URL canonicalization (tracking-param /
   // fragment / default-port strip collapses the planted duplicates) → exact
@@ -3667,6 +3695,7 @@ object Queries {
     "q_sitemap" -> qSitemap _,
     "q_upsert" -> qUpsert _,
     "q_robots_directives" -> qRobotsDirectives _,
+    "q_idn_host" -> qIdnHost _,
     "q_pagerank" -> qPagerank _,
     "q_hits" -> qHits _,
     "q_ml_quality" -> qMlQuality _,
@@ -3780,6 +3809,7 @@ object Queries {
     "q_sitemap" -> oSitemap,
     "q_upsert" -> oUpsert,
     "q_robots_directives" -> oRobotsDirectives,
+    "q_idn_host" -> oIdnHost,
     "q_pagerank" -> oPagerank,
     "q_hits" -> oHits,
     "q_ml_quality" -> oMlQuality,

@@ -36,5 +36,6 @@ object GraftFunctions {
     TopKAgg.register(spark)
     CharsetOf.register(spark)
     DecodeWeb.register(spark)
+    IdnHost.register(spark)
   }
 }

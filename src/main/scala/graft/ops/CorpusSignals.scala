@@ -22,6 +22,13 @@ object CorpusSignals {
   def nfc(text: Column): Column =
     GraftBridge.column(graft.functions.NormalizeNFC(GraftBridge.expression(text)))
 
+  /** IDN host canonicalization to ACE/punycode (graft.functions.IdnHost):
+    * apply to hosts BEFORE registeredDomain / host caps / politeness so
+    * IRI-form and DNS-form spellings of the same zone collide.
+    */
+  def idnHost(host: Column): Column =
+    GraftBridge.column(graft.functions.IdnHost(GraftBridge.expression(host)))
+
   /** Canonical text for hashing/dedup: NFC, whitespace runs collapsed to a
     * single space, ends trimmed. Apply BEFORE any hash-keyed operator so
     * byte-level crawl noise (NBSP-vs-space is NOT folded — that is a
