@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{Bpe, CorpusSignals, Curation, Decontam, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Temporal, TextDedup, TextStats, VectorSim, WebGraph}
+import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Temporal, TextDedup, TextStats, VectorSim, WebGraph}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1555,6 +1555,118 @@ object Queries {
          (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS curl
        FROM parts ORDER BY doc_id"""
   }
+
+  // SURT sort keys (ops/Cdx.scala): the Common-Crawl-index canonical form —
+  // host reversed/comma-joined (one registered domain's captures sort
+  // contiguous), www-stripped, default ports stripped, path+query
+  // case-folded, params byte-sorted. Fixture URLs exercise every rule; the
+  // oracle replays the transform with DuckDB list ops.
+  private def qSurt(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val url = concat(
+      when(pmod(d, lit(2)) === 0, lit("HTTPS")).otherwise(lit("http")),
+      lit("://"),
+      when(pmod(d, lit(4)) === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Ex"), pmod(d, lit(13)).cast("string"), lit(".Example.COM"),
+      when(pmod(d, lit(7)) === 0, lit(":8080"))
+        .when(pmod(d, lit(2)) === 0, lit(":443")).otherwise(lit(":80")),
+      lit("/Doc/"), d.cast("string"),
+      when(pmod(d, lit(3)) === 0, lit("?B=2&a=1"))
+        .when(pmod(d, lit(3)) === 1, lit("?z=9&Y=%2F"))
+        .otherwise(lit("")))
+    docs(s, dir)
+      .select(col("doc_id"), url.as("url"), Cdx.surtKey(url).as("surt"))
+      .orderBy("doc_id")
+  }
+
+  private val oSurt =
+    """WITH u AS (
+         SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+           (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+           'Ex' || (doc_id % 13)::VARCHAR || '.Example.COM' ||
+           (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+                 WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ||
+           '/Doc/' || doc_id::VARCHAR ||
+           (CASE WHEN doc_id % 3 = 0 THEN '?B=2&a=1'
+                 WHEN doc_id % 3 = 1 THEN '?z=9&Y=%2F' ELSE '' END) AS url
+         FROM documents),
+       parts AS (
+         SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS proto,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)) AS path,
+           coalesce(list_aggregate(list_sort(list_filter(
+             str_split(lower(regexp_extract(url, '\?([^#]*)', 1)), '&'),
+             x -> x <> '')), 'string_agg', '&'), '') AS cq
+         FROM u),
+       canon AS (
+         SELECT doc_id, url, path, cq,
+           CASE WHEN proto = 'http' THEN regexp_replace(auth0, ':80$', '')
+                WHEN proto = 'https' THEN regexp_replace(auth0, ':443$', '')
+                ELSE auth0 END AS auth
+         FROM parts)
+       SELECT doc_id, url,
+         array_to_string(list_reverse(str_split(
+           regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '^www\.', ''),
+           '.')), ',') ||
+         regexp_extract(auth, '(:[0-9]+)$', 1) || ')' || path ||
+         (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS surt
+       FROM canon ORDER BY doc_id"""
+
+  // CDXJ index round trip (ops/Cdx.scala): a synthesized capture table is
+  // rendered to CDXJ lines (format), three garbage lines are injected, and
+  // parse recovers the typed records — skipping the garbage. The oracle
+  // reconstructs every expected field from doc_id arithmetic, so format and
+  // parse cannot share a compensating bug.
+  private def qCdx(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val url = concat(lit("https://h"), pmod(d, lit(37)).cast("string"),
+      lit(".example.com/Page/"), d.cast("string"),
+      when(pmod(d, lit(3)) === 0, lit("?B=1&a=2")).otherwise(lit("")))
+    val crawl = docs(s, dir).select(
+      url.as("url"),
+      concat(lit("20250218"), lpad(pmod(d, lit(24)).cast("string"), 2, "0"),
+        lpad(pmod(d, lit(60)).cast("string"), 2, "0"), lit("00")).as("ts"),
+      when(pmod(d, lit(5)) === 0, lit("application/pdf"))
+        .otherwise(lit("text/html")).as("mime"),
+      when(pmod(d, lit(11)) === 0, lit(404)).otherwise(lit(200)).as("status"),
+      md5(url).as("digest"),
+      (pmod(d, lit(5000)) + 100).as("length"),
+      pmod(d * 7, lit(100000)).as("offset"),
+      concat(lit("crawl-00"), pmod(d, lit(4)).cast("string"),
+        lit(".warc.gz")).as("filename"))
+    import s.implicits._
+    val garbage = Seq("truncated", "two parts", "key 20250101000000 {oops")
+      .toDF("line")
+    Cdx.parse(Cdx.format(crawl).union(garbage))
+      // length/offset are DuckDB reserved words — rename for the compare
+      .withColumnRenamed("length", "rec_len")
+      .withColumnRenamed("offset", "rec_off")
+      .orderBy("surt", "ts", "url")
+  }
+
+  private val oCdx =
+    """WITH c AS (
+         SELECT doc_id,
+           'https://h' || (doc_id % 37)::VARCHAR || '.example.com/Page/' ||
+             doc_id::VARCHAR ||
+             (CASE WHEN doc_id % 3 = 0 THEN '?B=1&a=2' ELSE '' END) AS url,
+           'com,example,h' || (doc_id % 37)::VARCHAR || ')/page/' ||
+             doc_id::VARCHAR ||
+             (CASE WHEN doc_id % 3 = 0 THEN '?a=2&b=1' ELSE '' END) AS surt,
+           '20250218' || lpad((doc_id % 24)::VARCHAR, 2, '0') ||
+             lpad((doc_id % 60)::VARCHAR, 2, '0') || '00' AS ts
+         FROM documents)
+       SELECT surt, ts, url,
+         (CASE WHEN doc_id % 5 = 0 THEN 'application/pdf'
+               ELSE 'text/html' END) AS mime,
+         (CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END)::BIGINT AS status,
+         md5(url) AS digest,
+         (doc_id % 5000 + 100)::BIGINT AS rec_len,
+         ((doc_id * 7) % 100000)::BIGINT AS rec_off,
+         'crawl-00' || (doc_id % 4)::VARCHAR || '.warc.gz' AS filename
+       FROM c ORDER BY surt, ts, url"""
 
   // ------------------------------------------------------- curation pipeline
   // The six-stage end-to-end curation flow (ops/Curation.scala): NFC canon →
@@ -3656,6 +3768,8 @@ object Queries {
     "q_gopher_gate" -> qGopherGate _,
     "q_curate" -> qCurate _,
     "q_url_canon" -> qUrlCanon _,
+    "q_surt" -> qSurt _,
+    "q_cdx" -> qCdx _,
     "q_frontier" -> qFrontier _,
     "q_bm25" -> qBm25 _,
     "q_postings" -> qPostings _,
@@ -3772,6 +3886,8 @@ object Queries {
     "q_gopher_gate" -> oGopherGate,
     "q_curate" -> oCurate,
     "q_url_canon" -> oUrlCanon,
+    "q_surt" -> oSurt,
+    "q_cdx" -> oCdx,
     "q_frontier" -> oFrontier,
     "q_bm25" -> oBm25,
     "q_postings" -> oPostings,
