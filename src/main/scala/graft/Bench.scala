@@ -42,7 +42,7 @@ object Bench {
     // q_semdedup / q_dedup_clusters are excluded like every iterative-CC
     // query: at bench scale their wall time is per-round fixed job overhead
     // (localCheckpoint materialization), not data throughput
-    "q_url_canon", "q_surt", "q_cdx", "q_bm25", "q_report", "q_anchors", "q_vocab", "q_cdc_dup", "q_quality_cut", "q_curate",
+    "q_url_canon", "q_surt", "q_cdx", "q_url_filter", "q_bm25", "q_report", "q_anchors", "q_vocab", "q_cdc_dup", "q_quality_cut", "q_curate",
     // q_pagerank / q_bpe(_tokens) are excluded for the same reason (k
     // checkpointed rounds of fixed job overhead); q_outlinks is the
     // throughput-bearing half of the graph pipeline and IS timed

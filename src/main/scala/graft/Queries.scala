@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Temporal, TextDedup, TextStats, VectorSim, WebGraph}
+import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Temporal, TextDedup, TextStats, UrlFilter, VectorSim, WebGraph}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1667,6 +1667,75 @@ object Queries {
          ((doc_id * 7) % 100000)::BIGINT AS rec_off,
          'crawl-00' || (doc_id % 4)::VARCHAR || '.warc.gz' AS filename
        FROM c ORDER BY surt, ts, url"""
+
+  // URL-level quality gate (ops/UrlFilter.scala): the pre-fetch curation
+  // rule set — length, host digit share, label count, path depth, param
+  // count, media extension, token-exact blockwords. The fixture plants a
+  // violator for every rule; BOTH engines recompute the rules from the
+  // final URL string, so the gate arithmetic itself is what's compared.
+  private def qUrlFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val host = when(pmod(d, lit(11)) === 0, lit("h12345678901.example.com"))
+      .when(pmod(d, lit(31)) === 0, lit("a.b.c.d.e.f.g.example.com"))
+      .otherwise(concat(lit("h"), pmod(d, lit(37)).cast("string"),
+        lit(".example.com")))
+    val path = when(pmod(d, lit(13)) === 0,
+        concat(lit("/s/s/s/s/s/s/s/s/s/doc"), d.cast("string")))
+      .when(pmod(d, lit(17)) === 0,
+        concat(lit("/img/pic"), d.cast("string"), lit(".JPG")))
+      .when(pmod(d, lit(19)) === 0,
+        concat(lit("/casino/page"), d.cast("string")))
+      .when(pmod(d, lit(29)) === 0, concat(lit("/long/"), lit("x" * 600)))
+      .otherwise(concat(lit("/a/b/doc"), d.cast("string")))
+    val q = when(pmod(d, lit(23)) === 0,
+        lit("?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9"))
+      .when(pmod(d, lit(3)) === 0, lit("?a=1")).otherwise(lit(""))
+    val url = concat(lit("https://"), host, path, q)
+    UrlFilter.gate(docs(s, dir).select(col("doc_id"), url.as("url")), "url")
+      .orderBy("doc_id")
+  }
+
+  private val oUrlFilter =
+    """WITH u AS (
+         SELECT doc_id,
+           'https://' ||
+           (CASE WHEN doc_id % 11 = 0 THEN 'h12345678901.example.com'
+                 WHEN doc_id % 31 = 0 THEN 'a.b.c.d.e.f.g.example.com'
+                 ELSE 'h' || (doc_id % 37)::VARCHAR || '.example.com' END) ||
+           (CASE WHEN doc_id % 13 = 0 THEN '/s/s/s/s/s/s/s/s/s/doc' || doc_id::VARCHAR
+                 WHEN doc_id % 17 = 0 THEN '/img/pic' || doc_id::VARCHAR || '.JPG'
+                 WHEN doc_id % 19 = 0 THEN '/casino/page' || doc_id::VARCHAR
+                 WHEN doc_id % 29 = 0 THEN '/long/' || repeat('x', 600)
+                 ELSE '/a/b/doc' || doc_id::VARCHAR END) ||
+           (CASE WHEN doc_id % 23 = 0 THEN '?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9'
+                 WHEN doc_id % 3 = 0 THEN '?a=1' ELSE '' END) AS url
+         FROM documents),
+       p AS (
+         SELECT doc_id, url,
+           lower(regexp_extract(url, '^[a-z]+://([^/:?#]*)', 1)) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query
+         FROM u),
+       r AS (
+         SELECT doc_id, url,
+           length(url) <= 512 AS u_len_ok,
+           length(regexp_replace(host, '[^0-9]', '', 'g')) * 1000
+             <= length(host) * 400 AS u_host_digit_ok,
+           len(str_split(host, '.')) <= 6 AS u_labels_ok,
+           len(list_filter(str_split(path, '/'), x -> x <> '')) <= 8 AS u_depth_ok,
+           len(list_filter(str_split(query, '&'), x -> x <> '')) <= 8 AS u_params_ok,
+           NOT regexp_matches(lower(path),
+             '\.(jpe?g|png|gif|webp|bmp|ico|svg|css|js|woff2?|ttf|eot|mp3|mp4|avi|mov|wmv|flv|zip|gz|tgz|tar|rar|7z|exe|dmg|iso)$') AS u_ext_ok,
+           NOT list_has_any(
+             list_filter(string_split_regex(lower(url), '[^a-z0-9]+'),
+               x -> x <> ''),
+             ['porn', 'xxx', 'sex', 'casino', 'viagra', 'torrent']) AS u_words_ok
+         FROM p)
+       SELECT doc_id, url, u_len_ok, u_host_digit_ok, u_labels_ok,
+         u_depth_ok, u_params_ok, u_ext_ok, u_words_ok,
+         (u_len_ok AND u_host_digit_ok AND u_labels_ok AND u_depth_ok
+          AND u_params_ok AND u_ext_ok AND u_words_ok) AS u_keep
+       FROM r ORDER BY doc_id"""
 
   // ------------------------------------------------------- curation pipeline
   // The six-stage end-to-end curation flow (ops/Curation.scala): NFC canon →
@@ -3770,6 +3839,7 @@ object Queries {
     "q_url_canon" -> qUrlCanon _,
     "q_surt" -> qSurt _,
     "q_cdx" -> qCdx _,
+    "q_url_filter" -> qUrlFilter _,
     "q_frontier" -> qFrontier _,
     "q_bm25" -> qBm25 _,
     "q_postings" -> qPostings _,
@@ -3888,6 +3958,7 @@ object Queries {
     "q_url_canon" -> oUrlCanon,
     "q_surt" -> oSurt,
     "q_cdx" -> oCdx,
+    "q_url_filter" -> oUrlFilter,
     "q_frontier" -> oFrontier,
     "q_bm25" -> oBm25,
     "q_postings" -> oPostings,
