@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Temporal, TextDedup, TextStats, UrlFilter, VectorSim, WebGraph}
+import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Feed, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Temporal, TextDedup, TextStats, UrlFilter, VectorSim, WebGraph}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1736,6 +1736,64 @@ object Queries {
          (u_len_ok AND u_host_digit_ok AND u_labels_ok AND u_depth_ok
           AND u_params_ok AND u_ext_ok AND u_words_ok) AS u_keep
        FROM r ORDER BY doc_id"""
+
+  // RSS/Atom feed harvest (ops/Feed.scala): both dialects in one pass —
+  // RSS text-container links, Atom href-attribute links with the RFC 4287
+  // rel=alternate default, channel-level title/link ignored, link-less
+  // entries dropped, entity-decoded values. The oracle replays the
+  // generator arithmetic per emitted entry (the oSitemap pattern).
+  private def qFeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val h = s"https://h${id % 37}.example.com"
+        val xml =
+          if (id % 2 == 0)
+            s"""<?xml version="1.0"?>
+               |<rss version="2.0"><channel>
+               | <title>Chan $id</title><link>$h/ignored</link>
+               | <item><title> Item $id </title><link>$h/rss/$id</link><pubDate>Mon, 0${id % 9 + 1} Jan 2025</pubDate><guid>g-$id</guid></item>
+               | <item><title>Amp</title><link>$h/a?x=$id&amp;y=1</link></item>
+               | <item><title>NoLink $id</title></item>
+               |</channel></rss>""".stripMargin
+          else
+            s"""<?xml version="1.0"?>
+               |<feed xmlns="http://www.w3.org/2005/Atom">
+               | <title>Feed $id</title><link href="$h/feed.xml" rel="self"/>
+               | <entry><title>E $id</title><link rel="self" href="$h/self"/><link href="$h/atom/$id"/><id>tag:$id</id><updated>2025-02-0${id % 9 + 1}</updated></entry>
+               | <entry><title>A2</title><link rel="alternate" href="$h/b?x=$id&amp;y=2"/></entry>
+               | <entry><title>None</title><id>tag:none</id></entry>
+               |</feed>""".stripMargin
+        (id, xml)
+      }.toDF("doc_id", "xml")
+    Feed.parse(pages, "doc_id", "xml").orderBy("doc_id", "entry_no")
+  }
+
+  private val oFeed =
+    """WITH e AS (SELECT doc_id, 'https://h' || (doc_id % 37)::VARCHAR || '.example.com' AS h
+           FROM documents WHERE doc_id % 2 = 0),
+         a AS (SELECT doc_id, 'https://h' || (doc_id % 37)::VARCHAR || '.example.com' AS h
+           FROM documents WHERE doc_id % 2 = 1)
+       SELECT * FROM (
+         SELECT doc_id, 0::BIGINT AS entry_no, 'rss' AS kind,
+           'Item ' || doc_id::VARCHAR AS title,
+           h || '/rss/' || doc_id::VARCHAR AS link,
+           'Mon, 0' || (doc_id % 9 + 1)::VARCHAR || ' Jan 2025' AS ts,
+           'g-' || doc_id::VARCHAR AS uid
+         FROM e
+         UNION ALL
+         SELECT doc_id, 1::BIGINT, 'rss', 'Amp',
+           h || '/a?x=' || doc_id::VARCHAR || '&y=1', '', '' FROM e
+         UNION ALL
+         SELECT doc_id, 0::BIGINT, 'atom', 'E ' || doc_id::VARCHAR,
+           h || '/atom/' || doc_id::VARCHAR,
+           '2025-02-0' || (doc_id % 9 + 1)::VARCHAR,
+           'tag:' || doc_id::VARCHAR
+         FROM a
+         UNION ALL
+         SELECT doc_id, 1::BIGINT, 'atom', 'A2',
+           h || '/b?x=' || doc_id::VARCHAR || '&y=2', '', '' FROM a)
+       ORDER BY doc_id, entry_no"""
 
   // ------------------------------------------------------- curation pipeline
   // The six-stage end-to-end curation flow (ops/Curation.scala): NFC canon →
@@ -3840,6 +3898,7 @@ object Queries {
     "q_surt" -> qSurt _,
     "q_cdx" -> qCdx _,
     "q_url_filter" -> qUrlFilter _,
+    "q_feed" -> qFeed _,
     "q_frontier" -> qFrontier _,
     "q_bm25" -> qBm25 _,
     "q_postings" -> qPostings _,
@@ -3959,6 +4018,7 @@ object Queries {
     "q_surt" -> oSurt,
     "q_cdx" -> oCdx,
     "q_url_filter" -> oUrlFilter,
+    "q_feed" -> oFeed,
     "q_frontier" -> oFrontier,
     "q_bm25" -> oBm25,
     "q_postings" -> oPostings,
