@@ -1795,6 +1795,68 @@ object Queries {
            h || '/b?x=' || doc_id::VARCHAR || '&y=2', '', '' FROM a)
        ORDER BY doc_id, entry_no"""
 
+  // Profile-based language ID (ops/TextStats.scala langIdProfile): integer
+  // evidence sums over four function-word profiles + argmax with asc-lang
+  // tie-break and all-zero -> unk. The fixture plants per-language word
+  // runs, a deliberate de/fr tie, and an evidence-free row; the oracle
+  // replays the token fold per profile.
+  private def qLangProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val suffix = when(pmod(d, lit(11)) === 0, lit(""))
+      .when(pmod(d, lit(5)) === 0, lit("der die und le la et"))
+      .when(pmod(d, lit(4)) === 0, lit("the and of"))
+      .when(pmod(d, lit(4)) === 1, lit("der die und"))
+      .when(pmod(d, lit(4)) === 2, lit("le la et"))
+      .otherwise(lit("el que los"))
+    val text = concat(lit("zzz qqq x"), d.cast("string"), lit(" "), suffix)
+    val cols = col("doc_id") +:
+      TextStats.LangProfiles.map { case (l, p) =>
+        TextStats.langScore(col("text"), p).as(s"s_$l")
+      } :+ TextStats.langIdProfile(col("text")).as("lang")
+    docs(s, dir).select(col("doc_id"), text.as("text"))
+      .select(cols: _*).orderBy("doc_id")
+  }
+
+  private val oLangProfile = {
+    def score(cases: Seq[(String, Long)]) =
+      "coalesce(list_sum(list_transform(w, x -> CASE x " +
+        cases.map { case (w, v) => s"WHEN '$w' THEN $v" }.mkString(" ") +
+        " ELSE 0 END)), 0)::BIGINT"
+    val de = score(Seq("der" -> 3L, "die" -> 3L, "und" -> 2L, "das" -> 2L,
+      "ist" -> 1L, "nicht" -> 1L, "ein" -> 1L, "zu" -> 1L))
+    val en = score(Seq("the" -> 3L, "and" -> 2L, "of" -> 2L, "to" -> 2L,
+      "is" -> 1L, "in" -> 1L, "that" -> 1L, "it" -> 1L))
+    val es = score(Seq("el" -> 3L, "la" -> 2L, "de" -> 2L, "que" -> 2L,
+      "los" -> 2L, "es" -> 1L, "una" -> 1L, "para" -> 1L))
+    val fr = score(Seq("le" -> 3L, "la" -> 3L, "et" -> 2L, "les" -> 2L,
+      "des" -> 2L, "est" -> 1L, "une" -> 1L, "dans" -> 1L))
+    s"""WITH t AS (
+         SELECT doc_id,
+           'zzz qqq x' || doc_id::VARCHAR || ' ' ||
+           (CASE WHEN doc_id % 11 = 0 THEN ''
+                 WHEN doc_id % 5 = 0 THEN 'der die und le la et'
+                 WHEN doc_id % 4 = 0 THEN 'the and of'
+                 WHEN doc_id % 4 = 1 THEN 'der die und'
+                 WHEN doc_id % 4 = 2 THEN 'le la et'
+                 ELSE 'el que los' END) AS text
+         FROM documents),
+       tok AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> '') AS w
+         FROM t),
+       sc AS (
+         SELECT doc_id, $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr
+         FROM tok)
+       SELECT doc_id, s_de, s_en, s_es, s_fr,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unk'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang
+       FROM sc ORDER BY doc_id"""
+  }
+
   // ------------------------------------------------------- curation pipeline
   // The six-stage end-to-end curation flow (ops/Curation.scala): NFC canon →
   // PII redaction → Gopher gate → exact dedup → per-source quality cut →
@@ -3899,6 +3961,7 @@ object Queries {
     "q_cdx" -> qCdx _,
     "q_url_filter" -> qUrlFilter _,
     "q_feed" -> qFeed _,
+    "q_lang_profile" -> qLangProfile _,
     "q_frontier" -> qFrontier _,
     "q_bm25" -> qBm25 _,
     "q_postings" -> qPostings _,
@@ -4019,6 +4082,7 @@ object Queries {
     "q_cdx" -> oCdx,
     "q_url_filter" -> oUrlFilter,
     "q_feed" -> oFeed,
+    "q_lang_profile" -> oLangProfile,
     "q_frontier" -> oFrontier,
     "q_bm25" -> oBm25,
     "q_postings" -> oPostings,

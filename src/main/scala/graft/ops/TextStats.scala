@@ -72,6 +72,50 @@ object TextStats {
       least(stopwordRatio(text) * 10.0, lit(1.0)) * 0.4 +
       (lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))) * 0.2
 
+  /** Per-language function-word profiles for [[langIdProfile]] — the
+    * Cavnar–Trenkle profile-classification shape (textcat, 1994) with word
+    * evidence instead of trigrams: tiny profiles, INTEGER weights (the
+    * scores stay exactly reproducible on any engine), and the top of the
+    * Zipf curve is where the language signal is anyway. Extend per
+    * deployment; keys must be lowercase.
+    */
+  val LangProfiles: Seq[(String, Map[String, Long])] = Seq(
+    "de" -> Map("der" -> 3L, "die" -> 3L, "und" -> 2L, "das" -> 2L,
+      "ist" -> 1L, "nicht" -> 1L, "ein" -> 1L, "zu" -> 1L),
+    "en" -> Map("the" -> 3L, "and" -> 2L, "of" -> 2L, "to" -> 2L,
+      "is" -> 1L, "in" -> 1L, "that" -> 1L, "it" -> 1L),
+    "es" -> Map("el" -> 3L, "la" -> 2L, "de" -> 2L, "que" -> 2L,
+      "los" -> 2L, "es" -> 1L, "una" -> 1L, "para" -> 1L),
+    "fr" -> Map("le" -> 3L, "la" -> 3L, "et" -> 2L, "les" -> 2L,
+      "des" -> 2L, "est" -> 1L, "une" -> 1L, "dans" -> 1L))
+
+  /** Integer evidence score of `text` for one profile: sum of profile
+    * weights over whitespace tokens (lowercased). One scan-side fold per
+    * language over a shared token array — k languages cost k array passes,
+    * not k corpus scans, and nothing shuffles.
+    */
+  def langScore(text: Column, profile: Map[String, Long]): Column = {
+    val m = map(profile.toSeq.sortBy(_._1).flatMap {
+      case (w, v) => Seq(lit(w), lit(v))
+    }: _*)
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    aggregate(toks, lit(0L), (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
+  }
+
+  /** Multi-language classification: argmax of [[langScore]] across
+    * [[LangProfiles]], ties broken by language code ascending, all-zero
+    * evidence mapped to 'unk'. Upgrades [[langId]] (binary en/unk) to the
+    * real operator shape — still a pure scan-side Column.
+    */
+  def langIdProfile(text: Column,
+                    profiles: Seq[(String, Map[String, Long])] = LangProfiles): Column = {
+    val scores = profiles.map { case (l, p) => l -> langScore(text, p) }
+    val m = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("unk")) { case ((l, sc), els) =>
+      when(m > 0 && sc === m, lit(l)).otherwise(els)
+    }
+  }
+
   /** Character n-gram hashes of a document (the fingerprint alphabet). */
   def charGramHashes(text: Column, n: Int = 8,
                      hash: Column => Column = TextDedup.portableHash): Column =

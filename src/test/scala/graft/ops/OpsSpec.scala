@@ -221,6 +221,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(1L) == "en" && m(2L) == "unk")
   }
 
+  test("langIdProfile: argmax across profiles, asc tie-break, unk on zero") {
+    val df = docsDf(
+      1L -> "Der Hund und die Katze, und das ist nicht alles",
+      2L -> "the cat and the dog and all of it",
+      3L -> "le chat et la table et les autres",
+      4L -> "el perro que ladra para los vecinos",
+      5L -> "der die und le la et", // de=8 fr=8 tie -> de (asc)
+      6L -> "zork blug quux")
+    val m = df.select(col("doc_id"),
+        TextStats.langIdProfile(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "de", 2L -> "en", 3L -> "fr", 4L -> "es",
+      5L -> "de", 6L -> "unk"))
+  }
+
+  test("langScore: case-folded token-exact counting") {
+    val sc = docsDf(1L -> "The THE the theater")
+      .select(TextStats.langScore(col("text"),
+        TextStats.LangProfiles.toMap.apply("en")).as("s"))
+      .head().getLong(0)
+    // three exact 'the' tokens x3, 'theater' is not a hit
+    assert(sc === 9L)
+  }
+
   test("qualityScore is in [0,1] and ranks clean text above noise") {
     val clean = "the quick brown fox jumps over the lazy dog and it is a good day " * 4
     val noise = "@#$% ^&*! ~~~ ||| 12 )( ** !!"
