@@ -48,14 +48,14 @@ object Bench {
     // throughput-bearing half of the graph pipeline and IS timed
     "q_line_dedup", "q_host_boiler", "q_dsir", "q_hll", "q_substr_dedup",
     "q_sanitize", "q_badwords", "q_seq_windows", "q_decontam_frac", "q_compress_ratio",
-    "q_charset", "q_lang_profile",
+    "q_charset", "q_lang_profile", "q_sniff",
     "q_outlinks", "q_anchor_text", "q_ml_quality", "q_lm_score", "q_mix", "q_mix_epochs", "q_robots",
     "q_asof", "q_range_join", "q_incremental", "q_crawl_diff", "q_reg_domain", "q_zorder",
     "q_cms", "q_cms_est", "q_hll_by_key", "q_hll_agg", "q_cms_agg", "q_topk_agg",
     "q_bloom", "q_bloom_probe",
     "q_phrase_match", "q_postings", "q_search", "q_pq_topk",
     "q_text_embed", "q_text_ann", "q_curate2", "q_priority_sample",
-    "q_page_meta", "q_sitemap", "q_feed", "q_upsert", "q_frontier", "q_ann_recall",
+    "q_page_meta", "q_sitemap", "q_feed", "q_discovery", "q_upsert", "q_frontier", "q_ann_recall",
     "q_robots_directives", "q_idn_host",
     // q_pq_train is excluded like every iterative trainer (q_ivf_train):
     // k checkpointed Lloyd rounds measure fixed job overhead, not dataflow

@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Feed, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Temporal, TextDedup, TextStats, UrlFilter, VectorSim, WebGraph}
+import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Feed, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Sniff, Temporal, TextDedup, TextStats, UrlFilter, VectorSim, WebGraph}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1856,6 +1856,93 @@ object Queries {
               ELSE 'fr' END AS lang
        FROM sc ORDER BY doc_id"""
   }
+
+  // Payload content sniffing (ops/Sniff.scala): WHATWG-subset magic-byte
+  // routing — the decision that sends pdf payloads to the layout parser
+  // and html to the tokenizer. Payloads are synthesized as binary
+  // Spark-side (unhex signatures + encoded tails); the oracle replays the
+  // expected route from the generator arithmetic (rule logic is pinned by
+  // SniffSpec byte cases).
+  private def qSniff(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val tail = encode(concat(lit("x"), d.cast("string")), "UTF-8")
+    val payload = when(pmod(d, lit(8)) === 0,
+        concat(unhex(lit("255044462D312E34")), tail))
+      .when(pmod(d, lit(8)) === 1, concat(unhex(lit("1F8B08000000")), tail))
+      .when(pmod(d, lit(8)) === 2,
+        concat(unhex(lit("89504E470D0A1A0A")), tail))
+      .when(pmod(d, lit(8)) === 3, concat(unhex(lit("FFD8FFE0")), tail))
+      .when(pmod(d, lit(8)) === 4,
+        encode(concat(lit("  \n<!DOCTYPE HTML><html>doc"), d.cast("string")),
+          "UTF-8"))
+      .when(pmod(d, lit(8)) === 5, encode(lit("<HTML><body>x"), "UTF-8"))
+      .when(pmod(d, lit(8)) === 6,
+        encode(concat(lit("plain text "), d.cast("string")), "UTF-8"))
+      .otherwise(concat(unhex(lit("000102")), tail))
+    docs(s, dir)
+      .select(col("doc_id"), Sniff.sniffMime(payload).as("mime"))
+      .orderBy("doc_id")
+  }
+
+  private val oSniff =
+    """SELECT doc_id,
+         CASE doc_id % 8
+           WHEN 0 THEN 'application/pdf'
+           WHEN 1 THEN 'application/gzip'
+           WHEN 2 THEN 'image/png'
+           WHEN 3 THEN 'image/jpeg'
+           WHEN 4 THEN 'text/html'
+           WHEN 5 THEN 'text/html'
+           WHEN 6 THEN 'text/plain'
+           ELSE 'application/octet-stream' END AS mime
+       FROM documents ORDER BY doc_id"""
+
+  // Crawl-discovery composition: sitemap + feed payloads through the REAL
+  // parsers, canonicalized (the feed's utm_source variant collapses onto
+  // the sitemap url), then first-source-wins frontier dedup as ONE
+  // algebraic aggregate (min source rank + seen count, map-side
+  // combinable) — no window, no join, one exchange on the canonical key.
+  private def qDiscovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir).select(col("doc_id")).as[Long]
+    val smXml = base.map { id =>
+      val h = s"https://h${id % 37}.example.com"
+      (id, s"<urlset><url><loc>$h/doc/$id</loc></url>" +
+        s"<url><loc>$h/next/${id + 1}</loc></url></urlset>")
+    }.toDF("doc_id", "xml")
+    val feedXml = base.map { id =>
+      val h = s"https://h${id % 37}.example.com"
+      (id, s"<rss><channel><item><title>t</title>" +
+        s"<link>$h/doc/$id?utm_source=feed</link></item>" +
+        s"<item><link>$h/fresh/$id</link></item></channel></rss>")
+    }.toDF("doc_id", "xml")
+    val sm = Sitemap.parse(smXml, "doc_id", "xml")
+      .select(col("loc").as("url"), lit(0).as("srank"))
+    val fd = Feed.parse(feedXml, "doc_id", "xml")
+      .select(col("link").as("url"), lit(1).as("srank"))
+    sm.unionByName(fd)
+      .select(CorpusSignals.canonUrl(col("url")).as("curl"), col("srank"))
+      .groupBy("curl")
+      .agg(min(col("srank")).as("srk"), count(lit(1)).as("n_seen"))
+      .select(col("curl"),
+        when(col("srk") === 0, "sitemap").otherwise("feed").as("src"),
+        col("n_seen"))
+      .orderBy("curl")
+  }
+
+  private val oDiscovery =
+    """WITH d AS (SELECT doc_id,
+           'https://h' || (doc_id % 37)::VARCHAR || '.example.com' AS h
+         FROM documents)
+       SELECT curl, src, n_seen FROM (
+         SELECT h || '/doc/' || doc_id::VARCHAR AS curl, 'sitemap' AS src,
+           2::BIGINT AS n_seen FROM d
+         UNION ALL
+         SELECT h || '/next/' || (doc_id + 1)::VARCHAR, 'sitemap',
+           1::BIGINT FROM d
+         UNION ALL
+         SELECT h || '/fresh/' || doc_id::VARCHAR, 'feed', 1::BIGINT FROM d)
+       ORDER BY curl"""
 
   // ------------------------------------------------------- curation pipeline
   // The six-stage end-to-end curation flow (ops/Curation.scala): NFC canon →
@@ -3962,6 +4049,8 @@ object Queries {
     "q_url_filter" -> qUrlFilter _,
     "q_feed" -> qFeed _,
     "q_lang_profile" -> qLangProfile _,
+    "q_sniff" -> qSniff _,
+    "q_discovery" -> qDiscovery _,
     "q_frontier" -> qFrontier _,
     "q_bm25" -> qBm25 _,
     "q_postings" -> qPostings _,
@@ -4083,6 +4172,8 @@ object Queries {
     "q_url_filter" -> oUrlFilter,
     "q_feed" -> oFeed,
     "q_lang_profile" -> oLangProfile,
+    "q_sniff" -> oSniff,
+    "q_discovery" -> oDiscovery,
     "q_frontier" -> oFrontier,
     "q_bm25" -> oBm25,
     "q_postings" -> oPostings,

@@ -516,4 +516,33 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       l.contains("BroadcastNestedLoopJoin") && !l.contains("BuildRight")),
       s"q_ann_recall: unexpected nested loop:\n$p")
   }
+
+  test("q_surt / q_url_filter / q_sniff / q_lang_profile / q_cdx / q_feed: scan-side, no join, no pre-sort exchange") {
+    // url canonicalization, the pre-fetch gate, magic-byte routing,
+    // profile language ID, index parse, feed harvest: all per-row Column
+    // arithmetic (or the sanctioned tokenizer flatMap) that must fuse into
+    // the scan — the only exchange allowed is the final orderBy's range
+    // partitioning.
+    Seq("q_surt", "q_url_filter", "q_sniff", "q_lang_profile", "q_cdx",
+      "q_feed").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"$q: per-row op must not join:\n$p")
+      assert(!p.contains("Window"), s"$q must not window:\n$p")
+      val exchanges = finalPlanOf(p).linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("rangepartitioning"))
+      assert(exchanges == 0, s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("q_discovery: first-source-wins dedup is ONE algebraic aggregate — no window, no join") {
+    val p = plan("q_discovery")
+    assert(!p.contains("Window"), s"frontier dedup must not rank-window:\n$p")
+    assert(!p.contains("Join"), s"discovery must not join:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"source preference must collapse map-side before the exchange:\n$p")
+    val hashEx = finalPlanOf(p).linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"exactly one key exchange (saw $hashEx):\n$p")
+  }
 }
