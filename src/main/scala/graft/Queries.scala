@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Feed, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Sniff, Temporal, TextDedup, TextStats, UrlFilter, VectorSim, WebGraph}
+import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Feed, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Sniff, Temporal, TextDedup, TextStats, UrlFilter, UrlTemplate, VectorSim, WebGraph}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1943,6 +1943,97 @@ object Queries {
          UNION ALL
          SELECT h || '/fresh/' || doc_id::VARCHAR, 'feed', 1::BIGINT FROM d)
        ORDER BY curl"""
+
+  // URL template mining (ops/UrlTemplate.scala): digit runs in the path
+  // collapse to '*', counts per (host, template), trap verdict past the
+  // cap — the crawler-trap detector. The fixture plants a 5-host hot
+  // template, a literal path, and a 50-host cold template; the oracle
+  // recomputes host/template from the full URL strings.
+  private def qUrlTemplate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val u1 = concat(lit("https://t"), pmod(d, lit(5)).cast("string"),
+      lit(".example.com/product/"), d.cast("string"), lit("/view"))
+    val u2 = concat(lit("https://t"), pmod(d, lit(5)).cast("string"),
+      lit(".example.com/contact"))
+    val u3 = concat(lit("https://u"), pmod(d, lit(50)).cast("string"),
+      lit(".example.com/page/"), d.cast("string"))
+    UrlTemplate.mine(
+        docs(s, dir).select(explode(array(u1, u2, u3)).as("url")),
+        "url", cap = 50L)
+      .orderBy("host", "tpl")
+  }
+
+  private val oUrlTemplate =
+    """WITH urls AS (
+         SELECT 'https://t' || (doc_id % 5)::VARCHAR ||
+           '.example.com/product/' || doc_id::VARCHAR || '/view' AS url
+         FROM documents
+         UNION ALL
+         SELECT 'https://t' || (doc_id % 5)::VARCHAR || '.example.com/contact'
+         FROM documents
+         UNION ALL
+         SELECT 'https://u' || (doc_id % 50)::VARCHAR ||
+           '.example.com/page/' || doc_id::VARCHAR
+         FROM documents),
+       p AS (
+         SELECT lower(regexp_extract(url, '^[a-z]+://([^/:?#]*)', 1)) AS host,
+           regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1),
+             '[0-9]+', '*', 'g') AS tpl
+         FROM urls)
+       SELECT host, tpl, count(*)::BIGINT AS n, count(*) > 50 AS trap
+       FROM p GROUP BY host, tpl ORDER BY host, tpl"""
+
+  // Unicode script mix (ops/TextStats.scala scriptCounts/dominantScript):
+  // per-script character counts + argmax with asc-name tie-break and
+  // zero-evidence -> none. \x{...} class syntax is shared by Java regex
+  // and RE2, so both engines run the IDENTICAL character classes.
+  private def qScriptMix(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val text = when(pmod(d, lit(13)) === 0, lit("αβγδ εζ"))
+      .when(pmod(d, lit(11)) === 0, lit("12345 !!!"))
+      .when(pmod(d, lit(7)) === 0, lit("abcd абвг"))
+      .when(pmod(d, lit(4)) === 0,
+        concat(lit("hello world "), d.cast("string")))
+      .when(pmod(d, lit(4)) === 1,
+        concat(lit("привет мир "), d.cast("string")))
+      .when(pmod(d, lit(4)) === 2, concat(lit("你好世界 "), d.cast("string")))
+      .otherwise(concat(lit("مرحبا "), d.cast("string")))
+    val cols = col("doc_id") +:
+      TextStats.scriptCounts(col("text")).map { case (n, c) =>
+        c.as(s"n_$n")
+      } :+ TextStats.dominantScript(col("text")).as("script")
+    docs(s, dir).select(col("doc_id"), text.as("text"))
+      .select(cols: _*).orderBy("doc_id")
+  }
+
+  private val oScriptMix =
+    """WITH t AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN 'αβγδ εζ'
+                WHEN doc_id % 11 = 0 THEN '12345 !!!'
+                WHEN doc_id % 7 = 0 THEN 'abcd абвг'
+                WHEN doc_id % 4 = 0 THEN 'hello world ' || doc_id::VARCHAR
+                WHEN doc_id % 4 = 1 THEN 'привет мир ' || doc_id::VARCHAR
+                WHEN doc_id % 4 = 2 THEN '你好世界 ' || doc_id::VARCHAR
+                ELSE 'مرحبا ' || doc_id::VARCHAR END AS text
+         FROM documents),
+       c AS (
+         SELECT doc_id,
+           length(regexp_replace(text, '[^\x{0600}-\x{06FF}]', '', 'g'))::BIGINT AS n_arabic,
+           length(regexp_replace(text, '[^\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g'))::BIGINT AS n_cjk,
+           length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g'))::BIGINT AS n_cyrillic,
+           length(regexp_replace(text, '[^\x{0370}-\x{03FF}]', '', 'g'))::BIGINT AS n_greek,
+           length(regexp_replace(text, '[^A-Za-z\x{00C0}-\x{024F}]', '', 'g'))::BIGINT AS n_latin
+         FROM t)
+       SELECT doc_id, n_arabic, n_cjk, n_cyrillic, n_greek, n_latin,
+         CASE WHEN greatest(n_arabic, n_cjk, n_cyrillic, n_greek, n_latin) = 0
+                THEN 'none'
+              WHEN n_arabic = greatest(n_arabic, n_cjk, n_cyrillic, n_greek, n_latin) THEN 'arabic'
+              WHEN n_cjk = greatest(n_arabic, n_cjk, n_cyrillic, n_greek, n_latin) THEN 'cjk'
+              WHEN n_cyrillic = greatest(n_arabic, n_cjk, n_cyrillic, n_greek, n_latin) THEN 'cyrillic'
+              WHEN n_greek = greatest(n_arabic, n_cjk, n_cyrillic, n_greek, n_latin) THEN 'greek'
+              ELSE 'latin' END AS script
+       FROM c ORDER BY doc_id"""
 
   // ------------------------------------------------------- curation pipeline
   // The six-stage end-to-end curation flow (ops/Curation.scala): NFC canon →
@@ -4051,6 +4142,8 @@ object Queries {
     "q_lang_profile" -> qLangProfile _,
     "q_sniff" -> qSniff _,
     "q_discovery" -> qDiscovery _,
+    "q_url_template" -> qUrlTemplate _,
+    "q_script_mix" -> qScriptMix _,
     "q_frontier" -> qFrontier _,
     "q_bm25" -> qBm25 _,
     "q_postings" -> qPostings _,
@@ -4174,6 +4267,8 @@ object Queries {
     "q_lang_profile" -> oLangProfile,
     "q_sniff" -> oSniff,
     "q_discovery" -> oDiscovery,
+    "q_url_template" -> oUrlTemplate,
+    "q_script_mix" -> oScriptMix,
     "q_frontier" -> oFrontier,
     "q_bm25" -> oBm25,
     "q_postings" -> oPostings,

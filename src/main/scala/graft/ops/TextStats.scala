@@ -72,6 +72,39 @@ object TextStats {
       least(stopwordRatio(text) * 10.0, lit(1.0)) * 0.4 +
       (lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))) * 0.2
 
+  /** Unicode script ranges for [[scriptCounts]], ascending by name — the
+    * tie-break order. `\x{...}` syntax is shared by Java regex and RE2, so
+    * the oracle recompute uses the identical class text.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "cjk" -> "\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "latin" -> "A-Za-z\\x{00C0}-\\x{024F}")
+
+  /** Per-script character counts — the script-mix signal: a page whose
+    * html says lang=en but whose characters are 90% Cyrillic is
+    * mislabeled, and CJK-heavy text needs different tokenization/quality
+    * thresholds. One codegen'd regexp_replace + length per script,
+    * scan-side, all-integer.
+    */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    ScriptRanges.map { case (name, cls) =>
+      name -> length(regexp_replace(text, s"[^$cls]", ""))
+    }
+
+  /** Dominant script: argmax of [[scriptCounts]], ties to the
+    * ascending-name script, no script evidence → 'none'.
+    */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptCounts(text)
+    val m = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("none")) { case ((name, c), els) =>
+      when(m > 0 && c === m, lit(name)).otherwise(els)
+    }
+  }
+
   /** Per-language function-word profiles for [[langIdProfile]] — the
     * Cavnar–Trenkle profile-classification shape (textcat, 1994) with word
     * evidence instead of trigrams: tiny profiles, INTEGER weights (the

@@ -245,6 +245,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sc === 9L)
   }
 
+  test("scriptCounts/dominantScript: per-script tallies, tie asc, none on zero") {
+    val df = docsDf(
+      1L -> "hello мир",           // latin 5, cyr 3 -> latin
+      2L -> "你好 world 世界",      // cjk 4, latin 5 -> latin
+      3L -> "αβγ мир!",            // greek 3, cyr 3 tie -> cyrillic (asc)
+      4L -> "12345 !!!",           // no script -> none
+      5L -> "مرحبا")               // arabic 5
+    val m = df.select(col("doc_id"),
+        TextStats.dominantScript(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "latin", 2L -> "latin", 3L -> "cyrillic",
+      4L -> "none", 5L -> "arabic"))
+    val counts = docsDf(1L -> "Ééàñ abc Жж 你")
+      .select(TextStats.scriptCounts(col("text")).map {
+        case (n, c) => c.as(n)
+      }: _*).head()
+    // accented latin (00C0-024F) counts as latin
+    assert(counts.getAs[Int]("latin") === 7)
+    assert(counts.getAs[Int]("cyrillic") === 2)
+    assert(counts.getAs[Int]("cjk") === 1)
+    assert(counts.getAs[Int]("arabic") === 0)
+  }
+
   test("qualityScore is in [0,1] and ranks clean text above noise") {
     val clean = "the quick brown fox jumps over the lazy dog and it is a good day " * 4
     val noise = "@#$% ^&*! ~~~ ||| 12 )( ** !!"

@@ -524,7 +524,7 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the scan — the only exchange allowed is the final orderBy's range
     // partitioning.
     Seq("q_surt", "q_url_filter", "q_sniff", "q_lang_profile", "q_cdx",
-      "q_feed").foreach { q =>
+      "q_feed", "q_script_mix").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join") && !p.contains("CartesianProduct"),
         s"$q: per-row op must not join:\n$p")
@@ -533,6 +533,15 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         l.contains("Exchange") && !l.contains("rangepartitioning"))
       assert(exchanges == 0, s"$q must not shuffle:\n$p")
     }
+  }
+
+  test("q_url_template: ONE count aggregate on (host, template) — map-side combine, no window, no join") {
+    val p = plan("q_url_template")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"template mining must stay an aggregate:\n$p")
+    val hashEx = finalPlanOf(p).linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"exactly one key exchange (saw $hashEx):\n$p")
   }
 
   test("q_discovery: first-source-wins dedup is ONE algebraic aggregate — no window, no join") {
