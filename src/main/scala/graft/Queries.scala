@@ -2035,6 +2035,124 @@ object Queries {
               ELSE 'latin' END AS script
        FROM c ORDER BY doc_id"""
 
+  // Dedup-candidate evaluation harness: minhash-LSH candidates (band
+  // collisions, no estimate cutoff) scored against the EXACT n-gram
+  // Jaccard >= 0.3 truth — precision/recall as integral permille counts.
+  // The dedup-side analog of q_ann_recall: run it on a sample to pick
+  // (k, rowsPerBand) BEFORE committing a full-corpus dedup job. Both
+  // kernels are the independently-green operators; the oracle replays the
+  // whole composition in one CTE chain.
+  private def qDedupEval(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).where(size(split(col("text"), " ")) >= 3)
+    val cand = TextDedup.minhashPairs(
+        TextDedup.minhashSignatures(base, "doc_id", "text", k = 8,
+          shingleN = 3, hash = ph),
+        rowsPerBand = 2, minEstJaccard = 0.0)
+      .select(col("id_a"), col("id_b"), lit(1).as("c"))
+    val truth = TextDedup.ngramJaccardPairs(base, "doc_id", "text", n = 3,
+        minJaccard = 0.3, hash = ph)
+      .select(col("id_a"), col("id_b"), lit(1).as("t"))
+    cand.join(truth, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(when(col("c").isNotNull && col("t").isNotNull, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("c").isNotNull && col("t").isNull, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN NULL ELSE (tp * 1000) div (tp + fp) END")
+          .as("prec_permille"),
+        expr("CASE WHEN tp + fn = 0 THEN NULL ELSE (tp * 1000) div (tp + fn) END")
+          .as("rec_permille"))
+  }
+
+  private val oDedupEval =
+    s"""WITH sigs AS (
+         SELECT id, list_transform(generate_series(0, 7),
+           j -> list_aggregate(list_transform(hs, h -> (h * (j*101 + 37) + (j*61 + 11)) % $P), 'min')) AS sig
+         FROM (SELECT doc_id AS id,
+           list_transform(
+             list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+             x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $P) AS hs
+           FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3)),
+       banded AS (
+         SELECT id, sig, b.band, sig[2*b.band + 1] * $P + sig[2*b.band + 2] AS band_key
+         FROM sigs, generate_series(0, 3) b(band)),
+       cand AS (
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+       sh AS (
+         SELECT doc_id AS id, unnest(list_transform(list_distinct(
+           list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS s
+         FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3),
+       sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       common AS (
+         SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+         FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+       truth AS (
+         SELECT id_a, id_b
+         FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.3),
+       j AS (
+         SELECT (c.id_a IS NOT NULL AND t.id_a IS NOT NULL)::INT AS is_tp,
+                (c.id_a IS NOT NULL AND t.id_a IS NULL)::INT AS is_fp,
+                (c.id_a IS NULL)::INT AS is_fn
+         FROM cand c FULL JOIN truth t
+           ON c.id_a = t.id_a AND c.id_b = t.id_b),
+       agg AS (SELECT coalesce(sum(is_tp), 0)::BIGINT AS tp,
+                      coalesce(sum(is_fp), 0)::BIGINT AS fp,
+                      coalesce(sum(is_fn), 0)::BIGINT AS fn FROM j)
+       SELECT tp, fp, fn,
+         (CASE WHEN tp + fp = 0 THEN NULL ELSE (tp * 1000) // (tp + fp) END)::BIGINT AS prec_permille,
+         (CASE WHEN tp + fn = 0 THEN NULL ELSE (tp * 1000) // (tp + fn) END)::BIGINT AS rec_permille
+       FROM agg"""
+
+  // CDX-driven recrawl planning: the previous crawl's capture index
+  // (format -> parse round trip, joined on the SURT key — the lookup the
+  // key exists for) decides per frontier URL: absent -> new, captured
+  // before the cutoff -> stale, else fresh; fetch = not fresh. ONE
+  // shuffled equi-join on the surt key; 14-digit timestamps compare as
+  // fixed-width strings, no timezone anywhere.
+  private def qRecrawl(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val pageUrl = concat(lit("https://h"), pmod(d, lit(37)).cast("string"),
+      lit(".example.com/page/"), d.cast("string"))
+    val prev = Cdx.parse(Cdx.format(docs(s, dir).select(
+      pageUrl.as("url"),
+      concat(lit("202501"), lpad((pmod(d, lit(28)) + 1).cast("string"), 2, "0"),
+        lit("000000")).as("ts"),
+      lit("text/html").as("mime"), lit(200).as("status"),
+      md5(pageUrl).as("digest"), lit(1L).as("length"), lit(0L).as("offset"),
+      lit("c.warc.gz").as("filename"))))
+      .select(col("surt"), col("ts"))
+    val frontier = docs(s, dir).select(explode(when(pmod(d, lit(3)) === 0,
+        array(pageUrl, concat(lit("https://h"), pmod(d, lit(37)).cast("string"),
+          lit(".example.com/new/"), d.cast("string"))))
+      .otherwise(array(pageUrl))).as("url"))
+      .select(col("url"), Cdx.surtKey(col("url")).as("surt"))
+    frontier.join(prev, Seq("surt"), "left")
+      .select(col("url"),
+        when(col("ts").isNull, "new")
+          .when(col("ts") < "20250115000000", "stale")
+          .otherwise("fresh").as("reason"))
+      .withColumn("fetch", col("reason") =!= "fresh")
+      .orderBy("url")
+  }
+
+  private val oRecrawl =
+    """WITH d AS (SELECT doc_id,
+           'https://h' || (doc_id % 37)::VARCHAR || '.example.com' AS h
+         FROM documents)
+       SELECT url, reason, reason <> 'fresh' AS fetch FROM (
+         SELECT h || '/page/' || doc_id::VARCHAR AS url,
+           CASE WHEN doc_id % 28 + 1 < 15 THEN 'stale' ELSE 'fresh' END AS reason
+         FROM d
+         UNION ALL
+         SELECT h || '/new/' || doc_id::VARCHAR, 'new'
+         FROM d WHERE doc_id % 3 = 0)
+       ORDER BY url"""
+
   // ------------------------------------------------------- curation pipeline
   // The six-stage end-to-end curation flow (ops/Curation.scala): NFC canon →
   // PII redaction → Gopher gate → exact dedup → per-source quality cut →
@@ -4144,6 +4262,8 @@ object Queries {
     "q_discovery" -> qDiscovery _,
     "q_url_template" -> qUrlTemplate _,
     "q_script_mix" -> qScriptMix _,
+    "q_dedup_eval" -> qDedupEval _,
+    "q_recrawl" -> qRecrawl _,
     "q_frontier" -> qFrontier _,
     "q_bm25" -> qBm25 _,
     "q_postings" -> qPostings _,
@@ -4269,6 +4389,8 @@ object Queries {
     "q_discovery" -> oDiscovery,
     "q_url_template" -> oUrlTemplate,
     "q_script_mix" -> oScriptMix,
+    "q_dedup_eval" -> oDedupEval,
+    "q_recrawl" -> oRecrawl,
     "q_frontier" -> oFrontier,
     "q_bm25" -> oBm25,
     "q_postings" -> oPostings,

@@ -544,6 +544,20 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashEx == 1, s"exactly one key exchange (saw $hashEx):\n$p")
   }
 
+  test("q_recrawl: index join meets on the SURT equi key — no nested loop, no window") {
+    val p = plan("q_recrawl")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"recrawl must equi-join:\n$p")
+    assert(!p.contains("Window"), s"recrawl must not window:\n$p")
+  }
+
+  test("q_dedup_eval: candidate/truth meet on (id_a,id_b) equi keys — never all-pairs") {
+    val p = plan("q_dedup_eval")
+    assert(!p.contains("CartesianProduct"), s"eval must not cartesian:\n$p")
+    assert(!finalPlanOf(p).contains("BroadcastNestedLoopJoin"),
+      s"eval must not nested-loop:\n$p")
+  }
+
   test("q_discovery: first-source-wins dedup is ONE algebraic aggregate — no window, no join") {
     val p = plan("q_discovery")
     assert(!p.contains("Window"), s"frontier dedup must not rank-window:\n$p")
