@@ -93,6 +93,42 @@ class CdxSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getString(2) === "http://ok/p")
   }
 
+  test("seeded fuzz: format -> parse is the identity on 200 random captures") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42) // deterministic
+    def label = ("a" + rnd.alphanumeric.take(1 + rnd.nextInt(7)).mkString)
+      .toLowerCase
+    def path = (0 to rnd.nextInt(4))
+      .map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+      .mkString("/", "/", if (rnd.nextBoolean()) "" else "/")
+    def query = if (rnd.nextBoolean()) "" else
+      "?" + (1 to 1 + rnd.nextInt(3))
+        .map(_ => s"${rnd.alphanumeric.take(2).mkString}=${rnd.nextInt(99)}")
+        .mkString("&")
+    val rows = (1 to 200).map { i =>
+      val scheme = if (rnd.nextBoolean()) "https" else "http"
+      val www = if (rnd.nextInt(4) == 0) "WWW." else ""
+      val port = rnd.nextInt(4) match {
+        case 0 => ":8080" case 1 => if (scheme == "http") ":80" else ":443"
+        case _ => ""
+      }
+      val url = s"$scheme://$www$label.$label.example.org$port$path$query"
+      (url, f"2025${1 + rnd.nextInt(12)}%02d${1 + rnd.nextInt(28)}%02d120000",
+        if (rnd.nextBoolean()) "text/html" else "application/pdf",
+        200L + rnd.nextInt(300), s"sha1:${rnd.alphanumeric.take(12).mkString}",
+        rnd.nextInt(100000).toLong, rnd.nextInt(1000000).toLong,
+        s"crawl-${rnd.nextInt(10)}.warc.gz")
+    }
+    val df = rows.toDF("url", "ts", "mime", "status", "digest", "length",
+      "offset", "filename")
+    val back = Cdx.parse(Cdx.format(df))
+      .select("url", "ts", "mime", "status", "digest", "length", "offset",
+        "filename")
+      .as[(String, String, String, Long, String, Long, Long, String)]
+      .collect().sorted
+    assert(back.toSeq === rows.sorted)
+  }
+
   test("parse: non-numeric status/length surface as null, row kept") {
     val s = spark; import s.implicits._
     val line = """k)/ 20250101000000 {"url":"u","mime":"m","status":"-","digest":"d","length":"","offset":"3","filename":"f"}"""

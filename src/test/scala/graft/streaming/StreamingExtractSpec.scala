@@ -236,4 +236,46 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want, "streamed state diverges from the batch aggregates")
     } finally q.stop()
   }
+
+  test("crawl-surface ops are streaming-safe: feed parse + url gate + surt equal batch") {
+    // the discovery surface is WHERE streaming matters most — feeds
+    // announce new urls continuously; the parse (tokenizer flatMap), the
+    // pre-fetch gate, and the SURT key are all stateless, so the same code
+    // must serve the batch index build and a live frontier feed
+    val s = spark
+    import s.implicits._
+    import graft.ops.{Cdx, Feed, UrlFilter}
+    val rows = (0L until 30L).map { i =>
+      val link =
+        if (i % 5 == 0) s"http://h$i.example.com/casino/p$i" // gate kill
+        else s"http://WWW.h$i.Example.com/A/$i?b=$i&amp;a=1"
+      (i, s"<rss><channel><item><title>t$i</title><link>$link</link>" +
+        s"</item><item><title>nolink</title></item></channel></rss>")
+    }.toVector
+    def harvest(df: org.apache.spark.sql.DataFrame) =
+      UrlFilter.gate(
+        Feed.parse(df.toDF("doc_id", "xml")).select(col("doc_id"),
+          col("link"), Cdx.surtKey(col("link")).as("surt")),
+        "link")
+        .select(col("doc_id"), col("link"), col("surt"), col("u_keep"))
+    val want = harvest(rows.toDF("doc_id", "xml")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getBoolean(3)))).toMap
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val q = harvest(mem.toDF()).writeStream.format("memory")
+      .queryName("crawl_surface_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("crawl_surface_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+          r.getBoolean(3)))).toMap
+      assert(got == want, "streamed crawl surface diverges from batch")
+      assert(want.size == rows.size) // link-less entries dropped both ways
+      assert(want.values.exists(!_._3) && want.values.exists(_._3))
+      // surt canonicalized: www stripped, case folded, params sorted
+      assert(want(1L)._2 == "com,example,h1)/a/1?a=1&b=1")
+    } finally q.stop()
+  }
 }
