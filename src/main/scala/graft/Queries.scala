@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Feed, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Sniff, Temporal, TextDedup, TextStats, UrlFilter, UrlTemplate, VectorSim, WebGraph}
+import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Feed, Http, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Sniff, Temporal, TextDedup, TextStats, UrlFilter, UrlTemplate, VectorSim, WebGraph}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2153,6 +2153,72 @@ object Queries {
          FROM d WHERE doc_id % 3 = 0)
        ORDER BY url"""
 
+  // HTTP response-envelope parsing (ops/Http.scala): status code,
+  // Content-Type media type, charset parameter, redirect Location — from
+  // the head block of CC-style response payloads. Both engines recompute
+  // from the constructed envelope with the SAME (?im) regexes (a flag
+  // pair Java regex and RE2 share); non-HTTP payloads yield null/''.
+  private def qHttp(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val env = when(pmod(d, lit(7)) === 0,
+        concat(lit("HTTP/1.1 301 Moved\r\nLocation: https://h"),
+          pmod(d, lit(37)).cast("string"), lit(".example.com/moved/"),
+          d.cast("string"), lit("\r\nServer: s\r\n\r\ngone")))
+      .when(pmod(d, lit(5)) === 0,
+        concat(lit("HTTP/1.0 200 OK\r\ncontent-type: TEXT/HTML; CHARSET=WINDOWS-1252\r\n\r\n<html>"),
+          d.cast("string")))
+      .when(pmod(d, lit(3)) === 0,
+        concat(lit("<html>plain "), d.cast("string"), lit("</html>")))
+      .otherwise(
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\nX: y\r\n\r\n<html>doc "),
+          d.cast("string")))
+    val payload = encode(env, "UTF-8")
+    docs(s, dir).select(col("doc_id"),
+        Http.httpStatus(payload).as("status"),
+        Http.contentType(payload).as("ctype"),
+        Http.headerCharset(payload).as("charset"),
+        Http.httpHeader(payload, "Location").as("location"))
+      .orderBy("doc_id")
+  }
+
+  private val oHttp =
+    """WITH t AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN
+                  'HTTP/1.1 301 Moved' || e'\r\n' || 'Location: https://h' ||
+                  (doc_id % 37)::VARCHAR || '.example.com/moved/' ||
+                  doc_id::VARCHAR || e'\r\n' || 'Server: s' || e'\r\n\r\n' || 'gone'
+                WHEN doc_id % 5 = 0 THEN
+                  'HTTP/1.0 200 OK' || e'\r\n' ||
+                  'content-type: TEXT/HTML; CHARSET=WINDOWS-1252' ||
+                  e'\r\n\r\n' || '<html>' || doc_id::VARCHAR
+                WHEN doc_id % 3 = 0 THEN
+                  '<html>plain ' || doc_id::VARCHAR || '</html>'
+                ELSE
+                  'HTTP/1.1 200 OK' || e'\r\n' ||
+                  'Content-Type: text/html; charset=utf-8' || e'\r\n' ||
+                  'X: y' || e'\r\n\r\n' || '<html>doc ' || doc_id::VARCHAR
+           END AS env
+         FROM documents),
+       h AS (SELECT doc_id, str_split(env, e'\r\n\r\n')[1] AS head FROM t),
+       v AS (
+         SELECT doc_id, head, starts_with(head, 'HTTP/1.') AS is_http,
+           CASE WHEN starts_with(head, 'HTTP/1.')
+             THEN trim(regexp_extract(head, '(?im)^content-type:[ \t]*([^\r\n]*)', 1))
+             ELSE '' END AS ct,
+           CASE WHEN starts_with(head, 'HTTP/1.')
+             THEN trim(regexp_extract(head, '(?im)^location:[ \t]*([^\r\n]*)', 1))
+             ELSE '' END AS loc
+         FROM h)
+       SELECT doc_id,
+         CASE WHEN is_http AND regexp_extract(head, '^HTTP/1\.[01] ([0-9]{3})', 1) <> ''
+           THEN regexp_extract(head, '^HTTP/1\.[01] ([0-9]{3})', 1)::BIGINT
+         END AS status,
+         lower(trim(split_part(ct, ';', 1))) AS ctype,
+         lower(regexp_extract(ct, '(?i)charset="?([A-Za-z0-9_.:-]+)', 1)) AS charset,
+         loc AS location
+       FROM v ORDER BY doc_id"""
+
   // ------------------------------------------------------- curation pipeline
   // The six-stage end-to-end curation flow (ops/Curation.scala): NFC canon →
   // PII redaction → Gopher gate → exact dedup → per-source quality cut →
@@ -4264,6 +4330,7 @@ object Queries {
     "q_script_mix" -> qScriptMix _,
     "q_dedup_eval" -> qDedupEval _,
     "q_recrawl" -> qRecrawl _,
+    "q_http" -> qHttp _,
     "q_frontier" -> qFrontier _,
     "q_bm25" -> qBm25 _,
     "q_postings" -> qPostings _,
@@ -4391,6 +4458,7 @@ object Queries {
     "q_script_mix" -> oScriptMix,
     "q_dedup_eval" -> oDedupEval,
     "q_recrawl" -> oRecrawl,
+    "q_http" -> oHttp,
     "q_frontier" -> oFrontier,
     "q_bm25" -> oBm25,
     "q_postings" -> oPostings,

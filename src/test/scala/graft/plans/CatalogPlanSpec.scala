@@ -524,7 +524,7 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the scan — the only exchange allowed is the final orderBy's range
     // partitioning.
     Seq("q_surt", "q_url_filter", "q_sniff", "q_lang_profile", "q_cdx",
-      "q_feed", "q_script_mix").foreach { q =>
+      "q_feed", "q_script_mix", "q_http").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join") && !p.contains("CartesianProduct"),
         s"$q: per-row op must not join:\n$p")
