@@ -55,7 +55,7 @@ object Bench {
     "q_bloom", "q_bloom_probe",
     "q_phrase_match", "q_postings", "q_search", "q_pq_topk",
     "q_text_embed", "q_text_ann", "q_curate2", "q_priority_sample",
-    "q_page_meta", "q_sitemap", "q_feed", "q_discovery", "q_recrawl", "q_upsert", "q_frontier", "q_ann_recall",
+    "q_page_meta", "q_sitemap", "q_sitemap_deep", "q_feed", "q_discovery", "q_recrawl", "q_upsert", "q_frontier", "q_ann_recall",
     "q_dedup_eval",
     "q_robots_directives", "q_idn_host",
     // q_pq_train is excluded like every iterative trainer (q_ivf_train):

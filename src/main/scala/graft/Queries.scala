@@ -2219,6 +2219,57 @@ object Queries {
          loc AS location
        FROM v ORDER BY doc_id"""
 
+  // Recursive sitemap-index resolution: level-1 sitemapindex entries name
+  // child sitemap URLs; the fetch is simulated as ONE shuffled equi-join
+  // against the fetched-payload table keyed by child id, then the level-2
+  // urlset parse emits the final page URLs. Both parses are the real
+  // scan-side tokenizer op; the only exchange is the fetch join — the
+  // plan shape a recursive discovery pass has at fleet scale.
+  private def qSitemapDeep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir).select(col("doc_id")).as[Long]
+    def h(id: Long) = s"https://h${id % 37}.example.com"
+    val idx = base.filter(_ % 10 == 0).map { id =>
+      (id, s"<sitemapindex><sitemap><loc>${h(id + 1)}/sm/${id + 1}.xml</loc></sitemap>" +
+        s"<sitemap><loc>${h(id + 2)}/sm/${id + 2}.xml</loc></sitemap></sitemapindex>")
+    }.toDF("doc_id", "xml")
+    val leaves = base.filter(_ % 10 != 0).map { id =>
+      (id, s"<urlset><url><loc>${h(id)}/p/$id/1</loc></url>" +
+        s"<url><loc>${h(id)}/p/$id/2</loc></url></urlset>")
+    }.toDF("doc_id", "xml")
+    val refs = Sitemap.parse(idx, "doc_id", "xml")
+      .where(col("kind") === "sitemap")
+      .select(col("doc_id").as("idx_doc"),
+        regexp_extract(col("loc"), "/sm/([0-9]+)\\.xml$", 1).cast("long")
+          .as("child_id"))
+    val leafPages = Sitemap.parse(leaves, "doc_id", "xml")
+      .where(col("kind") === "url")
+      .select(col("doc_id").as("child_id"), col("entry_no"),
+        col("loc").as("page_url"))
+    refs.join(leafPages, Seq("child_id"))
+      .select(col("idx_doc"), col("child_id"), col("entry_no"),
+        col("page_url"))
+      .orderBy("idx_doc", "child_id", "entry_no")
+  }
+
+  private val oSitemapDeep =
+    """WITH ids AS (SELECT doc_id FROM documents),
+       idx AS (SELECT doc_id AS idx_doc FROM ids WHERE doc_id % 10 = 0),
+       refs AS (
+         SELECT idx_doc, idx_doc + 1 AS child_id FROM idx
+         UNION ALL SELECT idx_doc, idx_doc + 2 FROM idx),
+       leaves AS (
+         SELECT doc_id AS child_id,
+           'https://h' || (doc_id % 37)::VARCHAR || '.example.com' AS h
+         FROM ids WHERE doc_id % 10 <> 0),
+       j AS (SELECT r.idx_doc, l.child_id, l.h
+             FROM refs r JOIN leaves l USING (child_id))
+       SELECT idx_doc, child_id, e.entry_no,
+         h || '/p/' || child_id::VARCHAR || '/' ||
+           (e.entry_no + 1)::VARCHAR AS page_url
+       FROM j, (SELECT 0::BIGINT AS entry_no UNION ALL SELECT 1::BIGINT) e
+       ORDER BY idx_doc, child_id, entry_no"""
+
   // ------------------------------------------------------- curation pipeline
   // The six-stage end-to-end curation flow (ops/Curation.scala): NFC canon →
   // PII redaction → Gopher gate → exact dedup → per-source quality cut →
@@ -4331,6 +4382,7 @@ object Queries {
     "q_dedup_eval" -> qDedupEval _,
     "q_recrawl" -> qRecrawl _,
     "q_http" -> qHttp _,
+    "q_sitemap_deep" -> qSitemapDeep _,
     "q_frontier" -> qFrontier _,
     "q_bm25" -> qBm25 _,
     "q_postings" -> qPostings _,
@@ -4459,6 +4511,7 @@ object Queries {
     "q_dedup_eval" -> oDedupEval,
     "q_recrawl" -> oRecrawl,
     "q_http" -> oHttp,
+    "q_sitemap_deep" -> oSitemapDeep,
     "q_frontier" -> oFrontier,
     "q_bm25" -> oBm25,
     "q_postings" -> oPostings,

@@ -558,6 +558,14 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"eval must not nested-loop:\n$p")
   }
 
+  test("q_sitemap_deep: recursive resolution is an equi fetch-join between two scan-side parses") {
+    val p = plan("q_sitemap_deep")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"recursive sitemap fetch must equi-join:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+  }
+
   test("q_discovery: first-source-wins dedup is ONE algebraic aggregate — no window, no join") {
     val p = plan("q_discovery")
     assert(!p.contains("Window"), s"frontier dedup must not rank-window:\n$p")
