@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Assemble, Construction, Entities, PageData, PyStr}
 import graft.html.Boilerplate
-import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Feed, Http, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Sniff, Temporal, TextDedup, TextStats, UrlFilter, UrlTemplate, VectorSim, WebGraph}
+import graft.ops.{Bpe, Cdx, CorpusSignals, Curation, Decontam, Feed, Http, Incremental, PageMeta, QualityModel, Ranking, Sampling, Sitemap, Sniff, Temporal, TextDedup, TextSegment, TextStats, UrlFilter, UrlTemplate, VectorSim, WebGraph}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -4109,6 +4109,106 @@ object Queries {
        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
        GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100"""
 
+  // -------------------------------------------------------------- sentences
+  // Sentence segmentation (TextSegment.sentenceArray): the corpus text is
+  // unpunctuated word soup, so the query first injects DETERMINISTIC
+  // positional punctuation (period after every 9th token, bang after every
+  // 23rd — same rule in both dialects), then segments. The marker-then-split
+  // construction (capture-replace with U+001E, split, trim, drop empties)
+  // is portable where lookbehind is not: RE2 (DuckDB) has no lookbehind,
+  // Java does — capture groups both have. Scan-side, zero exchange.
+  private def qSentences(s: SparkSession, dir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val punct = array_join(transform(ts, (t, i) =>
+      concat(t, when(pmod(i, lit(9)) === 8, lit(". "))
+        .when(pmod(i, lit(23)) === 11, lit("! "))
+        .otherwise(lit(" ")))), "")
+    TextSegment.sentences(
+        docs(s, dir).where(col("doc_id") < 150)
+          .select(col("doc_id"), punct.as("t2")),
+        "doc_id", "t2")
+      .select(col("doc_id"), col("sent_no").cast("long").as("sent_no"),
+        col("sentence"), col("n_words").cast("long").as("n_words"))
+      .orderBy("doc_id", "sent_no")
+  }
+
+  private val oSentences =
+    """WITH p AS (
+         SELECT doc_id,
+           array_to_string(list_transform(generate_series(1, len(ts)), i ->
+             ts[i] || CASE WHEN (i-1) % 9 = 8 THEN '. '
+                           WHEN (i-1) % 23 = 11 THEN '! '
+                           ELSE ' ' END), '') AS t2
+         FROM (SELECT doc_id, str_split(text, ' ') AS ts
+               FROM documents WHERE doc_id < 150)),
+       sa AS (
+         SELECT doc_id,
+           list_filter(list_transform(
+             str_split(regexp_replace(t2, '([.!?])\s+', '\1' || chr(30), 'g'),
+                       chr(30)), s -> trim(s)), s -> s <> '') AS ss
+         FROM p)
+       SELECT doc_id,
+         unnest(generate_series(0, len(ss) - 1)) AS sent_no,
+         unnest(ss) AS sentence,
+         unnest(list_transform(ss, s -> CAST(len(str_split(s, ' ')) AS BIGINT))) AS n_words
+       FROM sa ORDER BY doc_id, sent_no"""
+
+  // -------------------------------------------------------------------- oov
+  // Out-of-vocabulary rate per document vs the top-100 vocabulary head
+  // (TextSegment.oovRate): tokenizer-fit telemetry. The head broadcasts;
+  // the token explode meets it map-side; the per-doc counts are one hash
+  // aggregate. All-integral output (permille by integer division).
+  private def qOov(s: SparkSession, dir: String): DataFrame =
+    TextSegment.oovRate(docs(s, dir), "doc_id", "text", topK = 100)
+      .orderBy("doc_id")
+
+  private val oOov =
+    """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+                    FROM documents),
+       v AS (SELECT token FROM (
+              SELECT token, count(DISTINCT doc_id) AS df
+              FROM tok GROUP BY token ORDER BY df DESC, token LIMIT 100))
+       SELECT t.doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         CAST((1000 * CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+              // count(*) AS BIGINT) AS oov_permille
+       FROM tok t LEFT JOIN v ON v.token = t.token
+       GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+  // ------------------------------------------------------------------ tfidf
+  // Per-document TF-IDF term head (TextSegment.tfidfTopK): top-3 tokens by
+  // tf·idf with the log replaced by the scaled-integer rational
+  // (N·10^6) div df — monotone in df, so the RANKING is the classic one
+  // while every value stays a BIGINT (bit-stable cross-engine). df is
+  // counted over the (doc, token) tf table — no countDistinct re-scan.
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextSegment.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
+      .where(col("doc_id") < 300)
+      .orderBy("doc_id", "rank")
+
+  private val oTfidf =
+    """WITH tf AS (
+         SELECT doc_id, token, count(*) AS tf
+         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY doc_id, token),
+       dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       n AS (SELECT count(*) AS nn FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+           tf.tf * CAST((n.nn * 1000000) // dfq.df AS BIGINT) AS score
+         FROM tf JOIN dfq USING (token) CROSS JOIN n),
+       ranked AS (
+         SELECT doc_id, token, tf, df, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, token) AS rank
+         FROM scored)
+       SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df,
+         CAST(score AS BIGINT) AS score
+       FROM ranked WHERE rank <= 3 AND doc_id < 300
+       ORDER BY doc_id, rank"""
+
   // ---------------------------------------------------------- temporal joins
   // As-of join (Pandas merge_asof / DuckDB ASOF JOIN — Spark has no native
   // operator): each purchase picks the latest same-user error at-or-before
@@ -4395,6 +4495,9 @@ object Queries {
     "q_normalize" -> qNormalize _,
     "q_anchors" -> qAnchors _,
     "q_vocab" -> qVocab _,
+    "q_sentences" -> qSentences _,
+    "q_oov" -> qOov _,
+    "q_tfidf" -> qTfidf _,
     "q_cdc_dup" -> qCdcDup _,
     "q_compress_ratio" -> qCompressRatio _,
     "q_seq_windows" -> qSeqWindows _,
@@ -4525,6 +4628,9 @@ object Queries {
     "q_anchors" -> oAnchors,
     "q_vocab" -> oVocab,
     "q_cdc_dup" -> oCdcDup,
+    "q_sentences" -> oSentences,
+    "q_oov" -> oOov,
+    "q_tfidf" -> oTfidf,
     "q_seq_windows" -> oSeqWindows,
     "q_substr_dedup" -> oSubstrDedup,
     "q_line_dedup" -> oLineDedup,
