@@ -48,6 +48,7 @@ object Bench {
     // throughput-bearing half of the graph pipeline and IS timed
     "q_line_dedup", "q_host_boiler", "q_dsir", "q_hll", "q_substr_dedup",
     "q_sentences", "q_oov", "q_tfidf",
+    "q_readability", "q_split_leak", "q_sent_dedup",
     "q_sanitize", "q_badwords", "q_seq_windows", "q_decontam_frac", "q_compress_ratio",
     "q_charset", "q_lang_profile", "q_sniff", "q_script_mix", "q_http",
     "q_outlinks", "q_anchor_text", "q_ml_quality", "q_lm_score", "q_mix", "q_mix_epochs", "q_robots",

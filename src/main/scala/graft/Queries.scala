@@ -4117,35 +4117,53 @@ object Queries {
   // construction (capture-replace with U+001E, split, trim, drop empties)
   // is portable where lookbehind is not: RE2 (DuckDB) has no lookbehind,
   // Java does — capture groups both have. Scan-side, zero exchange.
-  private def qSentences(s: SparkSession, dir: String): DataFrame = {
-    val ts = split(col("text"), " ")
-    val punct = array_join(transform(ts, (t, i) =>
+  /** Deterministic positional punctuation over the unpunctuated corpus
+    * text: period after every 9th token, bang after every 23rd — the same
+    * rule the oracles spell in DuckDB. Shared by every sentence-granular
+    * query (q_sentences, q_readability, q_sent_dedup).
+    */
+  private def punctify(text: Column): Column = {
+    val ts = split(text, " ")
+    array_join(transform(ts, (t, i) =>
       concat(t, when(pmod(i, lit(9)) === 8, lit(". "))
         .when(pmod(i, lit(23)) === 11, lit("! "))
         .otherwise(lit(" ")))), "")
+  }
+
+  /** The matching DuckDB rendering of [[punctify]] over a token-list
+    * expression `ts` (1-based list index, hence the i-1).
+    */
+  private def oPunctify(ts: String): String =
+    s"""array_to_string(list_transform(generate_series(1, len($ts)), i ->
+          $ts[i] || CASE WHEN (i-1) % 9 = 8 THEN '. '
+                         WHEN (i-1) % 23 = 11 THEN '! '
+                         ELSE ' ' END), '')"""
+
+  private def qSentences(s: SparkSession, dir: String): DataFrame = {
     TextSegment.sentences(
         docs(s, dir).where(col("doc_id") < 150)
-          .select(col("doc_id"), punct.as("t2")),
+          .select(col("doc_id"), punctify(col("text")).as("t2")),
         "doc_id", "t2")
       .select(col("doc_id"), col("sent_no").cast("long").as("sent_no"),
         col("sentence"), col("n_words").cast("long").as("n_words"))
       .orderBy("doc_id", "sent_no")
   }
 
+  /** DuckDB rendering of [[TextSegment.sentenceArray]] over a text
+    * expression: mark-then-split on chr(30), trim, drop empties.
+    */
+  private def oSentArray(t2: String): String =
+    raw"""list_filter(list_transform(
+             str_split(regexp_replace($t2, '([.!?])\s+', '\1' || chr(30), 'g'),
+                       chr(30)), s -> trim(s)), s -> s <> '')"""
+
   private val oSentences =
-    """WITH p AS (
-         SELECT doc_id,
-           array_to_string(list_transform(generate_series(1, len(ts)), i ->
-             ts[i] || CASE WHEN (i-1) % 9 = 8 THEN '. '
-                           WHEN (i-1) % 23 = 11 THEN '! '
-                           ELSE ' ' END), '') AS t2
+    s"""WITH p AS (
+         SELECT doc_id, ${oPunctify("ts")} AS t2
          FROM (SELECT doc_id, str_split(text, ' ') AS ts
                FROM documents WHERE doc_id < 150)),
        sa AS (
-         SELECT doc_id,
-           list_filter(list_transform(
-             str_split(regexp_replace(t2, '([.!?])\s+', '\1' || chr(30), 'g'),
-                       chr(30)), s -> trim(s)), s -> s <> '') AS ss
+         SELECT doc_id, ${oSentArray("t2")} AS ss
          FROM p)
        SELECT doc_id,
          unnest(generate_series(0, len(ss) - 1)) AS sent_no,
@@ -4208,6 +4226,105 @@ object Queries {
          CAST(score AS BIGINT) AS score
        FROM ranked WHERE rank <= 3 AND doc_id < 300
        ORDER BY doc_id, rank"""
+
+  // ------------------------------------------------------------ readability
+  // Flesch / Flesch-Kincaid in scaled-integer milli-units
+  // (TextSegment.readability): words+syllables from the raw token stream,
+  // sentences from the punctified rendering. One scan, zero exchange,
+  // all-BIGINT output.
+  private def qReadability(s: SparkSession, dir: String): DataFrame =
+    TextSegment.readability(
+        docs(s, dir).select(col("doc_id"), col("text"),
+          punctify(col("text")).as("t2")),
+        "doc_id", "text", "t2")
+      .orderBy("doc_id")
+
+  private val oReadability =
+    s"""WITH base AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+       p AS (SELECT doc_id, ts, ${oPunctify("ts")} AS t2 FROM base),
+       m AS (SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_words,
+           CAST(len(${oSentArray("t2")}) AS BIGINT) AS n_sents,
+           CAST(list_aggregate(list_transform(ts, w ->
+             greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))), 'sum')
+             AS BIGINT) AS n_syll
+         FROM p)
+       SELECT doc_id, n_words, n_sents, n_syll,
+         CAST(206835 - (1015 * n_words) // n_sents
+                     - (84600 * n_syll) // n_words AS BIGINT) AS flesch_milli,
+         CAST((390 * n_words) // n_sents
+            + (11800 * n_syll) // n_words - 15590 AS BIGINT) AS fk_grade_milli
+       FROM m WHERE n_words >= 1 AND n_sents >= 1 ORDER BY doc_id"""
+
+  // ------------------------------------------------------------- split leak
+  // Held-out-split leakage audit (Decontam.benchLeakage over a hashSplit):
+  // which eval docs share word 3-grams with the training split, how many
+  // distinct grams, from how many train docs. The eval split is the small
+  // side and broadcasts; the train side is one scan + broadcast join.
+  private def qSplitLeak(s: SparkSession, dir: String): DataFrame = {
+    val parts = Sampling.hashSplit(docs(s, dir), "doc_id",
+      Seq(0.9, 0.1), salt = "split")
+    Decontam.benchLeakage(parts(0), parts(1), "doc_id", "text", n = 3)
+      .orderBy("bench_id")
+  }
+
+  private val oSplitLeak =
+    """WITH gh AS (
+         SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g FROM (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS gram
+           FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents))),
+       b AS (SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 15))::BIGINT
+                 % 1000000 AS h
+             FROM documents),
+       train AS (SELECT gh.doc_id, g FROM gh JOIN b USING (doc_id) WHERE b.h < 900000),
+       test  AS (SELECT gh.doc_id AS bench_id, g FROM gh JOIN b USING (doc_id) WHERE b.h >= 900000)
+       SELECT te.bench_id,
+         count(DISTINCT te.g) AS n_grams_hit,
+         count(DISTINCT tr.doc_id) AS n_train_docs,
+         min(tr.doc_id) AS first_train_id
+       FROM test te JOIN train tr ON te.g = tr.g
+       GROUP BY te.bench_id ORDER BY bench_id"""
+
+  // -------------------------------------------------------------- sent dedup
+  // Sentence-level corpus dedup: the q_line_dedup machinery
+  // (TextDedup.lineDedup — first-occurrence window on the segment hash)
+  // fed by the SENTENCE segmenter instead of the fixed-width chunker. A
+  // shared boilerplate sentence is prepended so every doc has a guaranteed
+  // corpus-wide duplicate (the case sentence dedup exists for).
+  private val SentBoiler = "all rights reserved worldwide. "
+
+  private def qSentDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.lineDedup(
+        docs(s, dir).select(col("doc_id"),
+          concat(lit(SentBoiler), punctify(col("text"))).as("t2")),
+        "doc_id", "t2", TextSegment.sentenceArray, sep = " ", hash = ph)
+      .orderBy("doc_id")
+
+  private val oSentDedup =
+    s"""WITH p AS (
+         SELECT doc_id, '$SentBoiler' || ${oPunctify("ts")} AS t2
+         FROM (SELECT doc_id, str_split(text, ' ') AS ts FROM documents)),
+       sa AS (SELECT doc_id, ${oSentArray("t2")} AS ss FROM p),
+       sents AS (
+         SELECT doc_id,
+           unnest(generate_series(0, len(ss) - 1)) AS sent_no,
+           unnest(ss) AS sent
+         FROM sa),
+       r AS (
+         SELECT doc_id, sent_no, sent,
+           row_number() OVER (PARTITION BY ('0x' || substr(md5(sent), 1, 15))::BIGINT
+                              ORDER BY doc_id, sent_no) AS rk
+         FROM sents),
+       ns AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_s FROM sa)
+       SELECT r.doc_id,
+         count(*) AS n_kept,
+         string_agg(sent, ' ' ORDER BY sent_no) AS text_dedup,
+         ns.n_s - count(*) AS n_dropped
+       FROM r JOIN ns ON ns.doc_id = r.doc_id
+       WHERE rk = 1
+       GROUP BY r.doc_id, ns.n_s ORDER BY r.doc_id"""
 
   // ---------------------------------------------------------- temporal joins
   // As-of join (Pandas merge_asof / DuckDB ASOF JOIN — Spark has no native
@@ -4498,6 +4615,9 @@ object Queries {
     "q_sentences" -> qSentences _,
     "q_oov" -> qOov _,
     "q_tfidf" -> qTfidf _,
+    "q_readability" -> qReadability _,
+    "q_split_leak" -> qSplitLeak _,
+    "q_sent_dedup" -> qSentDedup _,
     "q_cdc_dup" -> qCdcDup _,
     "q_compress_ratio" -> qCompressRatio _,
     "q_seq_windows" -> qSeqWindows _,
@@ -4631,6 +4751,9 @@ object Queries {
     "q_sentences" -> oSentences,
     "q_oov" -> oOov,
     "q_tfidf" -> oTfidf,
+    "q_readability" -> oReadability,
+    "q_split_leak" -> oSplitLeak,
+    "q_sent_dedup" -> oSentDedup,
     "q_seq_windows" -> oSeqWindows,
     "q_substr_dedup" -> oSubstrDedup,
     "q_line_dedup" -> oLineDedup,

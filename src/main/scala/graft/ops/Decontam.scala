@@ -95,4 +95,35 @@ object Decontam {
         first(col("n_bench_grams")).as("n_bench_grams"))
       .where(col("n_hit") * 1000 >= lit(minPermille) * col("n_bench_grams"))
   }
+
+  /** Split-leakage audit, reported per BENCH/eval document: for every eval
+    * doc sharing at least one distinct word n-gram with any training doc,
+    * (bench_id, n_grams_hit, n_train_docs, first_train_id). This is
+    * [[contaminated]] with the aggregation key flipped to the eval side —
+    * the view a held-out-split audit wants ("which of MY eval docs leak
+    * from train, and from where"), run after [[Sampling.hashSplit]] carves
+    * the corpus.
+    *
+    * Scale shape is unchanged and critical: the EVAL side is the small one
+    * and is what broadcasts (its grams twice over is still tiny); the
+    * training corpus is one scan + broadcast join, and the bench_id
+    * aggregate's input is pre-filtered to shared grams only.
+    */
+  def benchLeakage(train: DataFrame, bench: DataFrame,
+                   idCol: String, textCol: String, n: Int = 13,
+                   hash: Column => Column = TextDedup.fastHash): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    def gramHashes(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+          TextDedup.shingleRows(col(textCol), n))
+        .select(col(outId), hash(col("shingle")).as("g"))
+    val benchGrams = broadcast(gramHashes(bench, "bench_id"))
+    gramHashes(train, "train_id")
+      .join(benchGrams, "g")
+      .groupBy("bench_id")
+      .agg(
+        countDistinct(col("g")).as("n_grams_hit"),
+        countDistinct(col("train_id")).as("n_train_docs"),
+        min(col("train_id")).as("first_train_id"))
+  }
 }

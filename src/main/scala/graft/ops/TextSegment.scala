@@ -78,6 +78,45 @@ object TextSegment {
         expr("(1000 * n_oov) div n_tokens"))
   }
 
+  /** Flesch readability in scaled-integer milli-units — the classic
+    * surface-statistics quality signal (Flesch 1948; Kincaid 1975), used by
+    * readability-gated curation recipes next to the Gopher rules. Words and
+    * syllables come from `wordsCol` (syllables ≈ vowel-group runs
+    * `[aeiouy]+` per word, floored at 1 — the standard heuristic);
+    * sentences from `sentencedCol` via [[sentenceArray]] (the two columns
+    * are separate because boundary punctuation may live in a different
+    * rendering of the text than the token stream).
+    *
+    * All arithmetic is scaled-integer with `div`:
+    *   flesch_milli   = 206835 − (1015·W) div S − (84600·Y) div W
+    *   fk_grade_milli = (390·W) div S + (11800·Y) div W − 15590
+    * — bit-stable cross-engine, monotone in the same ratios as the real
+    * formulas (the div-rounding is below the granularity anyone gates on).
+    * Documents with zero words or zero sentences are dropped (the formula
+    * is undefined; a gate treats them as rejected upstream anyway).
+    *
+    * Plan: one scan, everything a Column program (the syllable sum is a
+    * fold over the token array), one guard filter — zero exchange.
+    */
+  def readability(df: DataFrame, idCol: String,
+                  wordsCol: String, sentencedCol: String): DataFrame = {
+    val ts = split(col(wordsCol), " ")
+    val syll = aggregate(
+      transform(ts, w => greatest(lit(1), regexp_count(w, lit("[aeiouy]+")))),
+      lit(0L), (acc, x) => acc + x)
+    df.select(col(idCol),
+        size(ts).cast("long").as("n_words"),
+        size(sentenceArray(col(sentencedCol))).cast("long").as("n_sents"),
+        syll.as("n_syll"))
+      .where(col("n_words") >= 1 && col("n_sents") >= 1)
+      .withColumn("flesch_milli",
+        lit(206835L) - expr("(1015 * n_words) div n_sents")
+          - expr("(84600 * n_syll) div n_words"))
+      .withColumn("fk_grade_milli",
+        expr("(390 * n_words) div n_sents")
+          + expr("(11800 * n_syll) div n_words") - lit(15590L))
+  }
+
   /** Per-document TF-IDF term head: top-`k` tokens per document by
     * `score = tf · ((N·1000000) div df)` — the classic weighting with the
     * logarithm replaced by a scaled-integer rational idf (transcendental

@@ -54,6 +54,29 @@ class DecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("first_bench_id") == 70L)
   }
 
+  test("benchLeakage: per-eval-doc view, counts mirror contaminated, eval side broadcasts") {
+    val s = spark; import s.implicits._
+    val bench = Seq(
+      (100L, toks("b", 0, 20)),   // leaks from train docs 1 (2 grams)
+      (101L, toks("z", 0, 20))    // clean vocabulary
+    ).toDF("id", "text")
+    val train = Seq(
+      (1L, toks("b", 3, 17)),     // 2 shared 13-grams with bench 100
+      (2L, toks("b", 3, 17)),     // identical doc: same 2 grams, 2nd source
+      (3L, toks("x", 0, 30))      // clean
+    ).toDF("id", "text")
+    val out = Decontam.benchLeakage(train, bench, "id", "text", n = 13)
+      .orderBy("bench_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(100L))
+    val r = out.head
+    assert(r.getAs[Long]("n_grams_hit") == 2L)
+    assert(r.getAs[Long]("n_train_docs") == 2L)
+    assert(r.getAs[Long]("first_train_id") == 1L)
+    val p = Decontam.benchLeakage(train, bench, "id", "text", n = 13)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+  }
+
   test("decontaminate drops exactly the flagged docs") {
     val s = spark; import s.implicits._
     val bench = Seq((100L, toks("b", 0, 20))).toDF("id", "text")

@@ -82,6 +82,41 @@ class TextSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"vocab head must broadcast:\n$p")
   }
 
+  test("readability: hand-computed milli-unit scores, zero-sentence doc dropped") {
+    // doc 1: "the cat sat. on a mat." -> W=6, S=2, syllables: the(1) cat(1)
+    // sat.(1) on(1) a(1) mat.(1) = 6
+    //   flesch = 206835 - (1015*6) div 2 - (84600*6) div 6
+    //          = 206835 - 3045 - 84600 = 119190
+    //   fk     = (390*6) div 2 + (11800*6) div 6 - 15590
+    //          = 1170 + 11800 - 15590 = -2620
+    // doc 2: no terminator -> the WHOLE text is one sentence (S=1):
+    //   W=2, syll never(2)+ends(1)=3
+    //   flesch = 206835 - 2030 - (84600*3) div 2 = 77905
+    //   fk     = 780 + 17700 - 15590 = 2890
+    // doc 3: empty text -> S=0 -> dropped (the only zero-sentence shape)
+    val d = df(Seq((1L, "the cat sat. on a mat."), (2L, "never ends"),
+        (3L, "")))
+      .withColumn("t2", col("text"))
+    val got = TextSegment.readability(d, "doc_id", "text", "t2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 6L, 2L, 6L, 119190L, -2620L),
+      (2L, 2L, 1L, 3L, 77905L, 2890L)))
+  }
+
+  test("readability: vowel-group syllables floored at 1; plan stays scan-side") {
+    // "strength" -> 1 group (e); "xyz" -> y counts ([aeiouy]) -> 1;
+    // "bcdfg" -> 0 groups -> floored to 1; "queueing" -> qu(ueuei)ng = 1
+    val d = df(Seq((1L, "strength xyz bcdfg queueing.")))
+      .withColumn("t2", col("text"))
+    val r = TextSegment.readability(d, "doc_id", "text", "t2").head()
+    assert(r.getAs[Long]("n_syll") == 4L)
+    assert(r.getAs[Long]("n_words") == 4L && r.getAs[Long]("n_sents") == 1L)
+    val plan = TextSegment.readability(d, "doc_id", "text", "t2")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"readability must not shuffle:\n$plan")
+  }
+
   test("tfidfTopK: literal reimplementation parity + WindowGroupLimit plan") {
     val rows = Seq(
       (0L, "alpha alpha beta gamma"),
