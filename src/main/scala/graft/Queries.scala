@@ -4097,6 +4097,40 @@ object Queries {
        WHERE len(d.word) > 0
        GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  // ------------------------------------------------------------- bpe → pack
+  // The training-data handoff composed end-to-end: learn a BPE segmentation
+  // (k=8, the oracle-pinned width), tokenize the corpus with it, and
+  // sequence-pack by TRUE subword token count into 5000-token shards —
+  // i.e. q_pack's bin arithmetic driven by q_bpe_tokens' counts instead of
+  // whitespace word counts. One corpus scan through the tokenizer join,
+  // one window cumsum per shard; the segmentation side is vocab-sized.
+  private def qBpePack(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val seg = Bpe.trainMerges(d, "text", BpeK)._2
+    val toks = Bpe.tokenize(d, "doc_id", "text", seg)
+      .select(col("doc_id"), col("n_tokens"))
+    Sampling.packBudget(
+      toks.join(d.select("doc_id", "source"), Seq("doc_id")),
+      "source", "doc_id", "n_tokens", budget = 5000L)
+      .select("doc_id", "source", "n_tokens", "pack").orderBy("doc_id")
+  }
+
+  private val oBpePack: String =
+    s"""WITH ${bpeCtes(BpeK)},
+       dt AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+       dw AS (SELECT doc_id, unnest(ts) AS word FROM dt),
+       nt AS (SELECT d.doc_id, CAST(SUM(len(v.ss)) AS BIGINT) AS n_tokens
+              FROM dw d JOIN v$BpeK v USING (word)
+              WHERE len(d.word) > 0 GROUP BY d.doc_id),
+       j AS (SELECT nt.doc_id, documents.source, nt.n_tokens
+             FROM nt JOIN documents USING (doc_id))
+       SELECT doc_id, source, n_tokens,
+              CAST(cb // 5000 AS BIGINT) AS pack FROM (
+         SELECT doc_id, source, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+         FROM j) ORDER BY doc_id"""
+
   // ------------------------------------------------------------------- vocab
   // Top-100 tokens by document frequency (ties by token) with term
   // frequency — the TF-IDF/stopword-induction head. TakeOrderedAndProject
@@ -4108,6 +4142,26 @@ object Queries {
     """SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
        GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100"""
+
+  // ------------------------------------------------------------ vocab drift
+  // Per-token document-frequency drift between two crawl snapshots
+  // (CorpusSignals.vocabDrift) — the monitoring query a continuously
+  // re-crawled corpus runs per snapshot pair. Snapshot membership here is
+  // the deterministic doc_id parity cut (stand-in for a crawl-id predicate);
+  // top-50 tokens by |df_b − df_a|, ties by token. All-integral outputs.
+  private def qVocabDrift(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.vocabDrift(docs(s, dir), "doc_id", "text",
+      pmod(col("doc_id"), lit(2)) === 1, topK = 50)
+
+  private val oVocabDrift =
+    """SELECT token, df_a, df_b, df_b - df_a AS drift FROM (
+         SELECT token,
+           count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS df_a,
+           count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN doc_id END) AS df_b
+         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+               FROM documents)
+         WHERE len(token) > 0 GROUP BY token)
+       ORDER BY abs(df_b - df_a) DESC, token LIMIT 50"""
 
   // -------------------------------------------------------------- sentences
   // Sentence segmentation (TextSegment.sentenceArray): the corpus text is
@@ -4653,6 +4707,8 @@ object Queries {
     "q_bpe" -> qBpe _,
     "q_bpe64" -> qBpe64 _,
     "q_bpe_tokens" -> qBpeTokens _,
+    "q_bpe_pack" -> qBpePack _,
+    "q_vocab_drift" -> qVocabDrift _,
     "q_mix" -> qMix _,
     "q_mix_epochs" -> qMixEpochs _,
     "q_ivf_train" -> qIvfTrain _,
@@ -4785,6 +4841,8 @@ object Queries {
     "q_lm_score" -> oLmScore,
     "q_bpe" -> oBpe,
     "q_bpe_tokens" -> oBpeTokens,
+    "q_bpe_pack" -> oBpePack,
+    "q_vocab_drift" -> oVocabDrift,
     "q_mix" -> oMix,
     "q_mix_epochs" -> oMixEpochs,
     "q_ivf_train" -> oIvfTrain,

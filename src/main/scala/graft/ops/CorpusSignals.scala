@@ -217,6 +217,33 @@ object CorpusSignals {
       .limit(topK)
   }
 
+  /** Vocabulary drift between two crawl snapshots: per-token document
+    * frequency in snapshot A vs snapshot B (membership given by the caller's
+    * boolean `snapshotB` column — a crawl-id predicate, a date cut, a split
+    * flag), ranked by absolute df change. The monitoring query a continuously
+    * re-crawled corpus runs per snapshot pair: a topic surge, a template
+    * change, or a language-mix shift all surface here first.
+    *
+    * Scale: one hash aggregate on token (map-side partial combine); the two
+    * conditional distinct counts plan as a single Expand(×2)+aggregate, so
+    * the corpus is scanned and shuffled exactly once; the global ranking is
+    * TakeOrderedAndProject (per-partition heads, no full sort). All outputs
+    * integral, so cross-engine hashes are exact.
+    */
+  def vocabDrift(df: DataFrame, idCol: String, textCol: String,
+                 snapshotB: Column, topK: Int = 50): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    df.select(col(idCol).as("id"), snapshotB.cast("boolean").as("b"),
+        explode(split(col(textCol), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(
+        countDistinct(when(!col("b"), col("id"))).as("df_a"),
+        countDistinct(when(col("b"), col("id"))).as("df_b"))
+      .withColumn("drift", col("df_b") - col("df_a"))
+      .orderBy(abs(col("drift")).desc, col("token"))
+      .limit(topK)
+  }
+
   // ------------------------------------------------------------------ URLs
   /** Registered host of a URL — the partition-skew axis of every web
     * corpus (one host can own 1% of a crawl). parse_url is Spark-native

@@ -281,6 +281,25 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est("small") - 40.0) / 40.0 < 0.52, s"small ${est("small")}")
   }
 
+  test("vocabDrift: per-token df per snapshot, |drift| ranking, empty-token drop") {
+    val s = spark; import s.implicits._
+    // snapshot A = ids 0,2 ; snapshot B = ids 1,3
+    val df = Seq(
+      (0L, "old old shared"),
+      (2L, "old shared"),
+      (1L, "new shared"),
+      (3L, "new new shared  ") // trailing double space → empty tokens dropped
+    ).toDF("doc_id", "text")
+    val out = CorpusSignals.vocabDrift(df, "doc_id", "text",
+        pmod(col("doc_id"), lit(2)) === 1, topK = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // df is per-DOCUMENT (dup "old" in doc 0 counts once); drift = df_b - df_a
+    assert(out == Seq(
+      ("new", 0L, 2L, 2L),     // |2| ties with "old", token breaks the tie
+      ("old", 2L, 0L, -2L),
+      ("shared", 2L, 2L, 0L)))
+  }
+
   test("cmsRegisters: exact d×w shape, total mass = row count, merge = sum") {
     val s = spark
     import s.implicits._
