@@ -47,7 +47,8 @@ object Bench {
     // checkpointed rounds of fixed job overhead); q_outlinks is the
     // throughput-bearing half of the graph pipeline and IS timed
     "q_line_dedup", "q_host_boiler", "q_dsir", "q_hll", "q_substr_dedup",
-    "q_sentences", "q_oov", "q_tfidf", "q_vocab_drift",
+    "q_sentences", "q_oov", "q_tfidf", "q_vocab_drift", "q_divergence",
+    "q_redirect",
     // q_bpe_pack is excluded with the other BPE-training rows: its wall
     // time is k checkpointed merge rounds (fixed job overhead), and its
     // packing half is q_pack's already-timed shape

@@ -2219,6 +2219,56 @@ object Queries {
          loc AS location
        FROM v ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- redirect
+  // Redirect-chain resolution (Http.resolveRedirects): synthesized crawl
+  // where doc_id≡50 (mod 100) and ≡51 form a 2-cycle, doc_id%16<3 starts
+  // runs of up to 3 consecutive redirects (which can FEED the cycle:
+  // 48→49→50→51→50…), and i+1 past the corpus edge leaves the crawl —
+  // so all three outcomes (ok / dangling / exhausted) and the hop counter
+  // are exercised. maxHops=4 unrolled left equi-joins on the url key; the
+  // Location extraction itself is the already-pinned q_http contract.
+  private def qRedirect(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def u(id: Column): Column =
+      concat(lit("https://h"), pmod(id, lit(37)).cast("string"),
+        lit(".example.com/p/"), id.cast("string"))
+    val pages = docs(s, dir).select(u(d).as("url"),
+      when(pmod(d, lit(100)) === 50, u(d + 1))
+        .when(pmod(d, lit(100)) === 51, u(d - 1))
+        .when(pmod(d, lit(16)) < 3, u(d + 1))
+        .otherwise(lit(null).cast("string")).as("loc"))
+    Http.resolveRedirects(pages, "url", "loc", maxHops = 4).orderBy("url")
+  }
+
+  private val oRedirect: String = {
+    def u(expr: String) =
+      s"'https://h' || (($expr) % 37)::VARCHAR || '.example.com/p/' || ($expr)::VARCHAR"
+    def hop(i: Int) =
+      s"""s$i AS (SELECT start,
+           CASE WHEN s.outcome IS NOT NULL OR e.url IS NULL OR e.loc IS NULL
+                THEN s.cur ELSE e.loc END AS cur,
+           CASE WHEN s.outcome IS NOT NULL OR e.url IS NULL OR e.loc IS NULL
+                THEN s.hops ELSE s.hops + 1 END AS hops,
+           CASE WHEN s.outcome IS NOT NULL THEN s.outcome
+                WHEN e.url IS NULL THEN 'dangling'
+                WHEN e.loc IS NULL THEN 'ok'
+                ELSE NULL END AS outcome
+         FROM s${i - 1} s LEFT JOIN p e ON s.cur = e.url)"""
+    s"""WITH p AS (
+         SELECT ${u("doc_id")} AS url,
+           CASE WHEN doc_id % 100 = 50 THEN ${u("doc_id + 1")}
+                WHEN doc_id % 100 = 51 THEN ${u("doc_id - 1")}
+                WHEN doc_id % 16 < 3 THEN ${u("doc_id + 1")}
+                ELSE NULL END AS loc
+         FROM documents),
+       s0 AS (SELECT url AS start, url AS cur, CAST(0 AS BIGINT) AS hops,
+                     CAST(NULL AS VARCHAR) AS outcome FROM p),
+       ${(1 to 4).map(hop).mkString(",\n")}
+       SELECT start AS url, cur AS final_url, CAST(hops AS BIGINT) AS n_hops,
+              coalesce(outcome, 'exhausted') AS outcome
+       FROM s4 ORDER BY url"""
+  }
+
   // Recursive sitemap-index resolution: level-1 sitemapindex entries name
   // child sitemap URLs; the fetch is simulated as ONE shuffled equi-join
   // against the fetched-payload table keyed by child id, then the level-2
@@ -4163,6 +4213,38 @@ object Queries {
          WHERE len(token) > 0 GROUP BY token)
        ORDER BY abs(df_b - df_a) DESC, token LIMIT 50"""
 
+  // -------------------------------------------------------------- divergence
+  // Source-vs-corpus token-distribution chi-square
+  // (CorpusSignals.tokenDivergence): per-token contributions in IEEE
+  // doubles with the oracle-shared operation order, quantized to
+  // milli-units BEFORE the sum so the aggregate is an order-independent
+  // integer — the scaled-integer discipline of q_readability applied to a
+  // doubly-aggregated statistic.
+  private def qDivergence(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.tokenDivergence(docs(s, dir), "source", "text")
+
+  private val oDivergence =
+    """WITH tok AS (SELECT source, unnest(str_split(text, ' ')) AS token
+                    FROM documents),
+       tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS o
+              FROM tok WHERE len(token) > 0 GROUP BY source, token),
+       corpus AS (SELECT token, CAST(sum(o) AS BIGINT) AS tf_c
+                  FROM tf GROUP BY token),
+       ns AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s
+              FROM tf GROUP BY source),
+       nc AS (SELECT CAST(sum(tf_c) AS BIGINT) AS n_c FROM corpus)
+       SELECT source, max(n_s) AS n_tokens, count(*) AS n_types,
+              CAST(sum(c) AS BIGINT) AS chi2_milli
+       FROM (
+         SELECT source, n_s,
+           CAST(floor((od - e) * (od - e) / e * 1000.0 + 0.5) AS BIGINT) AS c
+         FROM (
+           SELECT tf.source, ns.n_s, CAST(o AS DOUBLE) AS od,
+             CAST(tf_c AS DOUBLE) * CAST(n_s AS DOUBLE) / CAST(n_c AS DOUBLE)
+               AS e
+           FROM tf JOIN corpus USING (token) JOIN ns USING (source), nc))
+       GROUP BY source ORDER BY source"""
+
   // -------------------------------------------------------------- sentences
   // Sentence segmentation (TextSegment.sentenceArray): the corpus text is
   // unpunctuated word soup, so the query first injects DETERMINISTIC
@@ -4709,6 +4791,8 @@ object Queries {
     "q_bpe_tokens" -> qBpeTokens _,
     "q_bpe_pack" -> qBpePack _,
     "q_vocab_drift" -> qVocabDrift _,
+    "q_divergence" -> qDivergence _,
+    "q_redirect" -> qRedirect _,
     "q_mix" -> qMix _,
     "q_mix_epochs" -> qMixEpochs _,
     "q_ivf_train" -> qIvfTrain _,
@@ -4843,6 +4927,8 @@ object Queries {
     "q_bpe_tokens" -> oBpeTokens,
     "q_bpe_pack" -> oBpePack,
     "q_vocab_drift" -> oVocabDrift,
+    "q_divergence" -> oDivergence,
+    "q_redirect" -> oRedirect,
     "q_mix" -> oMix,
     "q_mix_epochs" -> oMixEpochs,
     "q_ivf_train" -> oIvfTrain,

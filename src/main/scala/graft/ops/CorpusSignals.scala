@@ -244,6 +244,49 @@ object CorpusSignals {
       .limit(topK)
   }
 
+  /** Source-vs-corpus token-distribution divergence: per source, the
+    * Pearson chi-square statistic of its observed token counts against the
+    * corpus-wide distribution, restricted to tokens the source actually
+    * contains (the standard observed-support drift monitor — the full
+    * cross of every source with every vocabulary token is the thing this
+    * deliberately avoids). The statistic flags a source whose token mix has
+    * diverged from the pool: a template flood, a language shift, spam.
+    *
+    * Bit-stability: each per-token contribution (o−e)²/e is computed in
+    * IEEE doubles with a FIXED operation order shared with the oracle,
+    * quantized to milli-units (`floor(x·1000+0.5)`) as BIGINT, and only
+    * then summed — integer sums are order-independent, so the result is
+    * identical across partitionings and engines.
+    *
+    * Scale: one (source, token) hash aggregate over the exploded corpus,
+    * a vocabulary-sized re-aggregate for corpus counts, an equi-join on
+    * token (both sides vocabulary-sized — NOT broadcast), the |sources|-row
+    * totals broadcast back, and a final tiny aggregate on source.
+    */
+  def tokenDivergence(df: DataFrame, sourceCol: String,
+                      textCol: String): DataFrame = {
+    val tok = df.select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("o"))
+    val corpus = tf.groupBy("token").agg(sum("o").as("tf_c"))
+    val ns = tf.groupBy("source").agg(sum("o").as("n_s"))
+    val nc = corpus.agg(sum("tf_c").as("n_c"))
+    val e = col("tf_c").cast("double") * col("n_s").cast("double") /
+      col("n_c").cast("double")
+    val diff = col("o").cast("double") - e
+    tf.join(corpus, Seq("token"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nc))
+      .select(col("source"), col("n_s"),
+        floor(diff * diff / e * lit(1000.0) + lit(0.5)).cast("long").as("c"))
+      .groupBy("source").agg(
+        max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("chi2_milli"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------------ URLs
   /** Registered host of a URL — the partition-skew axis of every web
     * corpus (one host can own 1% of a crawl). parse_url is Spark-native

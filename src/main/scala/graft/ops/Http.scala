@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** HTTP response-envelope parsing for crawl payloads. Common Crawl
@@ -61,4 +61,56 @@ object Http {
   def headerCharset(payload: Column): Column =
     lower(regexp_extract(httpHeader(payload, "Content-Type"),
       "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1))
+
+  /** Redirect-chain resolution over a crawled (url, location) table: for
+    * every url, follow `Location` targets through up to `maxHops` lookups
+    * and report where the chain lands. Outcomes: `ok` (reached a
+    * non-redirect page), `dangling` (chain left the crawl — the target was
+    * never fetched), `exhausted` (still redirecting after `maxHops`
+    * lookups — covers loops, which can never resolve). `n_hops` counts the
+    * redirects actually followed. The location extraction itself is the
+    * already-pinned [[httpHeader]]/q_http contract; this operator pins the
+    * graph walk.
+    *
+    * Scale: `maxHops` unrolled left equi-joins on the url key — each hop is
+    * one shuffle of the still-walking rows against the corpus-sized edge
+    * table, the standard bounded-iteration frontier walk (crawlers cap
+    * redirect chains at 5-10 hops, so the unroll is small and fixed).
+    * Single linear plan — no branch-and-union, so lineage stays O(maxHops)
+    * and nothing needs checkpointing. Resolved rows ride along with their
+    * outcome frozen; AQE sizes the per-hop exchanges as the frontier
+    * shrinks.
+    *
+    * @param pages  one row per fetched url
+    * @param urlCol the fetched url column
+    * @param locCol redirect target ('' or null for non-redirect pages)
+    */
+  def resolveRedirects(pages: DataFrame, urlCol: String, locCol: String,
+                       maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    // __hit marks an actual match: a using-column left join can't otherwise
+    // tell "target never fetched" (dangling) from "target is a non-redirect
+    // page" (ok) — both leave __loc null.
+    val edges = pages.select(col(urlCol).as("__cur"),
+      when(col(locCol).isNotNull && col(locCol) =!= "", col(locCol))
+        .as("__loc"),
+      lit(true).as("__hit"))
+    var st = pages.select(col(urlCol).as("url"), col(urlCol).as("__cur"),
+      lit(0L).as("n_hops"), lit(null).cast("string").as("outcome"))
+    for (_ <- 1 to maxHops) {
+      val frozen = col("outcome").isNotNull || col("__hit").isNull ||
+        col("__loc").isNull
+      st = st.join(edges, Seq("__cur"), "left")
+        .select(col("url"),
+          when(frozen, col("__cur")).otherwise(col("__loc")).as("__cur"),
+          when(frozen, col("n_hops")).otherwise(col("n_hops") + 1)
+            .as("n_hops"),
+          when(col("outcome").isNotNull, col("outcome"))
+            .when(col("__hit").isNull, lit("dangling"))
+            .when(col("__loc").isNull, lit("ok"))
+            .otherwise(lit(null).cast("string")).as("outcome"))
+    }
+    st.select(col("url"), col("__cur").as("final_url"), col("n_hops"),
+      coalesce(col("outcome"), lit("exhausted")).as("outcome"))
+  }
 }

@@ -300,6 +300,20 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("shared", 2L, 2L, 0L)))
   }
 
+  test("tokenDivergence: hand-worked chi-square in milli-units, observed support only") {
+    val s = spark; import s.implicits._
+    // A: x:2 y:1 (n=3); B: x:1 z:3 (n=4); corpus: x:3 y:1 z:3 (N=7)
+    val df = Seq(("A", "x x y"), ("B", "x z z z")).toDF("source", "text")
+    val out = CorpusSignals.tokenDivergence(df, "source", "text")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // A/x: e=9/7,  o=2 -> floor((2-9/7)^2/(9/7)*1000+0.5)   = 397
+    // A/y: e=3/7,  o=1 -> floor((1-3/7)^2/(3/7)*1000+0.5)   = 762
+    // B/x: e=12/7, o=1 -> floor((1-12/7)^2/(12/7)*1000+0.5) = 298
+    // B/z: e=12/7, o=3 -> floor((3-12/7)^2/(12/7)*1000+0.5) = 964
+    // y is absent from B (and z from A): observed-support contract — no term
+    assert(out === Seq(("A", 3L, 2L, 1159L), ("B", 4L, 2L, 1262L)))
+  }
+
   test("cmsRegisters: exact d×w shape, total mass = row count, merge = sum") {
     val s = spark
     import s.implicits._

@@ -67,4 +67,41 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("malformed status line: HTTP prefix but no code -> null status") {
     assert(eval("HTTP/1.1 oops\r\n\r\n", Http.httpStatus).isNullAt(0))
   }
+
+  private def resolve(rows: Seq[(String, String)], maxHops: Int) = {
+    val s = spark; import s.implicits._
+    Http.resolveRedirects(rows.toDF("url", "loc"), "url", "loc", maxHops)
+      .as[(String, String, Long, String)].collect().toMap2
+  }
+
+  implicit private class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("resolveRedirects: ok / dangling / loop-exhausted / zero-hop") {
+    val out = resolve(Seq(
+      ("a", "b"), ("b", "c"), ("c", null),  // 2-hop chain to a fetched page
+      ("d", "e"),                           // e never fetched
+      ("f", "g"), ("g", "f"),               // 2-cycle
+      ("h", ""),                            // '' loc = non-redirect
+      ("i", null)), maxHops = 4)
+    assert(out("a") === (("c", 2L, "ok")))
+    assert(out("b") === (("c", 1L, "ok")))
+    assert(out("c") === (("c", 0L, "ok")))
+    assert(out("d") === (("e", 1L, "dangling")))
+    assert(out("f") === (("f", 4L, "exhausted")))
+    assert(out("g") === (("g", 4L, "exhausted")))
+    assert(out("h") === (("h", 0L, "ok")))
+    assert(out("i") === (("i", 0L, "ok")))
+  }
+
+  test("resolveRedirects: chain of length maxHops exhausts; maxHops-1 resolves") {
+    val chain = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"),
+      ("p5", null))
+    // 4 redirects with 4 lookups: every lookup spent moving, p5 never probed
+    assert(resolve(chain, 4)("p1") === (("p5", 4L, "exhausted")))
+    assert(resolve(chain, 5)("p1") === (("p5", 4L, "ok")))
+    assert(resolve(chain, 4)("p2") === (("p5", 3L, "ok")))
+  }
 }
