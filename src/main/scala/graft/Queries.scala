@@ -635,6 +635,114 @@ object Queries {
        WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.3
        ORDER BY id_a, id_b"""
 
+  // ------------------------------------------------- set-containment join
+  // Asymmetric containment C(A,B) = |A∩B|/|A| over the same 3-gram shingle
+  // space — the quote/excerpt detector Jaccard can't be (a paragraph fully
+  // quoted inside a long page has J≈0.01, C=1.0). Spark side prunes the
+  // CONTAINED side with the one-sided prefix filter; the oracle keeps the
+  // brute ordered-pair shape, so the filter's exactness is what's verified.
+  // containment = int/int single IEEE division — bit-identical both sides.
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        n = 3, minContainment = 0.5, hash = ph)
+      .orderBy("id_a", "id_b")
+
+  private val oContainment =
+    """WITH sh AS (
+         SELECT doc_id AS id, unnest(list_transform(list_distinct(
+           list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS s
+         FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3),
+       sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       common AS (
+         SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+         FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id GROUP BY 1, 2)
+       SELECT id_a, id_b, c::DOUBLE / sa.n AS containment
+       FROM common JOIN sizes sa ON sa.id = id_a
+       WHERE c::DOUBLE / sa.n >= 0.5
+       ORDER BY id_a, id_b"""
+
+  // ------------------------------------------------------------ soft dedup
+  // Duplication-AWARE weights instead of hard drops: every document kept,
+  // weight_ppm = 10^6 div near-dup-cluster-size (integral — no IEEE in the
+  // contract). Composes the simhash pair generator and the connected-
+  // components resolver; the oracle recomputes the cluster map with the
+  // recursive reachability CTE and left-joins it onto the corpus.
+  private def qSoftDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.softDedupWeights(
+        docs(s, dir).select("doc_id"),
+        TextDedup.dedupClusters(
+          TextDedup.simhashPairs(
+            TextDedup.simhash(docs(s, dir), "doc_id", "text", bits = 32, hash = ph),
+            bits = 32, chunks = 8, maxHamming = 3)),
+        "doc_id")
+      .select("doc_id", "cluster_size", "weight_ppm")
+      .orderBy("doc_id")
+
+  private val oSoftDedup =
+    """WITH RECURSIVE sh AS (
+         SELECT id,
+           list_sum(list_transform(generate_series(0, 31), i ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+               CASE WHEN CAST(floor(h / pow(2, i)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END))::BIGINT AS simhash
+         FROM (SELECT doc_id AS id,
+           list_transform(str_split(text, ' '), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 4294967296) AS hs
+           FROM documents)),
+       e AS (
+         SELECT a.id AS src, b.id AS dst FROM sh a JOIN sh b
+         ON a.id <> b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+       reach(id, r) AS (
+         SELECT DISTINCT src, src FROM e
+         UNION
+         SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       cs AS (SELECT cluster, count(*) AS n FROM cl GROUP BY cluster),
+       m AS (SELECT cl.id, cs.n FROM cl JOIN cs USING (cluster))
+       SELECT d.doc_id,
+         CAST(COALESCE(m.n, 1) AS BIGINT) AS cluster_size,
+         CAST(1000000 // COALESCE(m.n, 1) AS BIGINT) AS weight_ppm
+       FROM documents d LEFT JOIN m ON m.id = d.doc_id
+       ORDER BY d.doc_id"""
+
+  // ------------------------------------------------------------- Luhn PII
+  // Card-number detection = PAN-band digit-run regex × ISO/IEC 7812 Luhn
+  // checksum. The corpus text carries no card numbers, so each doc gets a
+  // deterministic synthetic 16-digit run appended (lpad of doc_id·7919)
+  // — the validity split (~1 in 10 passes Luhn) is then data-derived, and
+  // the whole regex + HOF-checksum path is value-verified per doc.
+  private def qLuhn(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        CorpusSignals.cardCounts(
+          concat(col("text"), lit(" "),
+            lpad((col("doc_id") * 7919).cast("string"), 16, "4"))).as("cc"))
+      .select(col("doc_id"),
+        col("cc.n_card_cand").as("n_card_cand"),
+        col("cc.n_luhn_valid").as("n_luhn_valid"))
+      .orderBy("doc_id")
+
+  private val oLuhn =
+    """WITH t AS (SELECT doc_id,
+           text || ' ' || lpad((doc_id * 7919)::VARCHAR, 16, '4') AS x
+         FROM documents),
+       c AS (SELECT doc_id, unnest(regexp_extract_all(x, '[0-9]{13,16}')) AS cand FROM t),
+       v AS (SELECT doc_id,
+           (list_sum(list_transform(generate_series(1, length(cand)), j ->
+             CASE WHEN (length(cand) - j) % 2 = 1
+               THEN CASE WHEN 2 * (substr(cand, j, 1)::INT) > 9
+                    THEN 2 * (substr(cand, j, 1)::INT) - 9
+                    ELSE 2 * (substr(cand, j, 1)::INT) END
+               ELSE substr(cand, j, 1)::INT END)) % 10 = 0) AS ok
+         FROM c),
+       agg AS (SELECT doc_id, count(*) AS n,
+                 sum(CASE WHEN ok THEN 1 ELSE 0 END) AS nv
+               FROM v GROUP BY doc_id)
+       SELECT t.doc_id,
+         CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_card_cand,
+         CAST(COALESCE(agg.nv, 0) AS BIGINT) AS n_luhn_valid
+       FROM t LEFT JOIN agg USING (doc_id)
+       ORDER BY doc_id"""
+
   // -------------------------------------------------------- cosine top-k ANN
   private def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
@@ -4707,6 +4815,9 @@ object Queries {
     "q_semdedup" -> qSemDedup _,
     "q_pack" -> qPack _,
     "q_ngram_jaccard" -> qNgramJaccard _,
+    "q_containment" -> qContainment _,
+    "q_soft_dedup" -> qSoftDedup _,
+    "q_luhn" -> qLuhn _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_topk" -> qAnnTopK _,
@@ -4846,6 +4957,9 @@ object Queries {
     "q_semdedup" -> oSemDedup,
     "q_pack" -> oPack,
     "q_ngram_jaccard" -> oNgramJaccard,
+    "q_containment" -> oContainment,
+    "q_soft_dedup" -> oSoftDedup,
+    "q_luhn" -> oLuhn,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_topk" -> oAnnTopK,

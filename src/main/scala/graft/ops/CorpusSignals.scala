@@ -139,6 +139,47 @@ object CorpusSignals {
     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
     size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
 
+  // 13–16 contiguous digits: the PAN length band of the major card
+  // networks. Leftmost-greedy in both java.util.regex and RE2, so a longer
+  // digit run yields the same candidate slices on either engine.
+  val CardCandidateRe = "[0-9]{13,16}"
+
+  /** ISO/IEC 7812 Luhn check over a digits-only string Column: from the
+    * RIGHTMOST digit, double every second digit (subtracting 9 when the
+    * double exceeds 9) and require the sum ≡ 0 (mod 10). With 1-based
+    * left position j in a string of length L, the right-position is L−j,
+    * and the digit is doubled iff L−j is odd. Pure integer HOF arithmetic
+    * (substr is 1-based in both engines) — codegen'd, scan-side,
+    * reproducible — which is what separates an actionable "card-number
+    * PII" verdict from a bare digit-run regex: any random 13–16 digit run
+    * (ids, timestamps, order numbers) matches the regex; only ~1 in 10
+    * passes Luhn, and real PANs always do.
+    */
+  def luhnOk(digits: Column): Column = {
+    val sum = aggregate(
+      sequence(lit(1), length(digits)),
+      lit(0),
+      (acc, j) => {
+        val d = digits.substr(j, lit(1)).cast("int")
+        val dd = d * 2
+        acc + when(pmod(length(digits) - j, lit(2)) === 1,
+          when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+      })
+    pmod(sum, lit(10)) === 0
+  }
+
+  /** (n_card_cand, n_luhn_valid) per text: digit runs in the PAN length
+    * band, and the subset passing [[luhnOk]]. Scan-side; a count pair
+    * (not a boolean) so policy can distinguish "numeric page" from "page
+    * leaking card numbers".
+    */
+  def cardCounts(text: Column): Column = {
+    val cands = regexp_extract_all(text, lit(CardCandidateRe), lit(0))
+    struct(
+      size(cands).cast("long").as("n_card_cand"),
+      size(filter(cands, luhnOk _)).cast("long").as("n_luhn_valid"))
+  }
+
   /** The corpus data card: one row per group (e.g. source × lang) with the
     * counts a curation run publishes — documents, tokens, chars, gate pass
     * count, mean quality, corpus-level 2-gram duplication, PII counts.

@@ -472,6 +472,72 @@ object TextDedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** ASYMMETRIC set-containment join: all ordered pairs (A, B), A ≠ B, with
+    * C(A,B) = |A∩B| / |A| ≥ `minContainment` over word n-gram shingle sets —
+    * the quote / excerpt / subset-page detector that a symmetric Jaccard
+    * join structurally cannot be (a 40-word paragraph fully quoted inside a
+    * 4000-word page has J ≈ 0.01 but C = 1.0). The shape web curation
+    * wants for press-release syndication, quoted-reply chains, and
+    * template-plus-content pages.
+    *
+    * Candidate generation is the one-sided prefix filter of the
+    * set-containment-join literature (PRETTI/ProbeCount lineage; the
+    * asymmetric case of Bayardo's AllPairs): a qualifying pair overlaps in
+    * ≥ ⌈t·|A|⌉ shingles, so A's first |A| − ⌈t·|A|⌉ + 1 shingles in the
+    * global (document-frequency asc, hash) order must hit B (pigeonhole) —
+    * the CONTAINED side prunes to its rarest shingles exactly like
+    * [[ngramJaccardPairs]]. The container side has no size bound (|B| is
+    * unconstrained), so B indexes ALL its shingles — the honest asymmetry
+    * of the containment contract; rare-first ordering still keeps hot
+    * shingles out of A-prefixes, which bounds each join group by the
+    * CONTAINED side's df. Verification is exact from the full sorted
+    * shingle-hash arrays (SortedIntersectCount), so output equals the
+    * brute formulation — the DuckDB oracle keeps the brute shape.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minContainment: Double = 0.8,
+                       hash: Column => Column = fastHash): DataFrame = {
+    val t = minContainment
+    require(t > 0.0 && t <= 1.0, s"minContainment must be in (0,1], got $t")
+    val sh = df.select(col(idCol).as("id"),
+        shingleRows(col(textCol), n).as("s0"))
+      .select(col("id"), hash(col("s0")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(sh)
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("arr"),
+        count(lit(1)).as("nsh"))
+    // same conservative-ceiling guard as ngramJaccardPairs: double(t)·n can
+    // round just above an integer boundary and shorten the prefix below the
+    // sound pigeonhole length
+    def ceilT(n: Column): Column = ceil(lit(t) * n - 1e-9)
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
+    val wPos = Window.partitionBy("id").orderBy(col("dfreq"), col("s"))
+    val wN = Window.partitionBy("id")
+    val prefix = sh.join(dfreq, "s")
+      .select(col("id"), col("s"),
+        row_number().over(wPos).as("pos"),
+        count(lit(1)).over(wN).as("nsh"))
+      .where(col("pos") <= col("nsh") - ceilT(col("nsh")) + 1)
+      .select(col("id"), col("s"), col("nsh"))
+    val a = prefix.alias("a"); val b = sh.alias("b")
+    val cand = a.join(b,
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    def intersectCount(x: Column, y: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.GraftBridge.expression(x),
+        org.apache.spark.sql.GraftBridge.expression(y)))
+    val sa = sets.select(col("id").as("id_a"), col("arr").as("arr_a"), col("nsh").as("na"))
+    val sb = sets.select(col("id").as("id_b"), col("arr").as("arr_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (intersectCount(col("arr_a"), col("arr_b")).cast("double") / col("na"))
+          .as("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
   /** Cluster resolution — the stage every candidate-pair generator above
     * feeds at corpus scale: connected components over the pair graph,
     * returning (id, cluster) with cluster = the minimum id reachable
@@ -672,6 +738,38 @@ object TextDedup {
       .where(col("__rk") === 1)
       .drop("__rk", "cluster")
       .unionByName(joined.where(col("cluster").isNull).drop("cluster"))
+  }
+
+  /** SOFT dedup: instead of dropping near-duplicates, keep every document
+    * and attach a sampling weight inversely proportional to its cluster
+    * size — SoftDeDup-style reweighting (cf. "soft deduplication" /
+    * duplication-aware training, e.g. He et al. 2024; the motivation is
+    * Lee et al. 2022's finding that hard drops also discard the signal
+    * that a passage is COMMON). A trainer samples (or scales loss) by the
+    * weight, so n near-identical copies jointly contribute one document's
+    * worth of gradient mass while all n remain available.
+    *
+    * Exact integer contract: `weight_ppm = 1_000_000 div cluster_size`
+    * (docs with no near-dup pair have size 1 → weight 1_000_000), so
+    * weights are BIGINTs, bit-identical on any engine — no IEEE division
+    * in the contract. `cluster_size` rides along for threshold policies
+    * ("drop only when size > 100, reweight below").
+    *
+    * Plan at 100 TB: the cluster map is |clustered docs| rows (near-dup
+    * members only — typically a few % of the corpus); its size table is
+    * one aggregate on the cluster key; the verdict joins back on the doc
+    * id (left — misses mean size 1). The corpus pays one join; AQE
+    * broadcast-demotes the size table when small.
+    */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame,
+                       idCol: String): DataFrame = {
+    val sized = clusters.join(
+      clusters.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size")),
+      Seq("cluster"))
+      .select(col("id").as(idCol), col("cluster_size"))
+    docs.join(sized, Seq(idCol), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("weight_ppm", expr("1000000L div cluster_size"))
   }
 
   /** C4-style corpus-level line deduplication: every line that occurs more

@@ -102,6 +102,34 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 2L)))
   }
 
+  test("luhnOk: known-valid PANs pass, one-digit corruptions fail, vs direct Luhn") {
+    val s = spark; import s.implicits._
+    def luhnRef(n: String): Boolean = {
+      val ds = n.reverse.map(_ - '0')
+      ds.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    }
+    // canonical test numbers (Visa/MC/Amex doc examples) + 13- and 15-digit
+    val cases = Seq("4111111111111111", "5500005555555559", "378282246310005",
+      "4222222222222", "79927398713",  // classic Wikipedia example (11 digits)
+      "4111111111111112", "1234567812345678", "0000000000000001")
+    val got = cases.toDF("n")
+      .select(col("n"), CorpusSignals.luhnOk(col("n")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach(c => assert(got(c) == luhnRef(c), s"luhnOk($c)"))
+    assert(got("4111111111111111") && !got("4111111111111112"))
+  }
+
+  test("cardCounts: PAN-band runs counted, Luhn gates validity, long runs slice greedily") {
+    val s = spark; import s.implicits._
+    val in = "pay 4111111111111111 or 4111111111111112 ref 12345 code 12345678901234567890"
+    // 20-digit run → one greedy 16-digit candidate (leftmost), remainder < 13
+    val r = Seq(in).toDF("t").select(CorpusSignals.cardCounts(col("t"))).head().getStruct(0)
+    assert(r.getLong(0) == 3L, "candidates: two 16-digit + one sliced from the 20-run")
+    assert(r.getLong(1) == 1L, "only the real PAN passes Luhn")
+  }
+
   test("nfc: decomposed sequences compose; ASCII is the identity fast path") {
     val s = spark; import s.implicits._
     val rows = Seq("Café", "Å", "plain ascii").toDF("t")

@@ -418,6 +418,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("containmentPairs: exact vs brute force, detects a quote Jaccard misses") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val base = (0L until 25L).map { i =>
+      val words = (0 until (8 + (i % 6).toInt))
+        .map(k => vocab(((i * 11 + k * 5 + k * k) % vocab.length).toInt))
+      i -> words.mkString(" ")
+    }
+    // doc 100 = a short passage; doc 101 = a long page QUOTING it verbatim
+    val passage = "alpha beta gamma delta eps zeta"
+    val page = ("theta eta " * 20) + passage + (" zeta eta theta" * 10)
+    val docs = base ++ Seq(100L -> passage, 101L -> page.trim)
+    val df = docsDf(docs: _*)
+    def brute(t: Double): Set[(Long, Long, Double)] = {
+      def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia != ib
+        a = sh(ta); b = sh(tb)
+        c = (a intersect b).size.toDouble / a.size if c >= t
+      } yield (ia, ib, c)).toSet
+    }
+    Seq(0.35, 0.5, 0.8, 1.0).foreach { t =>
+      val got = TextDedup.containmentPairs(df, "doc_id", "text", n = 3, minContainment = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      TextDedup.releaseCaches()
+      assert(got == brute(t), s"threshold $t diverged from brute force")
+    }
+    // the asymmetry that motivates the operator: quote ⊂ page at C = 1.0
+    // in ONE direction only, while Jaccard can't see the pair at 0.5
+    val c1 = TextDedup.containmentPairs(df, "doc_id", "text", n = 3, minContainment = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    TextDedup.releaseCaches()
+    assert(c1.contains((100L, 101L)))
+    assert(!c1.contains((101L, 100L)))
+    val j = TextDedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    TextDedup.releaseCaches()
+    assert(!j.contains((100L, 101L)))
+  }
+
+  test("softDedupWeights: 1/cluster-size ppm weights, unclustered docs weight 10^6") {
+    val s = spark; import s.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster")
+    val w = TextDedup.softDedupWeights(docs, clusters, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(w(1L) == (3L, 333333L) && w(2L) == (3L, 333333L) && w(3L) == (3L, 333333L))
+    assert(w(4L) == (2L, 500000L) && w(5L) == (2L, 500000L))
+    assert(w(6L) == (1L, 1000000L)) // no near-dup pair → full weight
+  }
+
   test("nearDupPairsBlocked: identical output to brute force, equi-join plan") {
     // pseudo-random but deterministic embeddings — enough pairs to exercise
     // every block-pair role (diagonal + off-diagonal, both id orders)
