@@ -743,6 +743,104 @@ object Queries {
        FROM t LEFT JOIN agg USING (doc_id)
        ORDER BY doc_id"""
 
+  // -------------------------------------------------- temperature mixing
+  // α = 1/2 temperature mix: source weights DERIVED from the corpus as
+  // isqrt(token mass) — low-resource sources upweighted relative to their
+  // size (XLM/mT5 sampling). The exact-integer-sqrt correction (±1 around
+  // the double rounding) is the contract under test: both engines compute
+  // floor(sqrt) the same corrected way, so thresholds — and therefore the
+  // kept set — are bit-identical.
+  private def qTempMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    Sampling.mixTemperatureSqrt(d, "doc_id", "toks", "source",
+        salt = "temp", hash = ph)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  private val oTempMix =
+    """WITH d AS (SELECT doc_id, source, len(str_split(text, ' '))::BIGINT AS toks FROM documents),
+       tot AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS tok
+               FROM d GROUP BY source HAVING SUM(toks) > 0),
+       w AS (SELECT source, tok,
+               (CASE WHEN (s0+1)*(s0+1) <= tok THEN s0+1
+                     WHEN s0*s0 > tok THEN s0-1 ELSE s0 END) AS w
+             FROM (SELECT source, tok, CAST(floor(sqrt(tok::DOUBLE)) AS BIGINT) AS s0 FROM tot)),
+       thr AS (SELECT source,
+                 least(1000000::BIGINT,
+                   (((w * (SELECT CAST(SUM(tok) AS BIGINT) FROM w))
+                     // (SELECT CAST(SUM(w) AS BIGINT) FROM w)) * 1000000) // tok) AS thr
+               FROM w)
+       SELECT d.source, count(*) AS n_docs, CAST(SUM(d.toks) AS BIGINT) AS n_tokens
+       FROM d JOIN thr USING (source)
+       WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'temp'), 1, 15))::BIGINT % 1000000 < thr.thr
+       GROUP BY d.source ORDER BY d.source"""
+
+  // ----------------------------------------------------- publish date
+  // Content-time extraction: /YYYY/MM/DD/ permalink segment (range-checked
+  // — /2023/14/xx/ is a counter, not a date) with body-dateline ISO dates
+  // as fallback. URLs and datelines are synthesized deterministically from
+  // doc_id (every 3rd doc a dated permalink, every 5th a dateline, months
+  // deliberately overflowing into the invalid band), so the regex + range
+  // check + coalesce precedence are all value-verified.
+  private def qPubDate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      concat(lit("https://blog.example/"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat((lit(2000) + pmod(col("doc_id"), lit(26))).cast("string"), lit("/"),
+            lpad(pmod(col("doc_id"), lit(15)).cast("string"), 2, "0"), lit("/"),
+            lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"), lit("/")))
+          .otherwise(lit("post/")),
+        col("doc_id").cast("string")).as("url"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("Published: "),
+          (lit(2010) + pmod(col("doc_id"), lit(9))).cast("string"), lit("-"),
+          lpad((pmod(col("doc_id"), lit(12)) + 1).cast("string"), 2, "0"), lit("-"),
+          lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+          lit(" "), col("text")))
+        .otherwise(col("text")).as("body"))
+    d.select(col("doc_id"), col("url"),
+        CorpusSignals.urlDate(col("url")).as("url_date"),
+        CorpusSignals.pubDate(col("url"), col("body")).as("pub_date"))
+      .orderBy("doc_id")
+  }
+
+  private val oPubDate =
+    """WITH u AS (SELECT doc_id,
+           'https://blog.example/' ||
+           CASE WHEN doc_id % 3 = 0
+             THEN (2000 + doc_id % 26)::VARCHAR || '/' ||
+                  lpad((doc_id % 15)::VARCHAR, 2, '0') || '/' ||
+                  lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || '/'
+             ELSE 'post/' END || doc_id::VARCHAR AS url,
+           CASE WHEN doc_id % 5 = 0
+             THEN 'Published: ' || (2010 + doc_id % 9)::VARCHAR || '-' ||
+                  lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-' ||
+                  lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || ' ' || text
+             ELSE text END AS body
+         FROM documents),
+       e AS (SELECT doc_id, url,
+           regexp_extract(url, '/((?:19|20)[0-9]{2})/([0-9]{2})/([0-9]{2})/', 1) AS uy,
+           regexp_extract(url, '/((?:19|20)[0-9]{2})/([0-9]{2})/([0-9]{2})/', 2) AS um,
+           regexp_extract(url, '/((?:19|20)[0-9]{2})/([0-9]{2})/([0-9]{2})/', 3) AS ud,
+           regexp_extract(body, '\b((?:19|20)[0-9]{2})-([0-9]{2})-([0-9]{2})\b', 1) AS ty,
+           regexp_extract(body, '\b((?:19|20)[0-9]{2})-([0-9]{2})-([0-9]{2})\b', 2) AS tm,
+           regexp_extract(body, '\b((?:19|20)[0-9]{2})-([0-9]{2})-([0-9]{2})\b', 3) AS td
+         FROM u),
+       v AS (SELECT doc_id, url,
+           CASE WHEN TRY_CAST(um AS INT) BETWEEN 1 AND 12
+                 AND TRY_CAST(ud AS INT) BETWEEN 1 AND 31
+                THEN uy || '-' || um || '-' || ud END AS url_date,
+           CASE WHEN TRY_CAST(tm AS INT) BETWEEN 1 AND 12
+                 AND TRY_CAST(td AS INT) BETWEEN 1 AND 31
+                THEN ty || '-' || tm || '-' || td END AS text_date
+         FROM e)
+       SELECT doc_id, url, url_date,
+         COALESCE(url_date, text_date) AS pub_date
+       FROM v ORDER BY doc_id"""
+
   // -------------------------------------------------------- cosine top-k ANN
   private def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
@@ -4818,6 +4916,8 @@ object Queries {
     "q_containment" -> qContainment _,
     "q_soft_dedup" -> qSoftDedup _,
     "q_luhn" -> qLuhn _,
+    "q_temp_mix" -> qTempMix _,
+    "q_pub_date" -> qPubDate _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_topk" -> qAnnTopK _,
@@ -4960,6 +5060,8 @@ object Queries {
     "q_containment" -> oContainment,
     "q_soft_dedup" -> oSoftDedup,
     "q_luhn" -> oLuhn,
+    "q_temp_mix" -> oTempMix,
+    "q_pub_date" -> oPubDate,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_topk" -> oAnnTopK,

@@ -396,6 +396,49 @@ object CorpusSignals {
       when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
   }
 
+  // date-in-URL-path: /YYYY/MM/DD/ — the blog/CMS permalink convention;
+  // restricted to the java.util.regex ∩ RE2 subset so the oracle runs the
+  // same pattern text
+  val UrlDateRe = "/((?:19|20)[0-9]{2})/([0-9]{2})/([0-9]{2})/"
+  // ISO-8601 date in body text (dateline / "Published: 2023-05-12")
+  val TextDateRe = "\\b((?:19|20)[0-9]{2})-([0-9]{2})-([0-9]{2})\\b"
+
+  private def validDate(y: Column, m: Column, d: Column): Column = {
+    // regexp_extract yields "" on no match; ANSI mode forbids ''::int
+    def toInt(c: Column): Column = when(c =!= "", c).cast("int")
+    val mi = toInt(m); val di = toInt(d)
+    when(mi >= 1 && mi <= 12 && di >= 1 && di <= 31,
+      concat(y, lit("-"), m, lit("-"), d))
+  }
+
+  /** Publish date from the URL path (`/YYYY/MM/DD/` permalink segment) as
+    * an ISO `YYYY-MM-DD` string, null when absent or invalid (month/day
+    * range-checked — `/2023/99/99/` is a counter, not a date). The
+    * temporal-filtering signal a training-data pipeline wants when the
+    * crawl timestamp is fetch time, not content time.
+    */
+  def urlDate(url: Column): Column =
+    validDate(
+      regexp_extract(url, UrlDateRe, 1),
+      regexp_extract(url, UrlDateRe, 2),
+      regexp_extract(url, UrlDateRe, 3))
+
+  /** First ISO-8601 date in the text body (dateline), range-checked like
+    * [[urlDate]]; null when the body carries none.
+    */
+  def textDate(text: Column): Column =
+    validDate(
+      regexp_extract(text, TextDateRe, 1),
+      regexp_extract(text, TextDateRe, 2),
+      regexp_extract(text, TextDateRe, 3))
+
+  /** Best-effort publish date: URL permalink wins (it is the page's OWN
+    * claim of publication period and is immune to body-text noise), body
+    * dateline second. Both scan-side regex — zero exchange.
+    */
+  def pubDate(url: Column, text: Column): Column =
+    coalesce(urlDate(url), textDate(text))
+
   /** Cap each host at `k` documents, chosen by deterministic hash priority
     * (smallest (hash(id, salt), id) first) — RefinedWeb-style host-level
     * quota. One shuffle on the host key; Spark 4's WindowGroupLimit bounds

@@ -275,6 +275,54 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Exact integer square root of a non-negative BIGINT column. Computed
+    * as floor(sqrt(double)) plus a ±1 correction: double sqrt is correctly
+    * rounded (≤ 0.5 ulp), so the true isqrt is within one of the rounded
+    * value for any x < 2^63 — the two guards make the result EXACT, which
+    * the determinism contract needs (the uncorrected floor misfires just
+    * below perfect squares, e.g. floor(sqrt(10^18)) on some libm paths).
+    */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+      .when(s0 * s0 > x, s0 - 1)
+      .otherwise(s0)
+  }
+
+  /** Temperature-scaled source mixing at α = 1/2: sample source s
+    * proportionally to tok_s^α rather than tok_s — the standard
+    * low-resource-upweighting mix of multilingual pretraining (XLM,
+    * Conneau & Lample 2019 §3.1; mT5, Xue et al. 2021 use the same
+    * p ∝ p^α family). Against [[mixByTokenBudget]]'s caller-supplied
+    * static weights, the temperature mix DERIVES the weight vector from
+    * the corpus itself: w_s = isqrt(tok_s), so a source 100× larger gets
+    * only 10× the token share.
+    *
+    * All arithmetic is exact BIGINT ([[isqrt]] + the integral threshold
+    * chain of mixByTokenBudget); downsampling only — sources under their
+    * temperature target keep everything (threshold caps at M). For
+    * fractional-epoch UPsampling of small sources compose with
+    * [[mixEpochs]]. Plan: identical to mixByTokenBudget — one |sources|-row
+    * aggregate, broadcast thresholds, scan-side filter.
+    */
+  def mixTemperatureSqrt(df: DataFrame, idCol: String, tokCol: String,
+                         srcCol: String, salt: String = "",
+                         hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    val perSrc = df.groupBy(col(srcCol)).agg(sum(col(tokCol)).as("__tok"))
+      .where(col("__tok") > 0)
+      .withColumn("__w", isqrt(col("__tok")))
+    val totals = perSrc.agg(sum(col("__tok")).as("__tsum"), sum(col("__w")).as("__wsum"))
+    val thr = perSrc.crossJoin(broadcast(totals))
+      .withColumn("__target", expr("(__w * __tsum) div __wsum"))
+      .withColumn("__thr", least(lit(M),
+        expr(s"(__target * ${M}L) div __tok")))
+      .select(col(srcCol), col("__thr"))
+    df.join(broadcast(thr), Seq(srcCol))
+      .where(pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
+        < col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Source mixing WITH upsampling — the full "epochs per source" contract
     * of corpus assembly (RedPajama/Llama-style mixes repeat small trusted
     * sources several times): each doc of source s appears

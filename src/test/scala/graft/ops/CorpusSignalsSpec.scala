@@ -102,6 +102,28 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 2L)))
   }
 
+  test("urlDate/textDate/pubDate: permalink wins, range check rejects counters") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      // (url, body, expect url_date, expect pub_date)
+      ("https://a.ex/2023/05/12/post", "plain text", "2023-05-12", "2023-05-12"),
+      ("https://a.ex/2023/14/12/x", "no dates", null, null),          // month 14: counter
+      ("https://a.ex/2023/05/00/x", "no dates", null, null),          // day 00
+      ("https://a.ex/post/9", "Published: 2021-11-03 body", null, "2021-11-03"),
+      ("https://a.ex/1999/01/31/p", "Published: 2021-11-03 b", "1999-01-31", "1999-01-31"),
+      ("https://a.ex/p", "ref 12345-67-89 not a year", null, null),   // year band
+      // FIRST match only — a leading invalid dateline is not skipped
+      ("https://a.ex/p", "v2 2020-13-01 then 2020-12-01", null, null))
+    val got = rows.map(r => (r._1, r._2)).toDF("url", "body")
+      .select(CorpusSignals.urlDate(col("url")).as("u"),
+        CorpusSignals.pubDate(col("url"), col("body")).as("p"))
+      .collect()
+    rows.zip(got).foreach { case ((url, body, eu, ep), r) =>
+      assert(r.getString(0) == eu, s"urlDate($url)")
+      assert(r.getString(1) == ep, s"pubDate($url, $body)")
+    }
+  }
+
   test("luhnOk: known-valid PANs pass, one-digit corruptions fail, vs direct Luhn") {
     val s = spark; import s.implicits._
     def luhnRef(n: String): Boolean = {

@@ -214,6 +214,45 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == (a.take(5).map(r => ("A", r._1)) ++ b.map(r => ("B", r._1))).toSet)
   }
 
+  test("isqrt: exact at perfect squares, off-by-one bands, and 10^18-scale values") {
+    val s = spark; import s.implicits._
+    val cases = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 15L, 16L, 17L,
+      999999L, 1000000L, 1000001L,
+      999999999999999999L, 1000000000000000000L, // 10^18 band
+      (1L << 31) * (1L << 31) - 1, (1L << 31) * (1L << 31)) // 2^62 boundary
+    val got = cases.toDF("x")
+      .select(col("x"), Sampling.isqrt(col("x")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { x =>
+      val t = got(x)
+      assert(t * t <= x && (t + 1) * (t + 1) > x, s"isqrt($x) = $t not exact")
+    }
+  }
+
+  test("mixTemperatureSqrt: hand-computed isqrt thresholds; small source keeps a larger share") {
+    val s = spark; import s.implicits._
+    val idHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => c.cast("long")
+    // A: 10 docs × 10 toks = 100; B: 20 docs × 1000 toks = 20000.
+    // w_A = isqrt(100) = 10, w_B = isqrt(20000) = 141; T = 20100, W = 151:
+    //   A: target = (10·20100) div 151 = 1331 ≥ 100   -> thr = M (keep all)
+    //   B: target = (141·20100) div 151 = 18768
+    //      thr = (18768·10^6) div 20000 = 938400 -> identity-hash ids
+    //      0, 50000, …, 900000 keep; 950000 drops (ids stay < 10^6 — the
+    //      hash is taken mod 10^6, so larger ids would alias low buckets)
+    val a = (0 until 10).map(i => (i * 100000L + 7L, "A", 10L))
+    val b = (0 until 20).map(i => (i * 50000L, "B", 1000L))
+    val df = (a ++ b).toDF("doc_id", "source", "toks")
+    val kept = Sampling.mixTemperatureSqrt(df, "doc_id", "toks", "source", hash = idHash)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val expect = (a.map(r => ("A", r._1)) ++
+      b.filter(_._1 < 938400L).map(r => ("B", r._1))).toSet
+    assert(kept == expect)
+    // the temperature property: the big source is downsampled (19 of 20
+    // here — and exactly at the computed boundary), the small untouched
+    assert(kept.count(_._1 == "A") == 10 && kept.count(_._1 == "B") == 19)
+  }
+
   test("mixEpochs: whole epochs plus hash-selected fractional epoch, exact arithmetic") {
     val s = spark
     import s.implicits._
