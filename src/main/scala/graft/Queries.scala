@@ -841,6 +841,63 @@ object Queries {
          COALESCE(url_date, text_date) AS pub_date
        FROM v ORDER BY doc_id"""
 
+  // -------------------------------------------------------------- mojibake
+  // Double-encoding artifacts (UTF-8 read as cp1252) detected and repaired
+  // from the shared CorpusSignals.MojibakeTable; every even doc gets a
+  // deterministic artifact-laden suffix. The oracle SQL is GENERATED from
+  // the same table (length-difference counts + nested replace chain), so
+  // table edits cannot drift the two sides apart; repaired text is pinned
+  // by char length + 60-bit md5 — one wrong replacement flips the hash.
+  private val MojiSuffix = " Itâ€™s â€œcaffÃ©â€¦ 5Â° Â«dÃ¼vâ€“xÂ»"
+
+  private def qMojibake(s: SparkSession, dir: String): DataFrame = {
+    val x = concat(col("text"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(MojiSuffix)).otherwise(lit("")))
+    docs(s, dir).select(col("doc_id"), x.as("x"))
+      .select(col("doc_id"),
+        CorpusSignals.mojibakeCount(col("x")).as("n_moji"),
+        length(CorpusSignals.repairMojibake(col("x"))).cast("long").as("repaired_len"),
+        conv(substring(md5(CorpusSignals.repairMojibake(col("x"))), 1, 15), 16, 10)
+          .cast("long").as("repaired_h"))
+      .orderBy("doc_id")
+  }
+
+  private val oMojibake: String = {
+    val terms = CorpusSignals.MojibakeTable.map { case (a, _) =>
+      s"(length(x) - length(replace(x, '$a', ''))) // ${a.length}"
+    }.mkString(" + ")
+    val repaired = CorpusSignals.MojibakeTable.foldLeft("x") {
+      case (e, (a, b)) => s"replace($e, '$a', '$b')"
+    }
+    s"""WITH t AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 2 = 0 THEN '$MojiSuffix' ELSE '' END AS x
+         FROM documents)
+       SELECT doc_id,
+         CAST($terms AS BIGINT) AS n_moji,
+         CAST(length($repaired) AS BIGINT) AS repaired_len,
+         ('0x' || substr(md5($repaired), 1, 15))::BIGINT AS repaired_h
+       FROM t ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------ deterministic shuffle
+  // Reproducible training order: (shard, pos) from the hash permutation —
+  // replays identically across restarts, partitionings, and engines. Both
+  // sides compute the identical rank, so the WHOLE permutation is
+  // value-verified, not just row membership.
+  private def qShuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicShuffle(docs(s, dir).select("doc_id"), "doc_id",
+        shards = 8, salt = "ep0", hash = ph)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+
+  private val oShuffle =
+    """WITH h AS (SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR || 'ep0'), 1, 15))::BIGINT % 1000000 AS h
+         FROM documents)
+       SELECT doc_id, h % 8 AS shard,
+         CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+       FROM h ORDER BY doc_id"""
+
   // -------------------------------------------------------- cosine top-k ANN
   private def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
@@ -4918,6 +4975,8 @@ object Queries {
     "q_luhn" -> qLuhn _,
     "q_temp_mix" -> qTempMix _,
     "q_pub_date" -> qPubDate _,
+    "q_mojibake" -> qMojibake _,
+    "q_shuffle" -> qShuffle _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_topk" -> qAnnTopK _,
@@ -5062,6 +5121,8 @@ object Queries {
     "q_luhn" -> oLuhn,
     "q_temp_mix" -> oTempMix,
     "q_pub_date" -> oPubDate,
+    "q_mojibake" -> oMojibake,
+    "q_shuffle" -> oShuffle,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_topk" -> oAnnTopK,

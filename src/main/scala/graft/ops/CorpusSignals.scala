@@ -452,6 +452,45 @@ object CorpusSignals {
     Sampling.stratifiedQuota(
       df.withColumn("host", host(col(urlCol))), "host", idCol, k, salt, hash)
 
+  /** The classic web-encoding bug as a lookup table: UTF-8 bytes decoded
+    * as Windows-1252/Latin-1 ("mojibake"). Each entry maps the 2–3 char
+    * artifact (what the corrupted page shows) to the intended character —
+    * smart punctuation first (cp1252's €/™ block makes them 3 chars),
+    * then the Latin-1 accents (2 chars, all starting 'Ã' or 'Â'). The
+    * table is the SAME transform ftfy's most common fixes apply; entries
+    * whose artifact contains an unprintable C1 control (e.g. U+201D's
+    * "â€") are deliberately absent — they don't survive the text
+    * layers this operator runs behind (stripInvisible deletes C1).
+    */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",
+    "â€“" -> "–", "â€”" -> "—", "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã±" -> "ñ", "Ã¼" -> "ü", "Ã¶" -> "ö", "Ã¤" -> "ä", "Ã§" -> "ç",
+    "Â«" -> "«", "Â»" -> "»", "Â°" -> "°")
+
+  private def replaceAllLit(text: Column, from: String, to: String): Column =
+    call_function("replace", text, lit(from), lit(to))
+
+  /** Total artifact occurrences in the text — the mojibake detector. Each
+    * artifact is counted by length difference against its deletion
+    * (exact integer arithmetic, no regex), summed over the table. A page
+    * scoring > 0 was double-encoded somewhere on its path; a THRESHOLD on
+    * this count is the routing policy (re-decode vs drop).
+    */
+  def mojibakeCount(text: Column): Column =
+    MojibakeTable.map { case (a, _) =>
+      ((length(text) - length(replaceAllLit(text, a, ""))) / a.length).cast("long")
+    }.reduce(_ + _)
+
+  /** Repair pass: apply the table left-to-right (entries are prefix-free
+    * at equal first chars, so order only matters for determinism, which
+    * the fixed table order provides). Chained codegen'd `replace` calls —
+    * scan-side, zero exchange, exact on any engine.
+    */
+  def repairMojibake(text: Column): Column =
+    MojibakeTable.foldLeft(text) { case (t, (a, b)) => replaceAllLit(t, a, b) }
+
   /** Invisible-character hygiene — the sanitize pass a modern LLM training
     * pipeline runs to kill zero-width/bidi/control payloads (invisible
     * prompt-injection and watermark channels ride exactly these):

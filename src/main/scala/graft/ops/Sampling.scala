@@ -150,6 +150,32 @@ object Sampling {
           greatest(lit(0L), col("window") * seqLen - col("off"))).as("tok_len"))
   }
 
+  /** Deterministic corpus shuffle — the reproducible training ORDER a
+    * pretraining run needs (epoch ordering must replay identically across
+    * restarts, cluster sizes, and engine versions; an RNG shuffle is none
+    * of those). Every row gets (shard, pos): shard = hash(id, salt) mod
+    * `shards`, pos = dense 1-based rank of (hash, id) within the shard.
+    * Reading shards round-robin (or concatenating shard streams) yields a
+    * fixed pseudo-random global order; a new `salt` is a fresh epoch
+    * permutation.
+    *
+    * Plan at 100 TB: ONE exchange on the shard key + per-shard sort —
+    * embarrassingly parallel across shards, no global sort (a global
+    * row_number would serialize the corpus through one task; the shard
+    * decomposition is the same parallelism-unit trick as [[packBudget]]).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, shards: Int,
+                           salt: String = "",
+                           hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val h = pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Exact per-stratum quota: the `n` rows of each stratum with the
     * smallest (hash, id) priority — a deterministic uniform draw without
     * replacement. Plans as ONE shuffle on the stratum key; Spark 4's

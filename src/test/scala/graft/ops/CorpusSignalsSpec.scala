@@ -102,6 +102,30 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 2L)))
   }
 
+  test("mojibake: count and repair of cp1252 double-encoding, identity on clean text") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      ("Itâ€™s â€œfineâ€¦ caffÃ©", "It’s “fine… caffé", 4L),
+      ("plain ascii text", "plain ascii text", 0L),
+      ("already repaired: it’s “fine… caffé", "already repaired: it’s “fine… caffé", 0L),
+      ("Â«xÂ» 5Â° Ã¼Ã¶Ã¤", "«x» 5° üöä", 6L))
+    val got = rows.map(_._1).toDF("t")
+      .select(CorpusSignals.repairMojibake(col("t")).as("r"),
+        CorpusSignals.mojibakeCount(col("t")).as("n"))
+      .collect()
+    rows.zip(got).foreach { case ((in, expR, expN), r) =>
+      assert(r.getString(0) == expR, s"repair($in)")
+      assert(r.getLong(1) == expN, s"count($in)")
+    }
+    // repair is idempotent: a second pass changes nothing (no artifact's
+    // replacement re-creates another artifact)
+    val twice = rows.map(_._1).toDF("t")
+      .select(CorpusSignals.repairMojibake(
+        CorpusSignals.repairMojibake(col("t"))).as("r2"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == rows.map(_._2))
+  }
+
   test("urlDate/textDate/pubDate: permalink wins, range check rejects counters") {
     val s = spark; import s.implicits._
     val rows = Seq(

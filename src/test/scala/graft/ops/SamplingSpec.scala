@@ -214,6 +214,24 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == (a.take(5).map(r => ("A", r._1)) ++ b.map(r => ("B", r._1))).toSet)
   }
 
+  test("deterministicShuffle: a per-shard permutation, partitioning-invariant, salt = new epoch") {
+    val s = spark; import s.implicits._
+    val ids = (0L until 200L).toDF("doc_id")
+    def run(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.deterministicShuffle(df, "doc_id", shards = 4, salt = salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(ids, "e0")
+    // every row present once; within a shard, pos is exactly 1..n
+    assert(a.map(_._1) == (0L until 200L).toSet)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3) == (1L to rows.size).toSet)
+    }
+    // invariant under input partitioning (the reproducibility contract)
+    assert(run(ids.repartition(13), "e0") == a)
+    // a different salt is a genuinely different permutation
+    assert(run(ids, "e1") != a)
+  }
+
   test("isqrt: exact at perfect squares, off-by-one bands, and 10^18-scale values") {
     val s = spark; import s.implicits._
     val cases = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 15L, 16L, 17L,
