@@ -65,6 +65,11 @@ object Bench {
     "q_page_meta", "q_sitemap", "q_sitemap_deep", "q_feed", "q_discovery", "q_recrawl", "q_upsert", "q_frontier", "q_ann_recall",
     "q_dedup_eval",
     "q_robots_directives", "q_idn_host",
+    "q_containment", "q_luhn", "q_temp_mix", "q_pub_date", "q_mojibake",
+    "q_shuffle", "q_indexable",
+    // q_soft_dedup is excluded with the other iterative-CC compositions
+    // (its cluster map is q_dedup_clusters' already-profiled shape; the
+    // weight join adds one |clusters|-row aggregate)
     // q_pq_train is excluded like every iterative trainer (q_ivf_train):
     // k checkpointed Lloyd rounds measure fixed job overhead, not dataflow
     // q_bpe64 is the one iterative row kept ON PURPOSE: it demonstrates the

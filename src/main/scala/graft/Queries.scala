@@ -898,6 +898,63 @@ object Queries {
          CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
        FROM h ORDER BY doc_id"""
 
+  // ------------------------------------------------------------ indexability
+  // The full three-gate indexability decision a crawl pipeline makes per
+  // page — HTTP envelope (status must be 200), page-level meta robots
+  // (noindex/none), and host-level robots.txt (longest-prefix verdict) —
+  // composed from ops/Http, ops/PageMeta and ops/Robots over one
+  // synthesized corpus. Each gate's inputs are arithmetic in doc_id, so
+  // the oracle rebuilds all three verdicts and the conjunction exactly;
+  // a regression in ANY of the three parsers flips rows.
+  private def qIndexable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val url = s"https://h${id % 37}.example.com/doc/$id"
+        val robotsMeta = (id % 5) match {
+          case 0 => """<meta name="robots" content="noindex">"""
+          case 2 => """<meta name="robots" content="NONE">"""
+          case _ => """<meta name="robots" content="index, follow">"""
+        }
+        val html = s"<html><head>$robotsMeta<title>D$id</title></head><body>x</body></html>"
+        val env =
+          if (id % 7 == 0) s"HTTP/1.1 301 Moved\r\nLocation: https://x/\r\n\r\n$html"
+          else if (id % 3 == 0) html // no envelope: not an HTTP response
+          else s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+        (id, url, env, html)
+      }.toDF("doc_id", "url", "env", "html")
+    val status = pages.select(col("doc_id"),
+      Http.httpStatus(encode(col("env"), "UTF-8")).as("status"))
+    val meta = PageMeta.extract(pages, "doc_id", "url", "html")
+      .select(col("doc_id"), col("noindex"))
+    val hostCol = concat(lit("h"), col("id").cast("string"), lit(".example.com"))
+    val rules = s.range(0, 37)
+      .select(hostCol.as("host"), lit("/doc/").as("prefix"),
+        (pmod(col("id"), lit(3)) =!= 0).as("allow"))
+    val allowed = graft.ops.Robots.allowedDecision(
+        pages.select("doc_id", "url"), "url", rules)
+      .select(col("doc_id"), col("allowed"))
+    status.join(meta, "doc_id").join(allowed, "doc_id")
+      .withColumn("indexable",
+        coalesce(col("status") === 200, lit(false)) &&
+          !col("noindex") && col("allowed"))
+      .orderBy("doc_id")
+  }
+
+  private val oIndexable =
+    """SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 301
+              WHEN doc_id % 3 = 0 THEN NULL
+              ELSE 200 END::BIGINT AS status,
+         (doc_id % 5 = 0 OR doc_id % 5 = 2) AS noindex,
+         ((doc_id % 37) % 3 <> 0) AS allowed,
+         (COALESCE(CASE WHEN doc_id % 7 = 0 THEN 301
+                        WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE 200 END = 200, false)
+          AND NOT (doc_id % 5 = 0 OR doc_id % 5 = 2)
+          AND ((doc_id % 37) % 3 <> 0)) AS indexable
+       FROM documents ORDER BY doc_id"""
+
   // -------------------------------------------------------- cosine top-k ANN
   private def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
@@ -4977,6 +5034,7 @@ object Queries {
     "q_pub_date" -> qPubDate _,
     "q_mojibake" -> qMojibake _,
     "q_shuffle" -> qShuffle _,
+    "q_indexable" -> qIndexable _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_topk" -> qAnnTopK _,
@@ -5123,6 +5181,7 @@ object Queries {
     "q_pub_date" -> oPubDate,
     "q_mojibake" -> oMojibake,
     "q_shuffle" -> oShuffle,
+    "q_indexable" -> oIndexable,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_topk" -> oAnnTopK,

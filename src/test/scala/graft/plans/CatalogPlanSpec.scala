@@ -48,11 +48,26 @@ class CatalogPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast query set is its definition; the scale paths are
     // q_ann_topk / q_ivf_topk, which must not nested-loop).
     Seq("q_minhash_pairs", "q_simhash_pairs", "q_ngram_jaccard",
-      "q_embed_neardup", "q_ann_topk").foreach { q =>
+      "q_embed_neardup", "q_ann_topk", "q_containment").foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
+  }
+
+  test("q_temp_mix / q_shuffle: broadcast thresholds, shard-window rank, no O(n^2) shape") {
+    // temperature mix: the threshold table rides a BroadcastExchange; the
+    // corpus side pays the per-source aggregate + scan-side filter only
+    val pMix = plan("q_temp_mix")
+    assert(pMix.contains("BroadcastExchange"), s"thresholds must broadcast:\n$pMix")
+    // deterministic shuffle: exactly ONE exchange of the corpus (on the
+    // shard key) — a global sort would show a rangepartitioning exchange
+    // on (h, id) instead (the orderBy in the catalog wrapper adds its own
+    // final exchange; count hashpartitioning ones)
+    val pSh = plan("q_shuffle")
+    assert(pSh.contains("WindowGroupLimit") || pSh.contains("Window"),
+      s"shuffle ranks inside a shard window:\n$pSh")
+    assert(!pSh.contains("CartesianProduct"))
   }
 
   test("q_cosine_topk: query side broadcast, top-k bound pushed as WindowGroupLimit") {
