@@ -662,6 +662,32 @@ object Queries {
        WHERE c::DOUBLE / sa.n >= 0.5
        ORDER BY id_a, id_b"""
 
+  // ----------------------------------------------------------- gram novelty
+  // Per-doc novelty: distinct 3-gram shingles with corpus document
+  // frequency 1, as ppm of the doc's shingles — the scalar triage signal
+  // that runs BEFORE pair-generating dedup. One gram-hash exchange + one
+  // doc-id exchange; all-integral output.
+  private def qNovelty(s: SparkSession, dir: String): DataFrame =
+    TextDedup.noveltyScores(docs(s, dir), "doc_id", "text", n = 3, hash = ph)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+        col("novelty_ppm"))
+      .orderBy("doc_id")
+
+  private val oNovelty =
+    """WITH sh AS (
+         SELECT doc_id AS id, unnest(list_transform(list_distinct(
+           list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS s
+         FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) WHERE len(t) >= 3),
+       df AS (SELECT s, count(*) AS dfreq FROM sh GROUP BY s)
+       SELECT sh.id AS doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         (CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+           // count(*) AS novelty_ppm
+       FROM sh JOIN df USING (s)
+       GROUP BY sh.id ORDER BY doc_id"""
+
   // ------------------------------------------------------------ soft dedup
   // Duplication-AWARE weights instead of hard drops: every document kept,
   // weight_ppm = 10^6 div near-dup-cluster-size (integral — no IEEE in the
@@ -5035,6 +5061,7 @@ object Queries {
     "q_mojibake" -> qMojibake _,
     "q_shuffle" -> qShuffle _,
     "q_indexable" -> qIndexable _,
+    "q_novelty" -> qNovelty _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_topk" -> qAnnTopK _,
@@ -5182,6 +5209,7 @@ object Queries {
     "q_mojibake" -> oMojibake,
     "q_shuffle" -> oShuffle,
     "q_indexable" -> oIndexable,
+    "q_novelty" -> oNovelty,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_topk" -> oAnnTopK,

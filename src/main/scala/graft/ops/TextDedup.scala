@@ -740,6 +740,35 @@ object TextDedup {
       .unionByName(joined.where(col("cluster").isNull).drop("cluster"))
   }
 
+  /** Per-document n-gram NOVELTY: how much of a document's (distinct)
+    * shingle set appears nowhere else in the corpus — the inverse of
+    * boilerplate-ness as a per-doc scalar. Templates, mirrored pages and
+    * stamp content score near 0; original prose near 10^6. The integral
+    * `novelty_ppm = (n_novel · 10^6) div n_grams` keeps the contract
+    * engine-exact.
+    *
+    * Plan at 100 TB: one exchange on the 8-byte shingle hash for the
+    * document-frequency aggregate (map-side combine collapses hot grams),
+    * one exchange back on the doc id for the per-doc counts. No pairwise
+    * anything — novelty is the cheap corpus-wide signal that triages
+    * BEFORE the pair-generating dedup operators run.
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3,
+                    hash: Column => Column = fastHash): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        shingleRows(col(textCol), n).as("s0"))
+      .select(col("id"), hash(col("s0")).as("s"))
+    // shingleRows is per-doc distinct, so count(*) per hash IS document
+    // frequency
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
+    sh.join(dfreq, "s")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("dfreq") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000L) div n_grams"))
+  }
+
   /** SOFT dedup: instead of dropping near-duplicates, keep every document
     * and attach a sampling weight inversely proportional to its cluster
     * size — SoftDeDup-style reweighting (cf. "soft deduplication" /

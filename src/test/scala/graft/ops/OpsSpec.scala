@@ -457,6 +457,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!j.contains((100L, 101L)))
   }
 
+  test("noveltyScores: df=1 grams counted, duplicates score 0, unique prose 10^6") {
+    val df = docsDf(
+      1L -> "a b c d e",        // shares "a b c" with doc 2; "b c d"/"c d e" also in 2
+      2L -> "a b c d e",        // exact dup of 1 → novelty 0 for both
+      3L -> "x y z w",          // fully unique → 10^6
+      4L -> "a b c q r s")      // 1 shared gram ("a b c"), 3 novel of 4
+    val got = TextDedup.noveltyScores(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (3L, 0L, 0L))
+    assert(got(2L) == (3L, 0L, 0L))
+    assert(got(3L) == (2L, 2L, 1000000L))
+    assert(got(4L) == (4L, 3L, 750000L))
+  }
+
   test("softDedupWeights: 1/cluster-size ppm weights, unclustered docs weight 10^6") {
     val s = spark; import s.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
