@@ -924,6 +924,28 @@ object Queries {
          CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
        FROM h ORDER BY doc_id"""
 
+  // ------------------------------------------------- negative sampling
+  // Contrastive negatives: successor-in-hash-order within the shard,
+  // wrapping at the shard end — the whole assignment is value-verified
+  // (both engines compute the identical lead/first-over-window).
+  private def qNegPairs(s: SparkSession, dir: String): DataFrame =
+    Sampling.negativePairs(docs(s, dir).select("doc_id"), "doc_id",
+        shards = 8, salt = "ns", hash = ph)
+      .select("doc_id", "shard", "neg_id")
+      .orderBy("doc_id")
+
+  private val oNegPairs =
+    """WITH h AS (SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR || 'ns'), 1, 15))::BIGINT % 1000000 AS h
+         FROM documents),
+       s AS (SELECT doc_id, h, h % 8 AS shard FROM h),
+       p AS (SELECT doc_id, shard,
+           COALESCE(lead(doc_id) OVER (PARTITION BY shard ORDER BY h, doc_id),
+                    first_value(doc_id) OVER (PARTITION BY shard ORDER BY h, doc_id)) AS neg_id
+         FROM s)
+       SELECT doc_id, shard, neg_id FROM p
+       WHERE neg_id <> doc_id ORDER BY doc_id"""
+
   // ------------------------------------------------------------ indexability
   // The full three-gate indexability decision a crawl pipeline makes per
   // page — HTTP envelope (status must be 200), page-level meta robots
@@ -5062,6 +5084,7 @@ object Queries {
     "q_shuffle" -> qShuffle _,
     "q_indexable" -> qIndexable _,
     "q_novelty" -> qNovelty _,
+    "q_neg_pairs" -> qNegPairs _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_topk" -> qAnnTopK _,
@@ -5210,6 +5233,7 @@ object Queries {
     "q_shuffle" -> oShuffle,
     "q_indexable" -> oIndexable,
     "q_novelty" -> oNovelty,
+    "q_neg_pairs" -> oNegPairs,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_topk" -> oAnnTopK,

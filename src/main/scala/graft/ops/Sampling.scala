@@ -176,6 +176,33 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Deterministic NEGATIVE sampling — the contrastive-pair generator an
+    * embedding/reranker training pipeline needs: each row is paired with
+    * a pseudo-random other row (the successor in the [[deterministicShuffle]]
+    * hash order within its shard, wrapping at the shard end), so negatives
+    * are (a) uniform-ish w.r.t. content — hash order is uncorrelated with
+    * any feature — and (b) a REPRODUCIBILITY CONTRACT like every sampler
+    * here: same pairs on any cluster, any retry, any partitioning; a new
+    * salt is a fresh negative assignment. Rows alone in their shard have
+    * only themselves to pair with and are dropped (pick `shards` ≪ rows).
+    *
+    * Plan at 100 TB: ONE exchange on the shard key; successor + wrap are
+    * lead/first over the shard window — no join, no second pass.
+    */
+  def negativePairs(df: DataFrame, idCol: String, shards: Int,
+                    salt: String = "",
+                    hash: Column => Column = TextDedup.portableHash): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val h = pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("neg_id",
+        coalesce(lead(col(idCol), 1).over(w), first(col(idCol)).over(w)))
+      .where(col("neg_id") =!= col(idCol))
+      .drop("__h")
+  }
+
   /** Exact per-stratum quota: the `n` rows of each stratum with the
     * smallest (hash, id) priority — a deterministic uniform draw without
     * replacement. Plans as ONE shuffle on the stratum key; Spark 4's

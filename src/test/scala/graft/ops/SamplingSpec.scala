@@ -214,6 +214,28 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == (a.take(5).map(r => ("A", r._1)) ++ b.map(r => ("B", r._1))).toSet)
   }
 
+  test("negativePairs: successor-with-wrap per shard, no self-pairs, partitioning-invariant") {
+    val s = spark; import s.implicits._
+    val ids = (0L until 100L).toDF("doc_id")
+    val got = Sampling.negativePairs(ids, "doc_id", shards = 4, salt = "n0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc gets exactly one negative; never itself
+    assert(got.length == 100 && got.forall { case (id, _, neg) => id != neg })
+    // within a shard the assignment is the cyclic successor: the multiset
+    // of negatives equals the multiset of members (each member is someone's
+    // negative exactly once)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == rows.map(_._1).sorted.toSeq)
+    }
+    // reproducibility under repartitioning
+    val again = Sampling.negativePairs(ids.repartition(7), "doc_id", shards = 4, salt = "n0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+    // a singleton shard drops its row (only itself to pair with)
+    val one = Sampling.negativePairs(Seq(42L).toDF("doc_id"), "doc_id", shards = 4)
+    assert(one.count() == 0)
+  }
+
   test("deterministicShuffle: a per-shard permutation, partitioning-invariant, salt = new epoch") {
     val s = spark; import s.implicits._
     val ids = (0L until 200L).toDF("doc_id")
