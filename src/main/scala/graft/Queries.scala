@@ -1548,6 +1548,54 @@ object Queries {
            i -> ('0x' || substr(hex(encode(text)), 2*i - 1, 2))::BIGINT)), 0)), ',') AS slots_csv
        FROM documents ORDER BY doc_id"""
 
+  // ------------------------------------------------------- perceptual hash
+  // 56-bit dHash over the stub byte grid + Hamming near-dup pairs through
+  // the text simhash banding. The per-doc oracle hex-decodes payload BYTES
+  // (the q_multimodal idiom) into the same 7×9 mod-63 cell sums and
+  // replays the gradient bits; the pair oracle is brute-force all-pairs,
+  // so the banding's exactness is what's verified. Exact-dup payloads in
+  // the corpus guarantee hamming-0 rows exist.
+  private def qPhash(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir).select(col("doc_id").as("id"),
+      col("text").cast("binary").as("payload"))
+    graft.ops.Multimodal.dHash56(s, media)
+      .select(col("id").as("doc_id"), col("simhash").as("dhash"))
+      .orderBy("doc_id")
+  }
+
+  private val phashCellsSql =
+    """list_transform(generate_series(0, 62), j ->
+         COALESCE(list_sum(list_transform(generate_series(1 + j, octet_length(encode(text)), 63),
+           i -> ('0x' || substr(hex(encode(text)), 2*i - 1, 2))::BIGINT)), 0))"""
+
+  private val oPhash =
+    s"""WITH c AS (SELECT doc_id, $phashCellsSql AS cells FROM documents)
+       SELECT doc_id,
+         list_sum(list_transform(generate_series(0, 55), b ->
+           CASE WHEN cells[(b // 8) * 9 + (b % 8) + 1] > cells[(b // 8) * 9 + (b % 8) + 2]
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS dhash
+       FROM c ORDER BY doc_id"""
+
+  private def qPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir).select(col("doc_id").as("id"),
+      col("text").cast("binary").as("payload"))
+    graft.ops.Multimodal.imageNearDupPairs(s, media, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val oPhashPairs =
+    s"""WITH c AS (SELECT doc_id, $phashCellsSql AS cells FROM documents),
+       ph AS (SELECT doc_id AS id,
+           list_sum(list_transform(generate_series(0, 55), b ->
+             CASE WHEN cells[(b // 8) * 9 + (b % 8) + 1] > cells[(b // 8) * 9 + (b % 8) + 2]
+                  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS h
+         FROM c)
+       SELECT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.h, b.h))::BIGINT AS hamming
+       FROM ph a JOIN ph b ON a.id < b.id
+       WHERE bit_count(xor(a.h, b.h)) <= 3
+       ORDER BY id_a, id_b"""
+
   // ------------------------------------------------------------ frame sample
   // Every-2nd-frame sampling over the video subset of the media table
   // (256-byte stub frames): the oracle re-slices the payload through its
@@ -5085,6 +5133,8 @@ object Queries {
     "q_indexable" -> qIndexable _,
     "q_novelty" -> qNovelty _,
     "q_neg_pairs" -> qNegPairs _,
+    "q_phash" -> qPhash _,
+    "q_phash_pairs" -> qPhashPairs _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_topk" -> qAnnTopK _,
@@ -5234,6 +5284,8 @@ object Queries {
     "q_indexable" -> oIndexable,
     "q_novelty" -> oNovelty,
     "q_neg_pairs" -> oNegPairs,
+    "q_phash" -> oPhash,
+    "q_phash_pairs" -> oPhashPairs,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_topk" -> oAnnTopK,

@@ -124,6 +124,53 @@ object Multimodal {
           .as("frame"))
   }
 
+  /** 56-bit difference-hash (dHash) over the stub decode: the payload is
+    * laid out as a 7×9 cell grid — cell (r,c) = Σ bytes at positions
+    * ≡ r·9+c (mod 63), the integer-exact twin of a downscaled grayscale
+    * grid — and bit r·8+c is set iff cell (r,c) > cell (r,c+1) (the
+    * horizontal-gradient construction of the classic perceptual dHash).
+    * 56 bits, not 64, on purpose: bit 63 is the portable-BIGINT overflow
+    * trap, and 56 matches the production simhash width so the SAME
+    * combination-banding pair generator serves both text and images.
+    *
+    * A real deployment swaps the grid for a real decoder's 8×9 downscale
+    * at this seam; the bit construction, banding, and Hamming-pair path
+    * are the real, tested part. Gradient bits are brightness/contrast
+    * invariant (any monotone per-image byte transform preserves them) —
+    * why dHash survives re-encoding where a byte hash doesn't.
+    */
+  def dHash56(spark: SparkSession, media: DataFrame,
+              idCol: String = "id", payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val cells = slotSums(p, 63)
+        var h = 0L
+        var r = 0
+        while (r < 7) {
+          var c = 0
+          while (c < 8) {
+            if (cells(r * 9 + c) > cells(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        (id, h)
+      }.toDF("id", "simhash")
+  }
+
+  /** Near-duplicate image pairs: [[dHash56]] signatures through the SAME
+    * combination-banding Hamming join as 56-bit text simhash
+    * (TextDedup.simhashPairs) — candidate generation is a bucketed
+    * equi-join on band keys, never all-pairs.
+    */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        idCol: String = "id", payloadCol: String = "payload",
+                        maxHamming: Int = 3): DataFrame =
+    TextDedup.simhashPairs(dHash56(spark, media, idCol, payloadCol),
+      bits = 56, chunks = 8, maxHamming = maxHamming)
+
   /** Media features → the similarity-search path: reuse VectorSim over the
     * stub features (cosine top-k, LSH buckets) — the multimodal dedup story
     * is the text story with a different front-end decode.

@@ -457,6 +457,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!j.contains((100L, 101L)))
   }
 
+  test("dHash56: hand-worked gradient bits; exact dups at hamming 0; small edits stay near") {
+    val s = spark; import s.implicits._
+    def dhashRef(p: Array[Byte]): Long = {
+      val cells = new Array[Long](63)
+      p.indices.foreach(i => cells(i % 63) += p(i) & 0xff)
+      (for (r <- 0 until 7; c <- 0 until 8
+            if cells(r * 9 + c) > cells(r * 9 + c + 1))
+        yield 1L << (r * 8 + c)).foldLeft(0L)(_ | _)
+    }
+    val base = Array.tabulate[Byte](300)(i => ((i * 37 + 11) % 251).toByte)
+    val tweaked = base.clone(); tweaked(5) = (tweaked(5) ^ 0x7f).toByte
+    val media = Seq(
+      (1L, base), (2L, base),                       // exact dup pair
+      (3L, tweaked),                                // near dup of 1/2
+      (4L, Array.tabulate[Byte](300)(i => ((i * 251 + 97) % 241).toByte)))
+      .toDF("id", "payload")
+    val got = graft.ops.Multimodal.dHash56(s, media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L -> base, 3L -> tweaked).foreach { case (id, p) =>
+      assert(got(id) == dhashRef(p), s"dHash56($id) vs direct definition")
+    }
+    assert(got(1L) == got(2L), "identical payloads must collide")
+    assert((got(1L) >>> 56) == 0L, "56-bit width: top 8 bits clear")
+    // a single-byte edit disturbs at most the 2 gradient bits adjacent to
+    // its cell — well inside the maxHamming=3 near-dup band
+    assert(java.lang.Long.bitCount(got(1L) ^ got(3L)) <= 2)
+    val pairs = graft.ops.Multimodal.imageNearDupPairs(s, media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    TextDedup.releaseCaches()
+    assert(pairs.contains((1L, 2L, 0L)), s"exact dup pair missing: $pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L), "near-dup pair missing")
+  }
+
   test("noveltyScores: df=1 grams counted, duplicates score 0, unique prose 10^6") {
     val df = docsDf(
       1L -> "a b c d e",        // shares "a b c" with doc 2; "b c d"/"c d e" also in 2
