@@ -4021,6 +4021,51 @@ object Queries {
               CAST(SUM(tf * COALESCE(w,0)) AS BIGINT) > 0 AS keep
        FROM tf LEFT JOIN wts USING (fid) GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------------------- quality-filter eval
+  // The third eval harness next to q_ann_recall / q_dedup_eval: the 2×2
+  // agreement matrix between the learned hashed-linear verdict and the
+  // rule-based Gopher gate — the sample-scale measurement that calibrates
+  // a model threshold against the rules it is meant to replace. Both
+  // verdicts recomputed end-to-end in the oracle, so the eval cannot pass
+  // by luck: a regression in EITHER gate moves cells.
+  private def qQualityEval(s: SparkSession, dir: String): DataFrame = {
+    val weights = s.range(0, MlDim.toLong).select(col("id").as("fid"),
+      (((col("id") * lit(2654435761L)) % lit(P)) % 2001L - 1000L).as("w"))
+    val ml = QualityModel.scoreHashed(docs(s, dir), "doc_id", "text",
+        weights, MlDim, hash = ph)
+      .select(col("doc_id"), col("keep").as("ml_keep"))
+    val gg = CorpusSignals.gopherGate(docs(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("keep").as("gopher_keep"))
+    ml.join(gg, "doc_id")
+      .groupBy("ml_keep", "gopher_keep")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("ml_keep", "gopher_keep")
+  }
+
+  private val oQualityEval =
+    s"""WITH wts AS (SELECT i AS fid, ((i * 2654435761) % $P) % 2001 - 1000 AS w
+               FROM generate_series(0, ${MlDim - 1}) t(i)),
+       toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+       tf AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT % $MlDim AS fid,
+                count(*) AS tf
+              FROM toks GROUP BY 1, 2),
+       ml AS (SELECT doc_id, CAST(SUM(tf * COALESCE(w,0)) AS BIGINT) > 0 AS ml_keep
+              FROM tf LEFT JOIN wts USING (fid) GROUP BY doc_id),
+       gg AS (SELECT doc_id,
+           ((nt BETWEEN 50 AND 100000)
+            AND (mtl >= 3.0 AND mtl <= 10.0)
+            AND (sh >= 2)
+            AND (CASE WHEN nt < 2 THEN true
+              ELSE ((len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)) <= 0.3 END)) AS gopher_keep
+         FROM (SELECT doc_id, len(t) AS nt,
+             list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS mtl,
+             len(list_filter(t, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) AS sh,
+             list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS g2
+           FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)))
+       SELECT ml.ml_keep, gg.gopher_keep, count(*) AS n
+       FROM ml JOIN gg USING (doc_id)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // CCNet-shape bigram LM scoring: train add-one-smoothed bigram counts on
   // a hash-sampled trusted subset, score every document with the integer
   // rational floor(1e6·(c2+1)/(c1+V)) per bigram — transcendental-free so
@@ -5135,6 +5180,7 @@ object Queries {
     "q_neg_pairs" -> qNegPairs _,
     "q_phash" -> qPhash _,
     "q_phash_pairs" -> qPhashPairs _,
+    "q_quality_eval" -> qQualityEval _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_topk" -> qAnnTopK _,
@@ -5286,6 +5332,7 @@ object Queries {
     "q_neg_pairs" -> oNegPairs,
     "q_phash" -> oPhash,
     "q_phash_pairs" -> oPhashPairs,
+    "q_quality_eval" -> oQualityEval,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_topk" -> oAnnTopK,
