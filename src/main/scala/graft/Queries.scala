@@ -1670,6 +1670,58 @@ object Queries {
          FROM documents)
        ORDER BY doc_id"""
 
+  // ------------------------------------------------------- truncation policy
+  // Fixed-context budget: 64 tokens kept as head 48 + tail 16 (75% head);
+  // under-budget docs pass BYTE-identical. The truncated text is pinned by
+  // token counts + 60-bit md5, so a one-token slice error flips the hash.
+  private def qTruncate(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_toks"),
+        least(TextStats.tokenCount(col("text")).cast("long"), lit(64L)).as("kept_toks"),
+        conv(substring(md5(
+          CorpusSignals.truncateMiddle(col("text"), maxToks = 64)), 1, 15), 16, 10)
+          .cast("long").as("trunc_h"))
+      .orderBy("doc_id")
+
+  private val oTruncate =
+    """WITH d AS (SELECT doc_id, text, str_split(text, ' ') AS t FROM documents)
+       SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+         CAST(least(len(t), 64) AS BIGINT) AS kept_toks,
+         ('0x' || substr(md5(CASE WHEN len(t) <= 64 THEN text
+             ELSE array_to_string(t[1:48], ' ') || ' ' ||
+                  array_to_string(t[len(t)-15:len(t)], ' ') END), 1, 15))::BIGINT AS trunc_h
+       FROM d ORDER BY doc_id"""
+
+  // ------------------------------------------------------- host reputation
+  // RefinedWeb-style site filtering: per-host mean of the micro-quantized
+  // quality score, blocked below threshold ONLY with >= minDocs evidence.
+  // Hosts synthesized as doc_id mod 37 (the corpus' standard host key), so
+  // per-host doc sets — and means — are arithmetic in doc_id.
+  private def qHostRep(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      concat(lit("https://h"), pmod(col("doc_id"), lit(37)).cast("string"),
+        lit(".example.com/doc/"), col("doc_id").cast("string")).as("url"),
+      floor(TextStats.qualityScore(col("text")) * 1e6).cast("long").as("q_micro"))
+    CorpusSignals.hostReputation(d, "url", "q_micro",
+        minDocs = 5L, minMeanMicro = 700000L)
+      .orderBy("host")
+  }
+
+  private val oHostRep =
+    """WITH q AS (SELECT doc_id,
+           'h' || (doc_id % 37)::VARCHAR || '.example.com' AS host,
+           CAST(floor((least(length(text)::DOUBLE / 400.0, 1.0) * 0.4
+             + least((len(list_filter(str_split(text, ' '),
+                 x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x)))::DOUBLE /
+                 len(str_split(text, ' '))) * 10.0, 1.0) * 0.4
+             + (1.0 - least((length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE /
+                 length(text)) * 5.0, 1.0)) * 0.2) * 1e6) AS BIGINT) AS q_micro
+         FROM documents)
+       SELECT host, count(*) AS n_docs,
+         CAST(SUM(q_micro) AS BIGINT) // count(*) AS mean_micro,
+         (count(*) >= 5 AND (CAST(SUM(q_micro) AS BIGINT) // count(*)) < 700000) AS blocked
+       FROM q GROUP BY host ORDER BY host"""
+
   // ------------------------------------------------------------ token counts
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).groupBy("source").agg(
@@ -5181,6 +5233,8 @@ object Queries {
     "q_phash" -> qPhash _,
     "q_phash_pairs" -> qPhashPairs _,
     "q_quality_eval" -> qQualityEval _,
+    "q_truncate" -> qTruncate _,
+    "q_host_rep" -> qHostRep _,
     "q_cosine_topk" -> qCosineTopK _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_topk" -> qAnnTopK _,
@@ -5333,6 +5387,8 @@ object Queries {
     "q_phash" -> oPhash,
     "q_phash_pairs" -> oPhashPairs,
     "q_quality_eval" -> oQualityEval,
+    "q_truncate" -> oTruncate,
+    "q_host_rep" -> oHostRep,
     "q_cosine_topk" -> oCosineTopK,
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_topk" -> oAnnTopK,

@@ -439,6 +439,56 @@ object CorpusSignals {
   def pubDate(url: Column, text: Column): Column =
     coalesce(urlDate(url), textDate(text))
 
+  /** Overlong-document truncation keeping HEAD + TAIL — the preprocessing
+    * policy for a fixed context budget that beats head-only truncation
+    * (documents carry conclusions/footers whose loss measurably hurts;
+    * the head+tail split is the common production compromise). Keeps the
+    * first `headToks` and last `maxToks − headToks` whitespace tokens of
+    * docs over budget; under-budget docs pass through BYTE-identical (no
+    * split/rejoin round trip — repeated separators would not survive one).
+    * Scan-side Column arithmetic, zero exchange.
+    */
+  def truncateMiddle(text: Column, maxToks: Int, headPpm: Long = 750000L): Column = {
+    require(maxToks >= 2, "maxToks must be >= 2")
+    require(headPpm > 0 && headPpm < 1000000L, "headPpm must be in (0, 10^6)")
+    val headToks = ((maxToks * headPpm) / 1000000L).toInt.max(1)
+    val tailToks = maxToks - headToks
+    require(tailToks >= 1, "headPpm leaves no tail budget")
+    val t = split(text, " ")
+    when(size(t) <= maxToks, text)
+      .otherwise(concat(
+        array_join(slice(t, 1, headToks), " "), lit(" "),
+        array_join(slice(t, -tailToks, tailToks), " ")))
+  }
+
+  /** Host-level reputation (RefinedWeb-style site filtering): aggregate an
+    * integral per-doc quality (micro-units, quantized scan-side like
+    * [[corpusReport]]) to (host, n_docs, mean_micro), and block hosts
+    * whose mean falls below `minMeanMicro` WITH at least `minDocs` docs of
+    * evidence — low-evidence hosts are never blocked (the asymmetry that
+    * protects small sites from one bad page). The reputation table is
+    * |hosts|-sized; gate docs with [[gateByHostReputation]].
+    */
+  def hostReputation(df: DataFrame, urlCol: String, qualityMicroCol: String,
+                     minDocs: Long, minMeanMicro: Long): DataFrame =
+    df.groupBy(host(col(urlCol)).as("host"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(qualityMicroCol)).as("__qsum"))
+      .withColumn("mean_micro", expr("__qsum div n_docs"))
+      .withColumn("blocked",
+        col("n_docs") >= minDocs && col("mean_micro") < minMeanMicro)
+      .drop("__qsum")
+
+  /** Apply a [[hostReputation]] table: drop docs of blocked hosts; hosts
+    * absent from the table keep (the miss direction crawls need). The
+    * table is |hosts|-sized — broadcast join, the corpus never shuffles.
+    */
+  def gateByHostReputation(df: DataFrame, urlCol: String, rep: DataFrame): DataFrame =
+    df.join(broadcast(rep.where(col("blocked")).select(col("host"))
+        .withColumn("__blocked", lit(true))),
+        host(col(urlCol)) === col("host"), "left")
+      .where(col("__blocked").isNull)
+      .select(df.columns.map(col): _*)
+
   /** Cap each host at `k` documents, chosen by deterministic hash priority
     * (smallest (hash(id, salt), id) first) — RefinedWeb-style host-level
     * quota. One shuffle on the host key; Spark 4's WindowGroupLimit bounds

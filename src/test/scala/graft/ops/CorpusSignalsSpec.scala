@@ -102,6 +102,46 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 2L)))
   }
 
+  test("truncateMiddle: head+tail slice over budget, byte-identity under budget") {
+    val s = spark; import s.implicits._
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    val weird = "a  b c"                      // double space: must NOT be rewritten
+    val short = (1 to 8).map(i => s"w$i").mkString(" ")
+    val got = Seq(long, weird, short).toDF("t")
+      .select(CorpusSignals.truncateMiddle(col("t"), maxToks = 8, headPpm = 750000L))
+      .collect().map(_.getString(0))
+    // head 6 (75% of 8) + tail 2
+    assert(got(0) == "w1 w2 w3 w4 w5 w6 w19 w20")
+    assert(got(1) == weird, "under-budget text must pass byte-identical")
+    assert(got(2) == short)
+  }
+
+  test("hostReputation + gate: evidence floor protects small hosts; blocked hosts drop") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      // bad host with evidence (5 docs, mean 100) -> blocked
+      (1L, "https://bad.ex/a", 100L), (2L, "https://bad.ex/b", 100L),
+      (3L, "https://bad.ex/c", 100L), (4L, "https://bad.ex/d", 100L),
+      (5L, "https://BAD.ex/e", 100L), // case-folded host
+      // bad-looking host WITHOUT evidence (2 docs) -> kept
+      (6L, "https://small.ex/a", 100L), (7L, "https://small.ex/b", 100L),
+      // good host
+      (8L, "https://good.ex/a", 900L), (9L, "https://good.ex/b", 900L),
+      (10L, "https://good.ex/c", 900L), (11L, "https://good.ex/d", 900L),
+      (12L, "https://good.ex/e", 900L))
+      .toDF("doc_id", "url", "q_micro")
+    val rep = CorpusSignals.hostReputation(docs, "url", "q_micro",
+      minDocs = 5L, minMeanMicro = 500L)
+    val m = rep.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(m("bad.ex") == (5L, 100L, true))
+    assert(m("small.ex") == (2L, 100L, false), "low evidence must not block")
+    assert(m("good.ex") == (5L, 900L, false))
+    val kept = CorpusSignals.gateByHostReputation(docs, "url", rep)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(6L, 7L, 8L, 9L, 10L, 11L, 12L))
+  }
+
   test("mojibake: count and repair of cp1252 double-encoding, identity on clean text") {
     val s = spark; import s.implicits._
     val rows = Seq(
