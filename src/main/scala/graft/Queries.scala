@@ -4231,6 +4231,67 @@ object Queries {
          ('0x' || substr(md5('<html><body><p>' || text || '</p></body></html>'), 1, 15))::BIGINT AS body_h
        FROM documents ORDER BY url"""
 
+  // WET e2e: conversion records (plain text, no HTTP block) written and
+  // read back through the same streaming iterator — the WET half of the
+  // CC triad made driver-visible like q_warc_extract did for WARC. Text
+  // fidelity pinned by char count + 60-bit md5.
+  private def qWetExtract(s: SparkSession, dir: String): DataFrame = {
+    val wetDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_q_wet_" + Integer.toHexString(dir.hashCode)).toString
+    val pages = docs(s, dir).select(
+      concat(lit("https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".example/doc/"), col("doc_id").cast("string")).as("url"),
+      col("text"))
+    graft.sources.Warc.writeConversions(pages, wetDir, files = 4)
+    graft.sources.Warc.readWet(s, wetDir)
+      .select(col("url"),
+        length(col("text")).cast("long").as("text_chars"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("text_h"))
+      .orderBy("url")
+  }
+
+  private val oWetExtract =
+    """SELECT 'https://site' || (doc_id % 7)::VARCHAR || '.example/doc/' || doc_id::VARCHAR AS url,
+         CAST(length(text) AS BIGINT) AS text_chars,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_h
+       FROM documents ORDER BY url"""
+
+  // WAT e2e: metadata records carrying the CC JSON envelope (Envelope →
+  // Payload-Metadata → HTTP-Response-Metadata → HTML-Metadata → Links),
+  // built with to_json, written, and read back through readWat's codegen'd
+  // from_json path — one corrupted brace or hyphenated field name anywhere
+  // kills rows. Two arithmetic links per doc (one absolute, one relative).
+  private def qWatExtract(s: SparkSession, dir: String): DataFrame = {
+    val watDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_q_wat_" + Integer.toHexString(dir.hashCode)).toString
+    val links = array(
+      concat(lit("https://h"), pmod(col("doc_id") + 1, lit(37)).cast("string"),
+        lit(".example.com/doc/"), pmod(col("doc_id") * 7, lit(1000)).cast("string")),
+      concat(lit("/rel/"), col("doc_id").cast("string")))
+    val pages = docs(s, dir).select(
+      concat(lit("https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".example/doc/"), col("doc_id").cast("string")).as("url"),
+      to_json(struct(struct(struct(struct(struct(
+        transform(links, u => struct(u.as("url"))).as("Links"))
+        .as("HTML-Metadata")).as("HTTP-Response-Metadata"))
+        .as("Payload-Metadata")).as("Envelope"))).as("wat_json"))
+    graft.sources.Warc.writeMetadata(pages, watDir, files = 4)
+    graft.sources.Warc.readWat(s, watDir)
+      .select(col("url"), col("href"))
+      .orderBy("url", "href")
+  }
+
+  private val oWatExtract =
+    """WITH d AS (SELECT doc_id,
+           'https://site' || (doc_id % 7)::VARCHAR || '.example/doc/' || doc_id::VARCHAR AS url
+         FROM documents)
+       SELECT url, href FROM (
+         SELECT url, 'https://h' || ((doc_id + 1) % 37)::VARCHAR ||
+           '.example.com/doc/' || ((doc_id * 7) % 1000)::VARCHAR AS href FROM d
+         UNION ALL
+         SELECT url, '/rel/' || doc_id::VARCHAR FROM d)
+       ORDER BY url, href"""
+
   // ------------------------------------------------------------- reg. domain
   // Public-suffix registered-domain extraction over a host mix that
   // exercises all three branches: plain .com/.org (suffix+1), two-label
@@ -5333,6 +5394,8 @@ object Queries {
     "q_reg_domain" -> qRegDomain _,
     "q_zorder" -> qZorder _,
     "q_warc_extract" -> qWarcExtract _,
+    "q_wet_extract" -> qWetExtract _,
+    "q_wat_extract" -> qWatExtract _,
     "q_asof" -> qAsof _,
     "q_range_join" -> qRangeJoin _,
     "q_incremental" -> qIncremental _,
@@ -5484,6 +5547,8 @@ object Queries {
     "q_reg_domain" -> oRegDomain,
     "q_zorder" -> oZorder,
     "q_warc_extract" -> oWarcExtract,
+    "q_wet_extract" -> oWetExtract,
+    "q_wat_extract" -> oWatExtract,
     "q_asof" -> oAsof,
     "q_range_join" -> oRangeJoin,
     "q_incremental" -> oIncremental

@@ -275,13 +275,65 @@ object Warc {
   def writeResponses(pages: DataFrame, outDir: String, files: Int,
                      warcDate: String = "2026-01-01T00:00:00Z"): Unit = {
     val spark = pages.sparkSession
+    import spark.implicits._
+    val rows = pages.select(col("url").cast("string"), col("payload").cast("binary"))
+      .as[(String, Array[Byte])]
+      .map { case (url, payload) =>
+        val body = new ByteArrayOutputStream(payload.length + 64)
+        body.write("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+          .getBytes(StandardCharsets.US_ASCII))
+        body.write(payload)
+        (url, body.toByteArray)
+      }.toDF("url", "body")
+    writeWarcFiles(rows, outDir, files, "response", warcDate)
+  }
+
+  /** WET companion WRITER: `conversion` records carrying already-extracted
+    * plain text (UTF-8 body, no HTTP block) — the inverse of [[readWet]],
+    * so a curation stage can publish its extraction in CC's interchange
+    * shape. Same one-gzip-member-per-record framing as [[writeResponses]].
+    */
+  def writeConversions(pages: DataFrame, outDir: String, files: Int,
+                       warcDate: String = "2026-01-01T00:00:00Z"): Unit = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val rows = pages.select(col("url").cast("string"), col("text").cast("string"))
+      .as[(String, String)]
+      .map { case (url, text) => (url, text.getBytes(StandardCharsets.UTF_8)) }
+      .toDF("url", "body")
+    writeWarcFiles(rows, outDir, files, "conversion", warcDate)
+  }
+
+  /** WAT companion WRITER: `metadata` records whose body is the JSON
+    * envelope — the inverse of [[readWat]]. Caller supplies the envelope
+    * string (typically built with to_json over the Links array).
+    */
+  def writeMetadata(pages: DataFrame, outDir: String, files: Int,
+                    warcDate: String = "2026-01-01T00:00:00Z"): Unit = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val rows = pages.select(col("url").cast("string"), col("wat_json").cast("string"))
+      .as[(String, String)]
+      .map { case (url, json) => (url, json.getBytes(StandardCharsets.UTF_8)) }
+      .toDF("url", "body")
+    writeWarcFiles(rows, outDir, files, "metadata", warcDate)
+  }
+
+  /** Shared WARC container writer: `rows` = (url STRING, body BINARY),
+    * one gzip member per record (the CC layout [[streamRecords]] expects),
+    * `files` output shards, task-attempt-safe tmp+rename commit.
+    */
+  private def writeWarcFiles(rows: DataFrame, outDir: String, files: Int,
+                             warcType: String, warcDate: String): Unit = {
+    val spark = rows.sparkSession
     val out = new org.apache.hadoop.fs.Path(outDir)
     val fsDriver = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsDriver.delete(out, true)
     fsDriver.mkdirs(out)
     import spark.implicits._
     val date = warcDate
-    pages.select(col("url").cast("string"), col("payload").cast("binary"))
+    val wtype = warcType
+    rows.select(col("url").cast("string"), col("body").cast("binary"))
       .as[(String, Array[Byte])]
       .repartition(files)
       .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
@@ -294,17 +346,12 @@ object Warc {
           val fin = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.warc.gz")
           val raw = fs.create(tmp, true)
           try {
-            it.foreach { case (url0, payload) =>
+            it.foreach { case (url0, b) =>
               // a CR/LF inside a URI would terminate the header line early
               // and corrupt record framing (header injection); WARC-Target-
               // URI cannot contain whitespace, so strip rather than fail
               val url = url0.replaceAll("[\\r\\n]", "")
-              val body = new ByteArrayOutputStream(payload.length + 64)
-              body.write("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                .getBytes(StandardCharsets.US_ASCII))
-              body.write(payload)
-              val b = body.toByteArray
-              val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              val head = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
                 s"WARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
                 s"Content-Length: ${b.length}\r\n\r\n")
                 .getBytes(StandardCharsets.US_ASCII)

@@ -194,6 +194,35 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("f.example.com", "t1.example.com", 1L)))
   }
 
+  test("WET/WAT writers round-trip through their readers (the CC triad, both directions)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("warcspec_wetwat").toString
+    // WET: conversion records, UTF-8 text incl. multi-byte
+    val texts = Seq(("https://a.ex/1", "plain text"),
+      ("https://b.ex/2", "caffé — ünïcode"), ("https://a.ex/3", ""))
+      .toDF("url", "text")
+    graft.sources.Warc.writeConversions(texts, s"$tmp/wet", files = 2)
+    val wet = graft.sources.Warc.readWet(s, s"$tmp/wet")
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(wet == Map("https://a.ex/1" -> "plain text",
+      "https://b.ex/2" -> "caffé — ünïcode", "https://a.ex/3" -> ""))
+    // WAT: metadata records; envelope built exactly as a producer would
+    val links = Seq(("https://a.ex/1", Seq("https://x.ex/", "/rel/p")),
+      ("https://b.ex/2", Seq("https://y.ex/q")))
+      .toDF("url", "hrefs")
+    val wat0 = links.select(col("url"),
+      to_json(struct(struct(struct(struct(struct(
+        transform(col("hrefs"), u => struct(u.as("url"))).as("Links"))
+        .as("HTML-Metadata")).as("HTTP-Response-Metadata"))
+        .as("Payload-Metadata")).as("Envelope"))).as("wat_json"))
+    graft.sources.Warc.writeMetadata(wat0, s"$tmp/wat", files = 1)
+    val wat = graft.sources.Warc.readWat(s, s"$tmp/wat")
+      .select("url", "href").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(wat == Set(("https://a.ex/1", "https://x.ex/"),
+      ("https://a.ex/1", "/rel/p"), ("https://b.ex/2", "https://y.ex/q")))
+  }
+
   test("end to end: WARC container in, byte-identical golden extraction out") {
     import graft.fixtures.{CorpusIO, PayloadGen}
     import graft.pipeline.Extract
