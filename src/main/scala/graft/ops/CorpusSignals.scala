@@ -481,13 +481,17 @@ object CorpusSignals {
   /** Apply a [[hostReputation]] table: drop docs of blocked hosts; hosts
     * absent from the table keep (the miss direction crawls need). The
     * table is |hosts|-sized — broadcast join, the corpus never shuffles.
+    * The join key is renamed to a reserved name first: corpus tables that
+    * already carry a `host` column (any host-keyed upstream stage — incl.
+    * hostReputation's own output) would otherwise make the bare
+    * `col("host")` reference ambiguous and fail analysis.
     */
-  def gateByHostReputation(df: DataFrame, urlCol: String, rep: DataFrame): DataFrame =
-    df.join(broadcast(rep.where(col("blocked")).select(col("host"))
-        .withColumn("__blocked", lit(true))),
-        host(col(urlCol)) === col("host"), "left")
-      .where(col("__blocked").isNull)
+  def gateByHostReputation(df: DataFrame, urlCol: String, rep: DataFrame): DataFrame = {
+    val blocked = rep.where(col("blocked")).select(col("host").as("__rep_host"))
+    df.join(broadcast(blocked), host(col(urlCol)) === col("__rep_host"), "left")
+      .where(col("__rep_host").isNull)
       .select(df.columns.map(col): _*)
+  }
 
   /** Cap each host at `k` documents, chosen by deterministic hash priority
     * (smallest (hash(id, salt), id) first) — RefinedWeb-style host-level

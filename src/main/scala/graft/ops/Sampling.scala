@@ -164,14 +164,26 @@ object Sampling {
     * row_number would serialize the corpus through one task; the shard
     * decomposition is the same parallelism-unit trick as [[packBudget]]).
     */
+  /** The ONE hash-order contract shared by [[deterministicShuffle]] and
+    * [[negativePairs]]: adds `__h` (the salted hash bucket) and `shard`
+    * (`__h mod shards`); order WITHIN a shard is (`__h`, id). Both callers
+    * must ride this helper — their docstrings promise the same order, and
+    * duplicated assignments could silently drift apart under edits.
+    */
+  private def shardAssign(df: DataFrame, idCol: String, shards: Int,
+                          salt: String,
+                          hash: Column => Column): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    df.withColumn("__h",
+        pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M)))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+  }
+
   def deterministicShuffle(df: DataFrame, idCol: String, shards: Int,
                            salt: String = "",
                            hash: Column => Column = TextDedup.portableHash): DataFrame = {
-    require(shards >= 1, "shards must be >= 1")
-    val h = pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
-    df.withColumn("__h", h)
-      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+    shardAssign(df, idCol, shards, salt, hash)
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
@@ -192,11 +204,8 @@ object Sampling {
   def negativePairs(df: DataFrame, idCol: String, shards: Int,
                     salt: String = "",
                     hash: Column => Column = TextDedup.portableHash): DataFrame = {
-    require(shards >= 1, "shards must be >= 1")
-    val h = pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
-    df.withColumn("__h", h)
-      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+    shardAssign(df, idCol, shards, salt, hash)
       .withColumn("neg_id",
         coalesce(lead(col(idCol), 1).over(w), first(col(idCol)).over(w)))
       .where(col("neg_id") =!= col(idCol))
@@ -294,10 +303,11 @@ object Sampling {
     * Plan at 100 TB: one per-source aggregate (|sources| rows), threshold
     * arithmetic as whole-table windows over that tiny table, broadcast
     * back, scan-side filter — the corpus pays one aggregate and one
-    * filter, no sort, no repartition. Overflow guard: target_s · M must
-    * fit a BIGINT, i.e. per-source token totals below ~9·10^12 at M=10^6;
-    * beyond that run the threshold arithmetic in DECIMAL (the corpus-side
-    * plan is unchanged).
+    * filter, no sort, no repartition. Overflow discipline: the w·T and
+    * target·M products run in DECIMAL(38,0) (they pass 2^63 near 10^13
+    * total tokens — the target scale); `div` on decimals is exact
+    * integral division returning BIGINT, and both final values fit Long
+    * by construction (target ≤ T, thr ≤ M).
     */
   def mixByTokenBudget(df: DataFrame, idCol: String, tokCol: String,
                        srcCol: String, weights: Map[String, Long],
@@ -318,9 +328,10 @@ object Sampling {
     // single-partition WindowExec warnings)
     val totals = perSrc.agg(sum(col("__tok")).as("__tsum"), sum(col("__w")).as("__wsum"))
     val thr = perSrc.crossJoin(broadcast(totals))
-      .withColumn("__target", expr("(__w * __tsum) div __wsum"))
+      .withColumn("__target",
+        expr("(CAST(__w AS DECIMAL(38,0)) * __tsum) div __wsum"))
       .withColumn("__thr", least(lit(M),
-        expr(s"CASE WHEN __tok = 0 THEN 0L ELSE (__target * ${M}L) div __tok END")))
+        expr(s"CASE WHEN __tok = 0 THEN 0L ELSE (CAST(__target AS DECIMAL(38,0)) * ${M}L) div __tok END")))
       .select(col(srcCol), col("__thr"))
     df.join(broadcast(thr), Seq(srcCol))
       .where(pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
@@ -328,17 +339,23 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
-  /** Exact integer square root of a non-negative BIGINT column. Computed
-    * as floor(sqrt(double)) plus a ±1 correction: double sqrt is correctly
-    * rounded (≤ 0.5 ulp), so the true isqrt is within one of the rounded
-    * value for any x < 2^63 — the two guards make the result EXACT, which
-    * the determinism contract needs (the uncorrected floor misfires just
-    * below perfect squares, e.g. floor(sqrt(10^18)) on some libm paths).
+  /** Exact integer square root of a non-negative BIGINT column, valid on
+    * the FULL Long range. Computed as floor(sqrt(double)) plus a ±1
+    * correction: double sqrt is correctly rounded (≤ 0.5 ulp), so the true
+    * isqrt is within one of the rounded value — the guards make the result
+    * EXACT (the uncorrected floor misfires just below perfect squares).
+    * Overflow discipline: isqrt(2^63−1) = 3037000499 and (3037000499+1)²
+    * exceeds Long, so s0 is clamped to that ceiling and the +1 probe is
+    * gated behind `s0 < ceiling` (Spark's And short-circuits in both
+    * codegen and interpreted modes) — without the clamp, ANSI mode throws
+    * on the probe for any x ≥ 3037000499², and non-ANSI wraps negative
+    * and silently returns isqrt+1.
     */
   def isqrt(x: Column): Column = {
-    val s0 = floor(sqrt(x.cast("double"))).cast("long")
-    when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
-      .when(s0 * s0 > x, s0 - 1)
+    val maxS = 3037000499L // floor(sqrt(2^63 - 1))
+    val s0 = least(floor(sqrt(x.cast("double"))).cast("long"), lit(maxS))
+    when(s0 * s0 > x, s0 - 1)
+      .when(s0 < maxS && (s0 + 1) * (s0 + 1) <= x, s0 + 1)
       .otherwise(s0)
   }
 
@@ -351,12 +368,17 @@ object Sampling {
     * the corpus itself: w_s = isqrt(tok_s), so a source 100× larger gets
     * only 10× the token share.
     *
-    * All arithmetic is exact BIGINT ([[isqrt]] + the integral threshold
-    * chain of mixByTokenBudget); downsampling only — sources under their
-    * temperature target keep everything (threshold caps at M). For
-    * fractional-epoch UPsampling of small sources compose with
-    * [[mixEpochs]]. Plan: identical to mixByTokenBudget — one |sources|-row
-    * aggregate, broadcast thresholds, scan-side filter.
+    * All arithmetic is exact ([[isqrt]] + an integral threshold chain run
+    * through DECIMAL(38,0) intermediates — `w·T` grows as T^1.5 and
+    * `target·10^6` passes 2^63 near 10^13 total tokens, i.e. EXACTLY the
+    * corpus scale this operator targets, so the products must not be
+    * BIGINT; Spark's `div` on decimals is exact integral division
+    * returning BIGINT, and both final values fit Long by construction).
+    * Downsampling only — sources under their temperature target keep
+    * everything (threshold caps at M). For fractional-epoch UPsampling of
+    * small sources compose with [[mixEpochs]]. Plan: identical to
+    * mixByTokenBudget — one |sources|-row aggregate, broadcast thresholds,
+    * scan-side filter.
     */
   def mixTemperatureSqrt(df: DataFrame, idCol: String, tokCol: String,
                          srcCol: String, salt: String = "",
@@ -366,9 +388,10 @@ object Sampling {
       .withColumn("__w", isqrt(col("__tok")))
     val totals = perSrc.agg(sum(col("__tok")).as("__tsum"), sum(col("__w")).as("__wsum"))
     val thr = perSrc.crossJoin(broadcast(totals))
-      .withColumn("__target", expr("(__w * __tsum) div __wsum"))
+      .withColumn("__target",
+        expr("(CAST(__w AS DECIMAL(38,0)) * __tsum) div __wsum"))
       .withColumn("__thr", least(lit(M),
-        expr(s"(__target * ${M}L) div __tok")))
+        expr(s"(CAST(__target AS DECIMAL(38,0)) * ${M}L) div __tok")))
       .select(col(srcCol), col("__thr"))
     df.join(broadcast(thr), Seq(srcCol))
       .where(pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
@@ -408,9 +431,11 @@ object Sampling {
     // 1-row totals cross-joined back, as in mixByTokenBudget
     val totals = perSrc.agg(sum(col("__tok")).as("__tsum"), sum(col("__w")).as("__wsum"))
     val thr = perSrc.crossJoin(broadcast(totals))
-      .withColumn("__target", expr("(__w * __tsum) div __wsum"))
+      .withColumn("__target",
+        expr("(CAST(__w AS DECIMAL(38,0)) * __tsum) div __wsum"))
       .withColumn("__copies", expr("__target div __tok"))
-      .withColumn("__rem", expr(s"((__target % __tok) * ${M}L) div __tok"))
+      .withColumn("__rem",
+        expr(s"(CAST(__target % __tok AS DECIMAL(38,0)) * ${M}L) div __tok"))
       .select(col(srcCol), col("__copies"), col("__rem"))
     val h = pmod(hash(concat(col(idCol).cast("string"), lit(salt))), lit(M))
     val n = (col("__copies") + when(h < col("__rem"), 1L).otherwise(0L)).cast("int")

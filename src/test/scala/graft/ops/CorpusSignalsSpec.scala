@@ -140,6 +140,12 @@ class CorpusSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = CorpusSignals.gateByHostReputation(docs, "url", rep)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(6L, 7L, 8L, 9L, 10L, 11L, 12L))
+    // a corpus that ALREADY carries a `host` column (any host-keyed
+    // upstream stage) must not make the join key ambiguous
+    val withHost = docs.withColumn("host", CorpusSignals.host(col("url")))
+    val kept2 = CorpusSignals.gateByHostReputation(withHost, "url", rep)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
   }
 
   test("mojibake: count and repair of cp1252 double-encoding, identity on clean text") {

@@ -254,19 +254,58 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(ids, "e1") != a)
   }
 
-  test("isqrt: exact at perfect squares, off-by-one bands, and 10^18-scale values") {
+  test("isqrt: exact at perfect squares, off-by-one bands, and the FULL Long range") {
     val s = spark; import s.implicits._
+    val maxS = 3037000499L // floor(sqrt(2^63 - 1))
     val cases = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 15L, 16L, 17L,
       999999L, 1000000L, 1000001L,
       999999999999999999L, 1000000000000000000L, // 10^18 band
-      (1L << 31) * (1L << 31) - 1, (1L << 31) * (1L << 31)) // 2^62 boundary
+      (1L << 31) * (1L << 31) - 1, (1L << 31) * (1L << 31), // 2^62 boundary
+      // the band where (s+1)^2 overflows Long — the ANSI-throw /
+      // wrap-to-isqrt+1 regression guard
+      maxS * maxS - 1, maxS * maxS, maxS * maxS + 1, Long.MaxValue)
     val got = cases.toDF("x")
       .select(col("x"), Sampling.isqrt(col("x")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     cases.foreach { x =>
-      val t = got(x)
-      assert(t * t <= x && (t + 1) * (t + 1) > x, s"isqrt($x) = $t not exact")
+      val t = BigInt(got(x))
+      assert(t * t <= BigInt(x) && (t + 1) * (t + 1) > BigInt(x),
+        s"isqrt($x) = $t not exact")
     }
+  }
+
+  test("mix thresholds survive 10^18-token sources (DECIMAL intermediates, no Long overflow)") {
+    val s = spark; import s.implicits._
+    val idHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => c.cast("long")
+    // A: 3 docs × 2e18 toks; B: 20 docs × 5e10 — w·T and target·M both
+    // exceed 2^63, which the pre-fix BIGINT chain either threw on (ANSI)
+    // or wrapped negative (dropping every doc)
+    val a = (0 until 3).map(i => (i * 300000L, "A", 2000000000000000000L))
+    val b = (0 until 20).map(i => (i * 50000L + 7L, "B", 50000000000L))
+    val df = (a ++ b).toDF("doc_id", "source", "toks")
+    val kept = Sampling.mixTemperatureSqrt(df, "doc_id", "toks", "source", hash = idHash)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // BigInt reference of the documented arithmetic
+    def isq(x: BigInt): BigInt = {
+      var r = BigInt(0); var bit = BigInt(1) << 62; var n = x
+      while (bit > n) bit >>= 2
+      while (bit != 0) {
+        if (n >= r + bit) { n -= r + bit; r = (r >> 1) + bit } else r >>= 1
+        bit >>= 2
+      }
+      r
+    }
+    val tokA = BigInt(3) * BigInt("2000000000000000000")
+    val tokB = BigInt(20) * BigInt(50000000000L)
+    val (wA, wB) = (isq(tokA), isq(tokB))
+    val tsum = tokA + tokB; val wsum = wA + wB
+    def thr(w: BigInt, tok: BigInt): BigInt =
+      (BigInt(1000000) min ((w * tsum / wsum) * 1000000 / tok))
+    val expect = (a.filter(r => BigInt(r._1) < thr(wA, tokA)).map(r => ("A", r._1)) ++
+      b.filter(r => BigInt(r._1) < thr(wB, tokB)).map(r => ("B", r._1))).toSet
+    assert(kept == expect)
+    assert(kept.nonEmpty, "degenerate fixture: nothing survived")
   }
 
   test("mixTemperatureSqrt: hand-computed isqrt thresholds; small source keeps a larger share") {
