@@ -238,6 +238,17 @@ object Construction {
     val items = ArrayBuffer.empty[RawItem]
     val lines = PyStr.split(text, '\n')
     var current: OpenItem = null
+    // Highest line index already enriched into `current` (-1 = none). The
+    // reference's prev/current/next window (construction.py:196-208) feeds
+    // each line to enrichItem up to three times per item; a repeat
+    // enrichItem(item, line) is a provable no-op — every field gate is
+    // close-only, an open-gate section re-matched against the SAME line
+    // deterministically rewrites the value it already wrote (the only write
+    // that leaves its gate open is quantity QInt(0), and every falsy
+    // quantity write IS QInt(0)) — so consecutive windows advance past it
+    // instead of re-running: ~3x fewer enrich regex scans, bit-identical
+    // output (EnrichWindowSpec pins equivalence vs the literal 3-call fold).
+    var enrichedUpTo = -1
 
     var lineNum = 0
     while (lineNum < lines.length) {
@@ -257,14 +268,20 @@ object Construction {
               rawText = Some(line),
               lineNumber = Some(lineNum + 1L)
             )
+            enrichedUpTo = -1
           case None =>
             if (current != null) {
-              // prev / current / next context window (construction.py:196-208)
-              val ctx = ArrayBuffer.empty[String]
-              if (lineNum > 0) ctx += PyStr.strip(lines(lineNum - 1))
-              ctx += line
-              if (lineNum + 1 < lines.length) ctx += PyStr.strip(lines(lineNum + 1))
-              ctx.foreach { c => if (c.nonEmpty) enrichItem(current, c) }
+              // prev / current / next context window (construction.py:196-208),
+              // first-enrichment-only per the no-op proof above
+              val lo = math.max(math.max(lineNum - 1, 0), enrichedUpTo + 1)
+              val hi = math.min(lineNum + 1, lines.length - 1)
+              var k = lo
+              while (k <= hi) {
+                val c = if (k == lineNum) line else PyStr.strip(lines(k))
+                if (c.nonEmpty) enrichItem(current, c)
+                k += 1
+              }
+              if (hi > enrichedUpTo) enrichedUpTo = hi
             }
         }
       }
