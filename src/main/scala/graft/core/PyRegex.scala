@@ -16,16 +16,29 @@ import java.util.regex.{Matcher, MatchResult, Pattern}
   */
 final class Rx private (val source: String, val p: Pattern) {
   private val nGroups = p.matcher("").groupCount()
+  private val id = Rx.nextId.getAndIncrement()
 
   // Matcher reuse: Rx instances are cached and shared across threads, and
   // the parse core calls them once per (line × pattern) — allocating a
-  // fresh Matcher each call was ~5% of JFR parse samples. A thread-local
-  // matcher per Rx is safe because every public result is an immutable
-  // toMatchResult() snapshot; the live Matcher never escapes a call.
-  private val tlMatcher = new ThreadLocal[Matcher] {
-    override def initialValue(): Matcher = { Rx.tlInits.incrementAndGet(); p.matcher("") }
+  // fresh Matcher each call was ~5% of JFR parse samples. Reuse is safe
+  // because every public result is an immutable toMatchResult() snapshot;
+  // the live Matcher never escapes a call. The cache is ONE ThreadLocal
+  // holding a dense array indexed by Rx id — a ThreadLocal PER Rx put
+  // ~500 entries in every thread's ThreadLocalMap, and the resulting
+  // collision probing was ~10% of JFR parse samples (ThreadLocal.get/
+  // setInitialValue frames); one ThreadLocal + array index is one clean
+  // map hit regardless of how many patterns exist.
+  private def m(s: String): Matcher = {
+    var arr = Rx.tlMatchers.get()
+    if (id >= arr.length) {
+      arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, id + 1))
+      Rx.tlMatchers.set(arr)
+    }
+    var mm = arr(id)
+    if (mm == null) { Rx.tlInits.incrementAndGet(); mm = p.matcher(""); arr(id) = mm }
+    mm.reset(s)
+    mm
   }
-  private def m(s: String): Matcher = { val mm = tlMatcher.get(); mm.reset(s); mm }
 
   /** re.search → first match anywhere, or None. */
   def search(s: String): Option[Mtch] = {
@@ -83,6 +96,11 @@ object Rx {
   /** Diagnostic: thread-local matcher initializations (expected ≈ threads ×
     * distinct patterns; a large number means matcher reuse is broken). */
   val tlInits = new java.util.concurrent.atomic.AtomicLong()
+
+  private val nextId = new java.util.concurrent.atomic.AtomicInteger()
+  private[core] val tlMatchers = new ThreadLocal[Array[Matcher]] {
+    override def initialValue(): Array[Matcher] = new Array[Matcher](1024)
+  }
 
   private val base = Pattern.UNICODE_CHARACTER_CLASS
   private val ic = Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
