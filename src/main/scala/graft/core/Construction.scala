@@ -150,6 +150,9 @@ object Construction {
   private def hasUpperAscii(s: String) = upperAsciiRx.containsMatch(s)
   private def hasDigit(s: String) = digitClassRx.containsMatch(s)
 
+  // constant phrase table, uppercased once (not per line)
+  private val instructionPhrasesUpper = instructionPhrases.map(PyStr.upper).toArray
+
   // Literal-word prescreen for the fixture/mounting tables: every
   // alternative in fixturePatterns starts with a literal word followed by
   // \b or \s+, and every mounting alternative starts with one of a fixed
@@ -300,7 +303,7 @@ object Construction {
     // instruction-phrase prefixes (:227-230)
     val upperLine = PyStr.upper(line) // hoisted: reused by the vetoes below
     val lineUpper = PyStr.strip(upperLine)
-    if (instructionPhrases.exists(ph => lineUpper.startsWith(PyStr.upper(ph)))) return None
+    if (instructionPhrasesUpper.exists(lineUpper.startsWith)) return None
 
     // action-verb starts (:233-234)
     if (actionVerbStartRx.matchesAt(line))
