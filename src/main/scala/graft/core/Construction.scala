@@ -105,7 +105,12 @@ object Construction {
   // exclusion blocklist folds into ONE alternation — `exists(search)` over
   // patterns ≡ one search over `(?:p1)|(?:p2)|…` (pure boolean, no group
   // use), so ten scans per line become one.
-  private val excludeAnyRx = rxI(excludePatterns.map(p => s"(?:$p)").mkString("|"))
+  // The exclusion fold splits on prescreen-ability: patterns 0-3 start with
+  // literal keywords (token-gated via FactExclude), patterns 4-9 are all
+  // ^-anchored (cheap to scan, run always). OR of the two folds ≡ the
+  // original single fold.
+  private val excludeKeywordRx = rxI(excludePatterns.take(4).map(p => s"(?:$p)").mkString("|"))
+  private val excludeAnchoredRx = rxI(excludePatterns.drop(4).map(p => s"(?:$p)").mkString("|"))
   private val fixtureRx = fixturePatterns.map(rxI).toArray
   private val quantityRx = quantityPatterns.map(rxI).toArray
   private val modelRx = modelPatterns.map(rxI).toArray
@@ -195,16 +200,56 @@ object Construction {
     "portable", "stationary", "fixed", "removable", "slip", "threaded",
     "welded", "bolted", "hanging", "suspended", "mounting")
 
-  /** (mayMatchFixture, mayMatchMounting); (true, true) when inconclusive. */
-  private[core] def wordPrescreen(line: String): (Boolean, Boolean) = {
+  // Every alternative in the keyword exclusion patterns (excludePatterns
+  // 0-3) starts with one of these words followed by \s or a trailing \b, so
+  // the first word is always a COMPLETE token of the line.
+  private val excludeFirstWords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    List("prohibited", "copyright", "reserved", "confidential", "proprietary",
+      "use", "in", "strictly", "all", "page", "document",
+      "revision", "date", "prepared", "approved").foreach(s.add)
+    s
+  }
+  // The digit-free spec patterns (specPatterns 0-3) each start with a
+  // literal keyword whose tail may run straight into word chars
+  // ("specX", "ULtimate" — the second group is [A-Z0-9.-] under IGNORECASE,
+  // so it eats lowercase letters too): prefix match, not equality.
+  private val specFirstPrefixes: Array[String] = Array(
+    "astm", "ansi", "ul", "csa", "asme", "nema", "nfpa", "awwa", "ipc",
+    "iso", "din", "bs", "grade", "class", "type", "rating",
+    "spec", "ref", "dwg", "drawing")
+
+  private[core] val FactFixture = 1   // fixtureRx table may match
+  private[core] val FactMount = 2     // mountingRx table may match
+  private[core] val FactExclude = 4   // excludeKeywordRx may match
+  private[core] val FactCapPair = 8   // capPhraseRx may match
+  private[core] val FactSpec = 16     // specPatterns 0-3 may match
+  private[core] val FactAll = 31
+
+  /** One pass over the line computing which pattern tables can possibly
+    * match (soundness: a cleared bit PROVES the table cannot match; a set
+    * bit means "run the regexes"). Exact only for ASCII — any char ≥ 0x80
+    * returns all bits, because exotic case folds and combining marks could
+    * otherwise diverge from the regexes' Unicode semantics. Soundness of
+    * every bit is pinned by PrescreenFactsSpec properties.
+    *
+    *  - FactFixture: a token equals a fixture-table first word.
+    *  - FactMount: a token starts with a mounting prefix.
+    *  - FactExclude: a token equals an exclusion-table first word.
+    *  - FactCapPair: two CONSECUTIVE tokens both look like [A-Z][A-Za-z]+
+    *    (capPhraseRx needs two such words separated by \s+; any non-word
+    *    separator makes the tokens consecutive here too — conservative).
+    *  - FactSpec: a token starts with a spec-table keyword prefix.
+    */
+  private[core] def lineFacts(line: String): Int = {
     val n = line.length
-    var mayFixture = false
-    var mayMount = false
+    var facts = 0
+    var prevCapShape = false
     var i = 0
     val sb = new java.lang.StringBuilder(16)
-    while (i < n && !(mayFixture && mayMount)) {
+    while (i < n && facts != FactAll) {
       val c = line.charAt(i)
-      if (c >= 0x80) return (true, true) // non-ASCII: inconclusive
+      if (c >= 0x80) return FactAll // non-ASCII: inconclusive
       val isWord = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '_'
       if (isWord) {
@@ -219,20 +264,44 @@ object Construction {
             sb.append(if (cj >= 'A' && cj <= 'Z') (cj + 32).toChar else cj); true
           } else false
         }) j += 1
-        if (!ascii) return (true, true)
+        if (!ascii) return FactAll
         val w = sb.toString
-        if (!mayFixture && fixtureFirstWords.contains(w)) mayFixture = true
-        if (!mayMount) {
+        if ((facts & FactFixture) == 0 && fixtureFirstWords.contains(w))
+          facts |= FactFixture
+        if ((facts & FactExclude) == 0 && excludeFirstWords.contains(w))
+          facts |= FactExclude
+        if ((facts & FactMount) == 0) {
           var k = 0
-          while (!mayMount && k < mountingFirstPrefixes.length) {
-            if (w.startsWith(mountingFirstPrefixes(k))) mayMount = true
+          while ((facts & FactMount) == 0 && k < mountingFirstPrefixes.length) {
+            if (w.startsWith(mountingFirstPrefixes(k))) facts |= FactMount
             k += 1
           }
         }
+        if ((facts & FactSpec) == 0) {
+          var k = 0
+          while ((facts & FactSpec) == 0 && k < specFirstPrefixes.length) {
+            if (w.startsWith(specFirstPrefixes(k))) facts |= FactSpec
+            k += 1
+          }
+        }
+        // capPhraseRx is case-SENSITIVE: shape check on the ORIGINAL chars
+        val capShape = j - i >= 2 && {
+          val c0 = line.charAt(i); val c1 = line.charAt(i + 1)
+          c0 >= 'A' && c0 <= 'Z' &&
+            ((c1 >= 'A' && c1 <= 'Z') || (c1 >= 'a' && c1 <= 'z'))
+        }
+        if (capShape && prevCapShape) facts |= FactCapPair
+        prevCapShape = capShape
         i = j
       } else i += 1
     }
-    (mayFixture, mayMount)
+    facts
+  }
+
+  /** (mayMatchFixture, mayMatchMounting); (true, true) when inconclusive. */
+  private[core] def wordPrescreen(line: String): (Boolean, Boolean) = {
+    val f = lineFacts(line)
+    ((f & FactFixture) != 0, (f & FactMount) != 0)
   }
 
   // ---------------------------------------------------------------- P2 fold
@@ -297,8 +366,13 @@ object Construction {
   // ------------------------------------------------------ P3 line classifier
   /** _detect_item_line (construction.py:216-649). */
   def detectItemLine(line: String, pageNum: Long, lineNum: Long): Option[Detected] = {
-    // exclusion regexes (:222-224) — folded into one alternation scan
-    if (excludeAnyRx.containsMatch(line)) return None
+    // one prescreen pass gates five pattern tables below (see lineFacts)
+    val facts = lineFacts(line)
+
+    // exclusion regexes (:222-224) — keyword fold prescreened, anchored
+    // fold always (equivalent to the original 10-pattern fold)
+    if ((facts & FactExclude) != 0 && excludeKeywordRx.containsMatch(line)) return None
+    if (excludeAnchoredRx.containsMatch(line)) return None
 
     // instruction-phrase prefixes (:227-230)
     val upperLine = PyStr.upper(line) // hoisted: reused by the vetoes below
@@ -313,7 +387,8 @@ object Construction {
     if (PyStr.len(PyStr.strip(line)) < 3) return None
 
     val d = new Detected
-    val (mayFixture, mayMount) = wordPrescreen(line)
+    val mayFixture = (facts & FactFixture) != 0
+    val mayMount = (facts & FactMount) != 0
     // fixture types — longest match across all patterns (:243-254)
     var bestMatch: String = null
     var bestLen = 0
@@ -335,8 +410,9 @@ object Construction {
         case None =>
           d.tpe = Some(PyStr.title(bestMatch))
       }
-    } else {
-      // inferred capitalized multi-word phrase (:276-291); no IGNORECASE
+    } else if ((facts & FactCapPair) != 0) {
+      // inferred capitalized multi-word phrase (:276-291); no IGNORECASE;
+      // prescreened — needs two consecutive capitalized words
       capPhraseRx.search(line).foreach { cp =>
         val potential = PyStr.strip(cp.group(1))
         val isDimensionPattern = dimShapeRx.containsMatch(potential)
@@ -499,9 +575,14 @@ object Construction {
       }
     }
 
-    // specs (:496-514)
+    // specs (:496-514) — patterns 0-3 are keyword-led (FactSpec gates
+    // them); 4-7 need a digit. Skipping a non-matchable prefix of the
+    // break-at-first-match loop preserves its order semantics.
     var specBreak = false
-    val specIt = (if (lineHasDigit) specRx else specRxNoDigit).iterator
+    val maySpecKw = (facts & FactSpec) != 0
+    val specIt =
+      (if (lineHasDigit) { if (maySpecKw) specRx else specRx.drop(4) }
+       else { if (maySpecKw) specRxNoDigit else emptyRx }).iterator
     while (!specBreak && specIt.hasNext) {
       specIt.next().search(line).foreach { m =>
         val groups = m.groups

@@ -1,0 +1,94 @@
+package graft.core
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Soundness of [[Construction.lineFacts]]: a CLEARED bit must prove the
+  * corresponding pattern table cannot match the line (set bits promise
+  * nothing). Each property rebuilds the gated regexes from the Semantics
+  * tables — the same folds production compiles — and asserts no match on
+  * any line whose bit is clear.
+  */
+class PrescreenFactsSpec extends AnyFunSuite {
+
+  private def rxI(p: String) = Rx(p, ignoreCase = true)
+
+  private val excludeKeywordRx =
+    rxI(Semantics.excludePatterns.take(4).map(p => s"(?:$p)").mkString("|"))
+  private val excludeAllRx =
+    rxI(Semantics.excludePatterns.map(p => s"(?:$p)").mkString("|"))
+  private val excludeAnchoredRx =
+    rxI(Semantics.excludePatterns.drop(4).map(p => s"(?:$p)").mkString("|"))
+  private val capPhraseRx = Rx("""\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)+)""")
+  private val specKwRx = Semantics.specPatterns.take(4).map(rxI)
+
+  private def check(prop: Prop): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
+  // Adversarial line pool: keyword hits, prefix near-misses, case traps,
+  // punctuation-separated capitals, unicode, raw ascii noise.
+  private val lines: Gen[String] = Gen.frequency(
+    3 -> Gen.asciiPrintableStr,
+    3 -> Gen.oneOf(
+      "all rights reserved", "ALL RIGHTS RESERVED", "Copyright 2024 Example",
+      "strictly prohibited by law", "page 12", "pageant of the year",
+      "document control #7", "documented history", "revision date 2024",
+      "prepared by J. Doe", "approval pending", "approved by QA",
+      "IN PART or in whole", "used in whole", "indoors"),
+    3 -> Gen.oneOf(
+      "ASTM B88 copper", "astm-b88", "ULtimate power", "UL 90 rated",
+      "ultra violet", "class A finish", "classic rock", "type 2 cement",
+      "typical layout", "grade 60 rebar", "gradual slope", "ratings high",
+      "spec: 22 40 00", "specX99", "specifically", "reference R-1",
+      "refX", "refried beans", "dwg. 44", "drawing A-1", "drawings list",
+      "ISO 9001", "isolated valve", "DIN rail", "dinner menu", "BS 1363",
+      "bseries", "NEMA 4X", "CSA certified", "ASME B16", "NFPA 13",
+      "AWWA C900", "IPC section"),
+    3 -> Gen.oneOf(
+      "Valve Package", "Va Lve", "A B", "Ab Cd", "A1b C2d", "Ab3 Cd",
+      "Ab, Cd", "Ab,Cd", "Ab  Cd", "Abc\tDef", "abc Def Ghi", "X Y Z",
+      "Abc def Ghi", "McDonald Std", "IBM PC", "eXtreme Case", "_Ab Cd_",
+      "3Ab Cd", "Ab 3Cd", "Ab3Cd Ef"),
+    1 -> Gen.oneOf("Ø 25 mm Rør", "ユニット 3 個", "naïve Case Pair", "Ab Çd"),
+    2 -> Gen.listOf(Gen.oneOf("page", "Ab", "Cd", "spec", "7", "x", ",", " ",
+      "ALL", "use", "in", "type", "UL", "-", ".", "Q1", "Zz")).map(_.mkString(" "))
+  )
+
+  test("cleared FactExclude proves the keyword exclusion fold cannot match") {
+    check(Prop.forAll(lines) { s =>
+      (Construction.lineFacts(s) & Construction.FactExclude) != 0 ||
+        !excludeKeywordRx.containsMatch(s)
+    })
+  }
+
+  test("cleared FactCapPair proves capPhraseRx cannot match") {
+    check(Prop.forAll(lines) { s =>
+      (Construction.lineFacts(s) & Construction.FactCapPair) != 0 ||
+        capPhraseRx.search(s).isEmpty
+    })
+  }
+
+  test("cleared FactSpec proves spec patterns 0-3 cannot match") {
+    check(Prop.forAll(lines) { s =>
+      (Construction.lineFacts(s) & Construction.FactSpec) != 0 ||
+        specKwRx.forall(_.search(s).isEmpty)
+    })
+  }
+
+  test("keyword-fold OR anchored-fold ≡ the original 10-pattern fold") {
+    check(Prop.forAll(lines) { s =>
+      (excludeKeywordRx.containsMatch(s) || excludeAnchoredRx.containsMatch(s)) ==
+        excludeAllRx.containsMatch(s)
+    })
+  }
+
+  test("fixture/mounting bits agree with the legacy wordPrescreen tuple") {
+    check(Prop.forAll(lines) { s =>
+      val f = Construction.lineFacts(s)
+      Construction.wordPrescreen(s) ==
+        (((f & Construction.FactFixture) != 0, (f & Construction.FactMount) != 0))
+    })
+  }
+}
