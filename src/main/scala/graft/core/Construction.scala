@@ -219,12 +219,35 @@ object Construction {
     "iso", "din", "bs", "grade", "class", "type", "rating",
     "spec", "ref", "dwg", "drawing")
 
-  private[core] val FactFixture = 1   // fixtureRx table may match
-  private[core] val FactMount = 2     // mountingRx table may match
-  private[core] val FactExclude = 4   // excludeKeywordRx may match
-  private[core] val FactCapPair = 8   // capPhraseRx may match
-  private[core] val FactSpec = 16     // specPatterns 0-3 may match
-  private[core] val FactAll = 31
+  // Every quantity-pattern alternative needs a qty/quantity token, a unit
+  // keyword standalone-after-digits or glued to digits ("3ea"), a '(',
+  // digit '.' digit, or a bare trailing number (pattern 7's `|$)` arm).
+  private val qtySuffixes: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    List("ea", "each", "pcs", "pieces", "pc", "unit", "units",
+      "lf", "ft", "feet", "sq", "square", "linear").foreach(s.add)
+    s
+  }
+  // Every dimension-pattern alternative needs a quote, ø (non-ASCII ⇒
+  // inconclusive anyway), an 'x' char, a length unit standalone-after-
+  // digits or glued ("5mm"), or a dia/size keyword ending a token directly
+  // followed (over \s/: only) by a digit-led token (patterns 10/18 have no
+  // leading \b, so the keyword can END any token: "and 7" genuinely
+  // matches via the 'D' alternative).
+  private val dimUnitSuffixes: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    List("in", "inch", "inches", "ft", "feet", "cm", "mm", "m").foreach(s.add)
+    s
+  }
+
+  private[core] val FactFixture = 1    // fixtureRx table may match
+  private[core] val FactMount = 2      // mountingRx table may match
+  private[core] val FactExclude = 4    // excludeKeywordRx may match
+  private[core] val FactCapPair = 8    // capPhraseRx may match
+  private[core] val FactSpec = 16      // specPatterns 0-3 may match
+  private[core] val FactDimAnchor = 32 // dimensionRx table may match
+  private[core] val FactQty = 64       // quantityRx table may match
+  private[core] val FactAll = 127
 
   /** One pass over the line computing which pattern tables can possibly
     * match (soundness: a cleared bit PROVES the table cannot match; a set
@@ -241,10 +264,20 @@ object Construction {
     *    separator makes the tokens consecutive here too — conservative).
     *  - FactSpec: a token starts with a spec-table keyword prefix.
     */
+  // Java \s under UNICODE_CHARACTER_CLASS ≙ Character.isWhitespace on
+  // ASCII: \t, \n-\r (10-13), -, space.
+  @inline private def isWsAscii(c: Char): Boolean =
+    c == ' ' || c == '\t' || (c >= '\n' && c <= '\r') || (c >= 0x1C && c <= 0x1F)
+
   private[core] def lineFacts(line: String): Int = {
     val n = line.length
     var facts = 0
     var prevCapShape = false
+    var prevEndsDigit = false    // last token's last char was a digit
+    var pendingDimKw = false     // last token ended with a dia/size keyword
+    var sepWsColonOnly = true    // separator since last token was \s/: only
+    var lastTokAllDigits = false
+    var lastTokEnd = 0
     var i = 0
     val sb = new java.lang.StringBuilder(16)
     while (i < n && facts != FactAll) {
@@ -256,16 +289,21 @@ object Construction {
         sb.setLength(0)
         var j = i
         var ascii = true
+        var hasX = false
         while (j < n && {
           val cj = line.charAt(j)
           if (cj >= 0x80) { ascii = false; false }
           else if ((cj >= 'a' && cj <= 'z') || (cj >= 'A' && cj <= 'Z') ||
                    (cj >= '0' && cj <= '9') || cj == '_') {
+            if (cj == 'x' || cj == 'X') hasX = true
             sb.append(if (cj >= 'A' && cj <= 'Z') (cj + 32).toChar else cj); true
           } else false
         }) j += 1
         if (!ascii) return FactAll
         val w = sb.toString
+        if (hasX) facts |= FactDimAnchor
+        if (pendingDimKw && sepWsColonOnly && c >= '0' && c <= '9')
+          facts |= FactDimAnchor
         if ((facts & FactFixture) == 0 && fixtureFirstWords.contains(w))
           facts |= FactFixture
         if ((facts & FactExclude) == 0 && excludeFirstWords.contains(w))
@@ -284,6 +322,28 @@ object Construction {
             k += 1
           }
         }
+        // digit-prefix split: w = digits + rest ("3ea" → "ea")
+        var r = 0
+        while (r < w.length && w.charAt(r) >= '0' && w.charAt(r) <= '9') r += 1
+        val allDigits = r == w.length
+        if (!allDigits) {
+          val rest = if (r == 0) w else w.substring(r)
+          val glued = r > 0
+          if ((facts & FactQty) == 0 &&
+              (w == "qty" || w == "quantity" ||
+               (qtySuffixes.contains(rest) && (glued || prevEndsDigit))))
+            facts |= FactQty
+          if ((facts & FactDimAnchor) == 0 &&
+              dimUnitSuffixes.contains(rest) && (glued || prevEndsDigit))
+            facts |= FactDimAnchor
+        }
+        val wl = w.charAt(w.length - 1)
+        pendingDimKw = wl == 'd' || w.endsWith("dia") || w.endsWith("diameter") ||
+          w.endsWith("size") || w.endsWith("dimension")
+        prevEndsDigit = wl >= '0' && wl <= '9'
+        lastTokAllDigits = allDigits
+        lastTokEnd = j
+        sepWsColonOnly = true
         // capPhraseRx is case-SENSITIVE: shape check on the ORIGINAL chars
         val capShape = j - i >= 2 && {
           val c0 = line.charAt(i); val c1 = line.charAt(i + 1)
@@ -293,7 +353,29 @@ object Construction {
         if (capShape && prevCapShape) facts |= FactCapPair
         prevCapShape = capShape
         i = j
-      } else i += 1
+      } else {
+        if (c == '"' || c == '\'') facts |= FactDimAnchor
+        else if (c == '(') facts |= FactQty
+        else if (c == '.' && i > 0 && i + 1 < n &&
+                 line.charAt(i - 1) >= '0' && line.charAt(i - 1) <= '9' &&
+                 line.charAt(i + 1) >= '0' && line.charAt(i + 1) <= '9')
+          facts |= FactQty
+        if (!(isWsAscii(c) || c == ':')) sepWsColonOnly = false
+        i += 1
+      }
+    }
+    // quantity pattern 7's `(\d{1,3})\s*(?:…|$)` arm: a bare number token
+    // with only whitespace to end-of-line
+    if ((facts & FactQty) == 0 && lastTokAllDigits) {
+      var k = lastTokEnd
+      var wsOnly = true
+      while (wsOnly && k < n) {
+        val c = line.charAt(k)
+        if (c >= 0x80) return FactAll
+        wsOnly = isWsAscii(c)
+        k += 1
+      }
+      if (wsOnly) facts |= FactQty
     }
     facts
   }
@@ -430,8 +512,8 @@ object Construction {
     // semantics-free (the loops below would fall through unmatched).
     val lineHasDigit = hasDigit(line)
 
-    // quantities (:294-351)
-    var qtyBreak = !lineHasDigit
+    // quantities (:294-351) — FactQty prescreen, see lineFacts
+    var qtyBreak = !lineHasDigit || (facts & FactQty) == 0
     val qtyIt = quantityRx.iterator
     while (!qtyBreak && qtyIt.hasNext) {
       qtyIt.next().search(line).foreach { m =>
@@ -526,8 +608,8 @@ object Construction {
       d.model = Some(allModels.take(2).mkString(", "))
     }
 
-    // dimensions (:407-486) — digit prescreen, see above
-    var dimBreak = !lineHasDigit
+    // dimensions (:407-486) — digit + FactDimAnchor prescreens
+    var dimBreak = !lineHasDigit || (facts & FactDimAnchor) == 0
     val dimIt = dimensionRx.iterator
     while (!dimBreak && dimIt.hasNext) {
       dimIt.next().search(line).foreach { m =>
@@ -678,12 +760,15 @@ object Construction {
     */
   def enrichItem(item: OpenItem, line: String): Unit = {
     // digit prescreen (see detectItemLine): quantity/dimension patterns
-    // all require \d, so digit-free context lines skip those loops
+    // all require \d, so digit-free context lines skip those loops;
+    // lineFacts gates the quantity/dimension/mounting tables (same
+    // soundness contract as in detectItemLine, one scan for all three)
     val lineHasDigit = hasDigit(line)
+    val facts = lineFacts(line)
 
     // quantity (:654-667)
     if (!item.quantity.exists(_.truthy)) {
-      var brk = !lineHasDigit
+      var brk = !lineHasDigit || (facts & FactQty) == 0
       val it = quantityRx.iterator
       while (!brk && it.hasNext) {
         it.next().search(line).foreach { m =>
@@ -722,9 +807,9 @@ object Construction {
       }
     }
 
-    // dimensions (:689-717) — digit prescreen, see above
+    // dimensions (:689-717) — digit + FactDimAnchor prescreens
     if (!item.dimensions.exists(_.nonEmpty)) {
-      var brk = !lineHasDigit
+      var brk = !lineHasDigit || (facts & FactDimAnchor) == 0
       val it = dimensionRx.iterator
       while (!brk && it.hasNext) {
         it.next().search(line).foreach { m =>
@@ -748,7 +833,7 @@ object Construction {
 
     // mounting (:720-730) — word prescreen, see detectItemLine
     if (!item.mountingType.exists(_.nonEmpty)) {
-      var brk = !wordPrescreen(line)._2
+      var brk = (facts & FactMount) == 0
       val it = mountingRx.iterator
       while (!brk && it.hasNext) {
         it.next().search(line).foreach { m =>
@@ -763,10 +848,11 @@ object Construction {
       }
     }
 
-    // spec (:733-758) — may overwrite page_number from a page reference
+    // spec (:733-758) — may overwrite page_number from a page reference;
+    // patterns 0-3 are keyword-led (FactSpec), 4-7 need a digit
     if (!item.specReference.exists(_.nonEmpty)) {
       var brk = false
-      var pi = 0
+      var pi = if ((facts & FactSpec) != 0) 0 else 4
       val nSpec = if (lineHasDigit) specRx.length else specRxNoDigit.length
       while (!brk && pi < nSpec) {
         val pat = specPatterns(pi)

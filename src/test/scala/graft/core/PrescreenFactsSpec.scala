@@ -21,6 +21,8 @@ class PrescreenFactsSpec extends AnyFunSuite {
     rxI(Semantics.excludePatterns.drop(4).map(p => s"(?:$p)").mkString("|"))
   private val capPhraseRx = Rx("""\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)+)""")
   private val specKwRx = Semantics.specPatterns.take(4).map(rxI)
+  private val quantityRx = Semantics.quantityPatterns.map(rxI)
+  private val dimensionRx = Semantics.dimensionPatterns.map(rxI)
 
   private def check(prop: Prop): Unit = {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(500), prop)
@@ -53,7 +55,20 @@ class PrescreenFactsSpec extends AnyFunSuite {
       "3Ab Cd", "Ab 3Cd", "Ab3Cd Ef"),
     1 -> Gen.oneOf("Ø 25 mm Rør", "ユニット 3 個", "naïve Case Pair", "Ab Çd"),
     2 -> Gen.listOf(Gen.oneOf("page", "Ab", "Cd", "spec", "7", "x", ",", " ",
-      "ALL", "use", "in", "type", "UL", "-", ".", "Q1", "Zz")).map(_.mkString(" "))
+      "ALL", "use", "in", "type", "UL", "-", ".", "Q1", "Zz")).map(_.mkString(" ")),
+    3 -> Gen.oneOf(
+      "qty 3", "QTY: 0", "quantity: 12", "3ea", "3 ea", "3, ea", "5 each",
+      "12 pcs", "7pc", "4 units", "90 lf", "14 sq ft", "3 linear feet",
+      "1.5", "a 1.5 b", "(3)", "room (12)", "Valve Box (4)", "end 42",
+      "end 42 ", "42 end", "12345", "end 42.", "42", "and 7",
+      "road: 66", "D: 5", "d5", "id 3", "OD: 7", "media 5", "resize: 9",
+      "dimensions: 24", "dimension: 24", "size 8", "5mm", "5.5mm", "5 mm",
+      "5-mm", "24x36", "24 x 36", "2X4", "5 in", "went in 2024", "3 in.",
+      "9 ft", "8feet", "1-1/2\" drain", "25 cm pipe", "5 m", "the m word",
+      "diameter 5", "xdiameter 6", "no anchors here at all", "year 2024 done"),
+    1 -> Gen.listOf(Gen.oneOf("42", "qty", "ea", "d", "dia", ":", ".", "(",
+      ")", "\"", "'", "x", "mm", "in", "1.5", " ", "\t", "word", "Ab",
+      "", "end")).map(_.mkString(" "))
   )
 
   test("cleared FactExclude proves the keyword exclusion fold cannot match") {
@@ -74,6 +89,20 @@ class PrescreenFactsSpec extends AnyFunSuite {
     check(Prop.forAll(lines) { s =>
       (Construction.lineFacts(s) & Construction.FactSpec) != 0 ||
         specKwRx.forall(_.search(s).isEmpty)
+    })
+  }
+
+  test("cleared FactQty proves the quantity table cannot match") {
+    check(Prop.forAll(lines) { s =>
+      (Construction.lineFacts(s) & Construction.FactQty) != 0 ||
+        quantityRx.forall(_.search(s).isEmpty)
+    })
+  }
+
+  test("cleared FactDimAnchor proves the dimension table cannot match") {
+    check(Prop.forAll(lines) { s =>
+      (Construction.lineFacts(s) & Construction.FactDimAnchor) != 0 ||
+        dimensionRx.forall(_.search(s).isEmpty)
     })
   }
 
