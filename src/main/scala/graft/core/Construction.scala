@@ -110,7 +110,11 @@ object Construction {
   // ^-anchored (cheap to scan, run always). OR of the two folds ≡ the
   // original single fold.
   private val excludeKeywordRx = rxI(excludePatterns.take(4).map(p => s"(?:$p)").mkString("|"))
-  private val excludeAnchoredRx = rxI(excludePatterns.drop(4).map(p => s"(?:$p)").mkString("|"))
+  // all six start with ^: hoist it and test with lookingAt — find() over an
+  // alternation of ^-anchored branches re-fails every branch at every
+  // position, O(branches × length) of pure overhead
+  private val excludeAnchoredRx =
+    rxI(excludePatterns.drop(4).map(p => s"(?:${p.stripPrefix("^")})").mkString("|"))
   private val fixtureRx = fixturePatterns.map(rxI).toArray
   private val quantityRx = quantityPatterns.map(rxI).toArray
   private val modelRx = modelPatterns.map(rxI).toArray
@@ -240,14 +244,25 @@ object Construction {
     s
   }
 
+  // Every model-pattern alternative needs a model/part keyword token, a
+  // token whose letters run straight into a digit ("K2032", IGNORECASE so
+  // case-folded), or a letters-'-'-digits span ("OM-141" — tokenized as
+  // letters, hyphen separator, digit-led token).
+  private val modelFirstWords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    List("model", "part", "pn", "sku", "cat", "catalog", "item").foreach(s.add)
+    s
+  }
+
   private[core] val FactFixture = 1    // fixtureRx table may match
   private[core] val FactMount = 2      // mountingRx table may match
   private[core] val FactExclude = 4    // excludeKeywordRx may match
   private[core] val FactCapPair = 8    // capPhraseRx may match
-  private[core] val FactSpec = 16      // specPatterns 0-3 may match
+  private[core] val FactSpec = 16     // specPatterns 0-3 may match
   private[core] val FactDimAnchor = 32 // dimensionRx table may match
   private[core] val FactQty = 64       // quantityRx table may match
-  private[core] val FactAll = 127
+  private[core] val FactModel = 128    // modelRx table may match
+  private[core] val FactAll = 255
 
   /** One pass over the line computing which pattern tables can possibly
     * match (soundness: a cleared bit PROVES the table cannot match; a set
@@ -274,8 +289,10 @@ object Construction {
     var facts = 0
     var prevCapShape = false
     var prevEndsDigit = false    // last token's last char was a digit
+    var prevEndsLetter = false   // last token's last char was a letter
     var pendingDimKw = false     // last token ended with a dia/size keyword
     var sepWsColonOnly = true    // separator since last token was \s/: only
+    var sepHasHyphen = false     // separator since last token contained '-'
     var lastTokAllDigits = false
     var lastTokEnd = 0
     var i = 0
@@ -290,12 +307,14 @@ object Construction {
         var j = i
         var ascii = true
         var hasX = false
+        var hasDigitInTok = false
         while (j < n && {
           val cj = line.charAt(j)
           if (cj >= 0x80) { ascii = false; false }
           else if ((cj >= 'a' && cj <= 'z') || (cj >= 'A' && cj <= 'Z') ||
                    (cj >= '0' && cj <= '9') || cj == '_') {
             if (cj == 'x' || cj == 'X') hasX = true
+            if (cj >= '0' && cj <= '9') hasDigitInTok = true
             sb.append(if (cj >= 'A' && cj <= 'Z') (cj + 32).toChar else cj); true
           } else false
         }) j += 1
@@ -304,6 +323,12 @@ object Construction {
         if (hasX) facts |= FactDimAnchor
         if (pendingDimKw && sepWsColonOnly && c >= '0' && c <= '9')
           facts |= FactDimAnchor
+        val startsLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        if ((startsLetter && hasDigitInTok) ||
+            (prevEndsLetter && sepHasHyphen && c >= '0' && c <= '9'))
+          facts |= FactModel
+        if ((facts & FactModel) == 0 && modelFirstWords.contains(w))
+          facts |= FactModel
         if ((facts & FactFixture) == 0 && fixtureFirstWords.contains(w))
           facts |= FactFixture
         if ((facts & FactExclude) == 0 && excludeFirstWords.contains(w))
@@ -341,9 +366,11 @@ object Construction {
         pendingDimKw = wl == 'd' || w.endsWith("dia") || w.endsWith("diameter") ||
           w.endsWith("size") || w.endsWith("dimension")
         prevEndsDigit = wl >= '0' && wl <= '9'
+        prevEndsLetter = wl >= 'a' && wl <= 'z' // w is lowercased
         lastTokAllDigits = allDigits
         lastTokEnd = j
         sepWsColonOnly = true
+        sepHasHyphen = false
         // capPhraseRx is case-SENSITIVE: shape check on the ORIGINAL chars
         val capShape = j - i >= 2 && {
           val c0 = line.charAt(i); val c1 = line.charAt(i + 1)
@@ -361,6 +388,7 @@ object Construction {
                  line.charAt(i + 1) >= '0' && line.charAt(i + 1) <= '9')
           facts |= FactQty
         if (!(isWsAscii(c) || c == ':')) sepWsColonOnly = false
+        if (c == '-') sepHasHyphen = true
         i += 1
       }
     }
@@ -454,7 +482,7 @@ object Construction {
     // exclusion regexes (:222-224) — keyword fold prescreened, anchored
     // fold always (equivalent to the original 10-pattern fold)
     if ((facts & FactExclude) != 0 && excludeKeywordRx.containsMatch(line)) return None
-    if (excludeAnchoredRx.containsMatch(line)) return None
+    if (excludeAnchoredRx.matchesAt(line)) return None
 
     // instruction-phrase prefixes (:227-230)
     val upperLine = PyStr.upper(line) // hoisted: reused by the vetoes below
@@ -558,9 +586,10 @@ object Construction {
       }
     }
 
-    // model numbers (:353-405)
+    // model numbers (:353-405) — FactModel prescreen, see lineFacts
     val allModels = ArrayBuffer.empty[String]
-    (if (lineHasDigit) modelRx else modelRxNoDigit).foreach { rx =>
+    (if ((facts & FactModel) == 0) emptyRx
+     else if (lineHasDigit) modelRx else modelRxNoDigit).foreach { rx =>
       rx.finditer(line).foreach { m =>
         val groups = m.groups
         if (groups.nonEmpty) {
@@ -783,9 +812,9 @@ object Construction {
       }
     }
 
-    // model (:670-685)
+    // model (:670-685) — FactModel prescreen, see lineFacts
     if (!item.modelNumber.exists(_.nonEmpty)) {
-      var brk = false
+      var brk = (facts & FactModel) == 0
       val it = (if (lineHasDigit) modelRx else modelRxNoDigit).iterator
       while (!brk && it.hasNext) {
         it.next().search(line).foreach { m =>

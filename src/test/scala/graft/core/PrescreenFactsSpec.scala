@@ -23,6 +23,9 @@ class PrescreenFactsSpec extends AnyFunSuite {
   private val specKwRx = Semantics.specPatterns.take(4).map(rxI)
   private val quantityRx = Semantics.quantityPatterns.map(rxI)
   private val dimensionRx = Semantics.dimensionPatterns.map(rxI)
+  private val modelRx = Semantics.modelPatterns.map(rxI)
+  private val anchoredHoisted =
+    rxI(Semantics.excludePatterns.drop(4).map(p => s"(?:${p.stripPrefix("^")})").mkString("|"))
 
   private def check(prop: Prop): Unit = {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(500), prop)
@@ -65,7 +68,11 @@ class PrescreenFactsSpec extends AnyFunSuite {
       "dimensions: 24", "dimension: 24", "size 8", "5mm", "5.5mm", "5 mm",
       "5-mm", "24x36", "24 x 36", "2X4", "5 in", "went in 2024", "3 in.",
       "9 ft", "8feet", "1-1/2\" drain", "25 cm pipe", "5 m", "the m word",
-      "diameter 5", "xdiameter 6", "no anchors here at all", "year 2024 done"),
+      "diameter 5", "xdiameter 6", "no anchors here at all", "year 2024 done",
+      "Model K-2032", "model: ABC", "models galore", "part # XK-99", "pn 44",
+      "sku: A9", "cat# 7", "item #3", "catalog #12", "K2032", "covid19",
+      "OM-141", "om-141", "OM - 141", "AB-C12", "9AB-12", "A-1", "X9",
+      "_AB-12", "ab_12", "2024-01-02", "a-b-c", "7-11 store", "item"),
     1 -> Gen.listOf(Gen.oneOf("42", "qty", "ea", "d", "dia", ":", ".", "(",
       ")", "\"", "'", "x", "mm", "in", "1.5", " ", "\t", "word", "Ab",
       "", "end")).map(_.mkString(" "))
@@ -106,10 +113,24 @@ class PrescreenFactsSpec extends AnyFunSuite {
     })
   }
 
+  test("cleared FactModel proves the model table cannot match") {
+    check(Prop.forAll(lines) { s =>
+      (Construction.lineFacts(s) & Construction.FactModel) != 0 ||
+        modelRx.forall(_.search(s).isEmpty)
+    })
+  }
+
   test("keyword-fold OR anchored-fold ≡ the original 10-pattern fold") {
     check(Prop.forAll(lines) { s =>
       (excludeKeywordRx.containsMatch(s) || excludeAnchoredRx.containsMatch(s)) ==
         excludeAllRx.containsMatch(s)
+    })
+  }
+
+  test("^-hoisted anchored fold via lookingAt ≡ per-pattern find") {
+    check(Prop.forAll(lines) { s =>
+      anchoredHoisted.matchesAt(s) ==
+        Semantics.excludePatterns.drop(4).exists(p => rxI(p).containsMatch(s))
     })
   }
 
