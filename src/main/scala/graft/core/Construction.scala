@@ -159,8 +159,16 @@ object Construction {
   private def hasUpperAscii(s: String) = upperAsciiRx.containsMatch(s)
   private def hasDigit(s: String) = digitClassRx.containsMatch(s)
 
-  // constant phrase table, uppercased once (not per line)
+  // constant phrase table, uppercased once (not per line); the first-char
+  // table gates the 15 startsWith probes behind one array load
   private val instructionPhrasesUpper = instructionPhrases.map(PyStr.upper).toArray
+  private val instructionFirstChars: Array[Boolean] = {
+    val arr = new Array[Boolean](128)
+    instructionPhrasesUpper.foreach { p =>
+      if (p.nonEmpty && p.charAt(0) < 128) arr(p.charAt(0)) = true
+    }
+    arr
+  }
 
   // Literal-word prescreen for the fixture/mounting tables: every
   // alternative in fixturePatterns starts with a literal word followed by
@@ -487,7 +495,9 @@ object Construction {
     // instruction-phrase prefixes (:227-230)
     val upperLine = PyStr.upper(line) // hoisted: reused by the vetoes below
     val lineUpper = PyStr.strip(upperLine)
-    if (instructionPhrasesUpper.exists(lineUpper.startsWith)) return None
+    if (lineUpper.nonEmpty && (lineUpper.charAt(0) >= 128 ||
+          instructionFirstChars(lineUpper.charAt(0))) &&
+        instructionPhrasesUpper.exists(lineUpper.startsWith)) return None
 
     // action-verb starts (:233-234)
     if (actionVerbStartRx.matchesAt(line))

@@ -83,24 +83,32 @@ object Canonical {
     * control chars < 0x20 are escaped (\b \t \n \f \r shorthand, else \uXXXX).
     */
   def quote(sb: java.lang.StringBuilder, s: String): Unit = {
+    // bulk-append maximal runs of unescaped chars (append(CharSequence,
+    // from, to) is an arraycopy); only '"', '\\' and controls < 0x20 break
+    // a run — byte-identical to the per-char loop it replaces
     sb.append('"')
+    val n = s.length
     var i = 0
-    while (i < s.length) {
+    var start = 0
+    while (i < n) {
       val c = s.charAt(i)
-      (c: @annotation.switch) match {
-        case '"'  => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case '\b' => sb.append("\\b")
-        case '\f' => sb.append("\\f")
-        case _ =>
-          if (c < 0x20) sb.append(String.format("\\u%04x", Integer.valueOf(c.toInt)))
-          else sb.append(c)
+      if (c == '"' || c == '\\' || c < 0x20) {
+        if (i > start) sb.append(s, start, i)
+        (c: @annotation.switch) match {
+          case '"'  => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case '\b' => sb.append("\\b")
+          case '\f' => sb.append("\\f")
+          case _ => sb.append(String.format("\\u%04x", Integer.valueOf(c.toInt)))
+        }
+        start = i + 1
       }
       i += 1
     }
+    if (n > start) sb.append(s, start, n)
     sb.append('"')
   }
 }
