@@ -232,23 +232,27 @@ object Construction {
     "spec", "ref", "dwg", "drawing")
 
   // Every quantity-pattern alternative needs a qty/quantity token, a unit
-  // keyword standalone-after-digits or glued to digits ("3ea"), a '(',
-  // digit '.' digit, or a bare trailing number (pattern 7's `|$)` arm).
-  private val qtySuffixes: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    List("ea", "each", "pcs", "pieces", "pc", "unit", "units",
-      "lf", "ft", "feet", "sq", "square", "linear").foreach(s.add)
-    s
-  }
+  // keyword after digits, a '(', digit '.' digit, or a bare trailing
+  // number (pattern 7's `|$)` arm). Pattern 7 has NO trailing \b, so its
+  // keywords match as token PREFIXES ("7 eaend", "689pcsi…") — both
+  // fuzz-found by FuzzFactsMain; prefix match, with qty/quantity included
+  // for the glued/after-digits form ("7quantity").
+  private val qtyPrefixes: Array[String] = Array(
+    "ea", "pc", "pieces", "unit", "qty", "quantity",
+    "lf", "ft", "feet", "sq", "square", "linear")
   // Every dimension-pattern alternative needs a quote, ø (non-ASCII ⇒
   // inconclusive anyway), an 'x' char, a length unit standalone-after-
   // digits or glued ("5mm"), or a dia/size keyword ending a token directly
   // followed (over \s/: only) by a digit-led token (patterns 10/18 have no
   // leading \b, so the keyword can END any token: "and 7" genuinely
   // matches via the 'D' alternative).
+  // "inch" is a PREFIX, not an equality: dimension pattern 9 lets the dia
+  // keyword glue straight onto the unit ("7inchdia", "141inchod" — \s* is
+  // optional between them; fuzz-found by FuzzFactsMain). The others carry
+  // a trailing \b, so equality is exact for them.
   private val dimUnitSuffixes: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
-    List("in", "inch", "inches", "ft", "feet", "cm", "mm", "m").foreach(s.add)
+    List("in", "ft", "feet", "cm", "mm", "m").foreach(s.add)
     s
   }
 
@@ -364,10 +368,18 @@ object Construction {
           val glued = r > 0
           if ((facts & FactQty) == 0 &&
               (w == "qty" || w == "quantity" ||
-               (qtySuffixes.contains(rest) && (glued || prevEndsDigit))))
+               ((glued || prevEndsDigit) && {
+                 var k = 0
+                 var hit = false
+                 while (!hit && k < qtyPrefixes.length) {
+                   if (rest.startsWith(qtyPrefixes(k))) hit = true
+                   k += 1
+                 }
+                 hit
+               })))
             facts |= FactQty
-          if ((facts & FactDimAnchor) == 0 &&
-              dimUnitSuffixes.contains(rest) && (glued || prevEndsDigit))
+          if ((facts & FactDimAnchor) == 0 && (glued || prevEndsDigit) &&
+              (dimUnitSuffixes.contains(rest) || rest.startsWith("inch")))
             facts |= FactDimAnchor
         }
         val wl = w.charAt(w.length - 1)
