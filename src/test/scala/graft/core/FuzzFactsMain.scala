@@ -22,6 +22,9 @@ object FuzzFactsMain {
 
     val excludeKeywordRx =
       rxI(Semantics.excludePatterns.take(4).map(p => s"(?:$p)").mkString("|"))
+    val anchoredHoisted =
+      rxI(Semantics.excludePatterns.drop(4).map(p => s"(?:${p.stripPrefix("^")})").mkString("|"))
+    val anchoredOriginal = Semantics.excludePatterns.drop(4).map(rxI)
     val capPhraseRx = Rx("""\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)+)""")
     val specKwRx = Semantics.specPatterns.take(4).map(rxI)
     val quantityRx = Semantics.quantityPatterns.map(rxI)
@@ -65,6 +68,7 @@ object FuzzFactsMain {
         bad += 1
       }
       if ((f & Construction.FactExclude) == 0 && excludeKeywordRx.containsMatch(s)) die("exclude")
+      if (anchoredHoisted.matchesAt(s) != anchoredOriginal.exists(_.containsMatch(s))) die("anchored-hoist")
       if ((f & Construction.FactCapPair) == 0 && capPhraseRx.search(s).isDefined) die("cappair")
       if ((f & Construction.FactSpec) == 0 && specKwRx.exists(_.search(s).isDefined)) die("spec")
       if ((f & Construction.FactQty) == 0)
