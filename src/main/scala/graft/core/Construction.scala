@@ -131,8 +131,6 @@ object Construction {
   private val drawingRefRx = drawingReferencePatterns.map(rxS).toArray
   private val modelInLineRx = modelPatternsInLine.map(rxI).toArray
 
-  private val upperAsciiRx = rxS("""[A-Z]""")
-  private val digitClassRx = rxS("""\d""")
   private val actionVerbStartRx =
     rxI("""^\s*(up\s+to|see|refer|use|install|mount|connect|note|notice|warning)\s+""")
   private val capPhraseRx = rxS("""\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)+)""")
@@ -156,8 +154,37 @@ object Construction {
   private val hyphenWsRx = rxS("""[-\s]+""")
   private val digitsRx = rxS("""\d+""")
 
-  private def hasUpperAscii(s: String) = upperAsciiRx.containsMatch(s)
-  private def hasDigit(s: String) = digitClassRx.containsMatch(s)
+  // Hand scans replacing upperAsciiRx/digitClassRx containment probes: the
+  // per-call Matcher reset dominated the actual scan in JFR. Semantics are
+  // exactly the compiled patterns': [A-Z] is ASCII-only (case-sensitive, no
+  // folding); \d under UNICODE_CHARACTER_CLASS is \p{IsDigit} =
+  // Character.isDigit over CODE POINTS (non-BMP digits included, hence the
+  // codePointAt walk).
+  private def hasUpperAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') return true
+      i += 1
+    }
+    false
+  }
+  private def hasDigit(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < 0x80) {
+        if (c >= '0' && c <= '9') return true
+        i += 1
+      } else {
+        val cp = s.codePointAt(i)
+        if (Character.isDigit(cp)) return true
+        i += Character.charCount(cp)
+      }
+    }
+    false
+  }
 
   // constant phrase table, uppercased once (not per line); the first-char
   // table gates the 15 startsWith probes behind one array load
@@ -452,11 +479,26 @@ object Construction {
     // output (EnrichWindowSpec pins equivalence vs the literal 3-call fold).
     var enrichedUpTo = -1
 
+    // Per-line memo across the fold: a context line is stripped/prescreened
+    // once even though the detect pass and the enrich window both touch it
+    // (lineFacts is a pure function of the stripped line, so reuse is
+    // semantics-free; ~2x fewer prescreen scans on item-dense pages).
+    val stripped = new Array[String](lines.length)
+    var si = 0
+    while (si < lines.length) { stripped(si) = PyStr.strip(lines(si)); si += 1 }
+    val factsMemo = new Array[Int](lines.length)
+    java.util.Arrays.fill(factsMemo, -1)
+    def factsOf(k: Int): Int = {
+      var f = factsMemo(k)
+      if (f == -1) { f = lineFacts(stripped(k)); factsMemo(k) = f }
+      f
+    }
+
     var lineNum = 0
     while (lineNum < lines.length) {
-      val line = PyStr.strip(lines(lineNum))
+      val line = stripped(lineNum)
       if (line.nonEmpty) {
-        detectItemLine(line, pageNum, lineNum) match {
+        detectItemLineF(line, pageNum, lineNum, factsOf(lineNum)) match {
           case Some(d) =>
             if (current != null && current.meaningful) items += current.toRaw
             current = new OpenItem(
@@ -479,8 +521,8 @@ object Construction {
               val hi = math.min(lineNum + 1, lines.length - 1)
               var k = lo
               while (k <= hi) {
-                val c = if (k == lineNum) line else PyStr.strip(lines(k))
-                if (c.nonEmpty) enrichItem(current, c)
+                val c = stripped(k)
+                if (c.nonEmpty) enrichItemF(current, c, factsOf(k))
                 k += 1
               }
               if (hi > enrichedUpTo) enrichedUpTo = hi
@@ -495,9 +537,14 @@ object Construction {
 
   // ------------------------------------------------------ P3 line classifier
   /** _detect_item_line (construction.py:216-649). */
-  def detectItemLine(line: String, pageNum: Long, lineNum: Long): Option[Detected] = {
-    // one prescreen pass gates five pattern tables below (see lineFacts)
-    val facts = lineFacts(line)
+  def detectItemLine(line: String, pageNum: Long, lineNum: Long): Option[Detected] =
+    detectItemLineF(line, pageNum, lineNum, lineFacts(line))
+
+  /** detectItemLine with the prescreen precomputed (extractItems memoizes
+    * it per line across the detect pass and the enrich window).
+    */
+  private[core] def detectItemLineF(
+      line: String, pageNum: Long, lineNum: Long, facts: Int): Option[Detected] = {
 
     // exclusion regexes (:222-224) — keyword fold prescreened, anchored
     // fold always (equivalent to the original 10-pattern fold)
@@ -809,13 +856,16 @@ object Construction {
     * Enrichment is deliberately looser than detection (no vetoes): a context
     * line "SEE PAGE 5" contributes quantity 5.
     */
-  def enrichItem(item: OpenItem, line: String): Unit = {
+  def enrichItem(item: OpenItem, line: String): Unit =
+    enrichItemF(item, line, lineFacts(line))
+
+  /** enrichItem with the prescreen precomputed (see detectItemLineF). */
+  private[core] def enrichItemF(item: OpenItem, line: String, facts: Int): Unit = {
     // digit prescreen (see detectItemLine): quantity/dimension patterns
     // all require \d, so digit-free context lines skip those loops;
     // lineFacts gates the quantity/dimension/mounting tables (same
     // soundness contract as in detectItemLine, one scan for all three)
     val lineHasDigit = hasDigit(line)
-    val facts = lineFacts(line)
 
     // quantity (:654-667)
     if (!item.quantity.exists(_.truthy)) {
