@@ -610,10 +610,13 @@ object Construction {
     val lineHasDigit = hasDigit(line)
 
     // quantities (:294-351) — FactQty prescreen, see lineFacts
+    // the pattern loops below use `match` instead of Option.foreach: the
+    // foreach closures captured the break vars, boxing them into
+    // BooleanRefs on every call (visible in JFR allocation samples)
     var qtyBreak = !lineHasDigit || (facts & FactQty) == 0
     val qtyIt = quantityRx.iterator
     while (!qtyBreak && qtyIt.hasNext) {
-      qtyIt.next().search(line).foreach { m =>
+      qtyIt.next().search(line) match { case None => (); case Some(m) =>
         try {
           val qtyStr = m.group(1)
           if (qtyStr == null) throw new NumberFormatException("no group") // ≙ IndexError-ish guard
@@ -710,7 +713,7 @@ object Construction {
     var dimBreak = !lineHasDigit || (facts & FactDimAnchor) == 0
     val dimIt = dimensionRx.iterator
     while (!dimBreak && dimIt.hasNext) {
-      dimIt.next().search(line).foreach { m =>
+      dimIt.next().search(line) match { case None => (); case Some(m) =>
         val dimParts = m.groups.filter(g => g != null && g.nonEmpty)
         if (dimParts.nonEmpty) {
           val filtered = dimParts.filter { dim =>
@@ -749,7 +752,7 @@ object Construction {
     var mountBreak = !mayMount
     val mountIt = mountingRx.iterator
     while (!mountBreak && mountIt.hasNext) {
-      mountIt.next().search(line).foreach { m =>
+      mountIt.next().search(line) match { case None => (); case Some(m) =>
         d.mounting = Some(PyStr.strip(m.group0))
         mountBreak = true
       }
@@ -764,7 +767,7 @@ object Construction {
       (if (lineHasDigit) { if (maySpecKw) specRx else specRx.drop(4) }
        else { if (maySpecKw) specRxNoDigit else emptyRx }).iterator
     while (!specBreak && specIt.hasNext) {
-      specIt.next().search(line).foreach { m =>
+      specIt.next().search(line) match { case None => (); case Some(m) =>
         val groups = m.groups
         val specStr =
           if (groups.nonEmpty) PyStr.strip(groups.filter(g => g != null && g.nonEmpty).mkString(" "))
@@ -872,7 +875,7 @@ object Construction {
       var brk = !lineHasDigit || (facts & FactQty) == 0
       val it = quantityRx.iterator
       while (!brk && it.hasNext) {
-        it.next().search(line).foreach { m =>
+        it.next().search(line) match { case None => (); case Some(m) =>
           try {
             val qtyStr = m.group(1)
             if (qtyStr == null) throw new NumberFormatException("no group")
@@ -889,7 +892,7 @@ object Construction {
       var brk = (facts & FactModel) == 0
       val it = (if (lineHasDigit) modelRx else modelRxNoDigit).iterator
       while (!brk && it.hasNext) {
-        it.next().search(line).foreach { m =>
+        it.next().search(line) match { case None => (); case Some(m) =>
           val groups = m.groups
           if (groups.nonEmpty) {
             var gi = groups.length - 1
@@ -913,7 +916,7 @@ object Construction {
       var brk = !lineHasDigit || (facts & FactDimAnchor) == 0
       val it = dimensionRx.iterator
       while (!brk && it.hasNext) {
-        it.next().search(line).foreach { m =>
+        it.next().search(line) match { case None => (); case Some(m) =>
           val dimParts = m.groups.filter(g => g != null)
             .map(PyStr.strip).filter(_.nonEmpty)
           if (dimParts.nonEmpty) {
@@ -937,7 +940,7 @@ object Construction {
       var brk = (facts & FactMount) == 0
       val it = mountingRx.iterator
       while (!brk && it.hasNext) {
-        it.next().search(line).foreach { m =>
+        it.next().search(line) match { case None => (); case Some(m) =>
           val mounting0 = PyStr.strip(m.group0)
           if (mounting0.nonEmpty) {
             var mounting = hyphenWsRx.p.matcher(PyStr.lower(mounting0)).replaceAll("-")
@@ -957,7 +960,7 @@ object Construction {
       val nSpec = if (lineHasDigit) specRx.length else specRxNoDigit.length
       while (!brk && pi < nSpec) {
         val pat = specPatterns(pi)
-        specRx(pi).search(line).foreach { m =>
+        specRx(pi).search(line) match { case None => (); case Some(m) =>
           val groups = m.groups
           val specStr =
             if (groups.nonEmpty) PyStr.strip(groups.filter(g => g != null && g.nonEmpty).mkString(" "))
