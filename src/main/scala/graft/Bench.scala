@@ -233,7 +233,10 @@ object Bench {
          |**Scaling efficiency (T_N / T_4N) / 4 = $eff%.3f** (north-rule
          |target ≥ 0.8). Sandbox evidence for the two-cluster-size criterion
          |per BASELINE.md (no real cluster available; N vs 4N local cores on
-         |identical input). Interleaving makes co-tenant load episodes hit
+         |identical input). BENCH_CLUSTER.md carries the stronger
+         |multi-executor variant: the same job via spark-submit to a
+         |localhost standalone master at 1 vs 4 separate 2-core executor
+         |JVMs (`scripts/bench_cluster.sh`). Interleaving makes co-tenant load episodes hit
          |both levels instead of parking on one contiguous min-of-k window
          |(the round-2 0.631 artifact's failure mode — its own pure-JVM
          |control scaled at 0.97); the per-rep spread above is the noise
