@@ -16,25 +16,44 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 SPARK=/opt/spark
 WORK=$(mktemp -d /tmp/graft_cluster.XXXX)
 LOGS="$WORK/logs"; mkdir -p "$LOGS" "$WORK/spark-work"
-JAR=$(ls "$REPO"/target/scala-2.13/*.jar | grep -v test | head -1)
+# exact artifact match: the app jar only — -sources/-javadoc/-tests or a
+# stale differently-named jar must fail loudly, not silently get benched
+mapfile -t JARS < <(ls "$REPO"/target/scala-2.13/graft*_2.13-*.jar 2>/dev/null \
+  | grep -v -e '-sources\.jar$' -e '-javadoc\.jar$' -e '-tests\.jar$')
+if [ "${#JARS[@]}" -ne 1 ]; then
+  echo "expected exactly one app jar in target/scala-2.13, found: ${JARS[*]:-none}" >&2
+  exit 1
+fi
+JAR="${JARS[0]}"
 MASTER_URL=spark://127.0.0.1:7077
 
 export SPARK_LOCAL_IP=127.0.0.1
 
+# kill ONLY the daemons this script starts (PIDs captured below) — a blanket
+# pkill would take down Spark daemons the user runs independently
+MASTER_PID=""; WORKER_PID=""
 cleanup() {
-  pkill -f org.apache.spark.deploy.worker.Worker 2>/dev/null || true
-  pkill -f org.apache.spark.deploy.master.Master 2>/dev/null || true
+  [ -n "$WORKER_PID" ] && kill "$WORKER_PID" 2>/dev/null || true
+  [ -n "$MASTER_PID" ] && kill "$MASTER_PID" 2>/dev/null || true
 }
 trap cleanup EXIT
-cleanup; sleep 2
+
+# fail fast if something else already owns the master port
+if (exec 3<>/dev/tcp/127.0.0.1/7077) 2>/dev/null; then
+  exec 3>&- 3<&-
+  echo "port 7077 already in use (another Spark master?) — stop it or change MASTER_URL" >&2
+  exit 1
+fi
 
 echo "[cluster] starting master + 8-core worker (executors are carved as 2-core JVMs)"
 nohup "$SPARK/bin/spark-class" org.apache.spark.deploy.master.Master \
   --host 127.0.0.1 --port 7077 --webui-port 8099 > "$LOGS/master.log" 2>&1 &
+MASTER_PID=$!
 sleep 8
 nohup "$SPARK/bin/spark-class" org.apache.spark.deploy.worker.Worker "$MASTER_URL" \
   --host 127.0.0.1 --cores 8 --memory 24g --work-dir "$WORK/spark-work" \
   --webui-port 8098 > "$LOGS/worker.log" 2>&1 &
+WORKER_PID=$!
 sleep 8
 grep -q "Successfully registered" "$LOGS/worker.log" || { echo "worker failed to register"; exit 1; }
 
@@ -66,6 +85,8 @@ for i in $(seq 1 "$PAIRS"); do
   echo "  ${T4_RUNS[-1]}"
 done
 
+# artifacts always land at the repo root regardless of invocation CWD
+cd "$REPO"
 python3 - "$PAIRS" "${N_RUNS[@]}" "${T4_RUNS[@]}" <<'EOF'
 import json, sys
 pairs = int(sys.argv[1])

@@ -73,7 +73,11 @@ object ClusterBench {
       extraction(spark, warmDir, s"$outBase/warm2", par)
       val (docs, t) = timeSec(extraction(spark, pagesDir, s"$outBase/timed", par))
       val execs = spark.sparkContext.statusTracker.getExecutorInfos.length - 1 // minus driver
-      println(f"""CLUSTERBENCH {"docs":$docs,"wall_s":$t%.3f,"docs_per_sec":${docs / t}%.1f,"executors":$execs,"parallelism":$par}""")
+      // Locale.ROOT: the f-interpolator's %.3f uses the default locale — a
+      // comma-decimal locale would emit invalid JSON and crash the harness
+      println(String.format(java.util.Locale.ROOT,
+        """CLUSTERBENCH {"docs":%d,"wall_s":%.3f,"docs_per_sec":%.1f,"executors":%d,"parallelism":%d}""",
+        Long.box(docs), Double.box(t), Double.box(docs / t), Int.box(execs), Int.box(par)))
       spark.stop()
 
     case other => sys.error(s"unknown subcommand: $other")

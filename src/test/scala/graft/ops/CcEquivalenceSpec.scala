@@ -58,6 +58,7 @@ class CcEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark; import s.implicits._
     val perm = new scala.util.Random(11).shuffle((0L until 30L).toVector)
     val df = perm.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("id_a", "id_b")
+    s.conf.set(Checkpointer.ConfKey, "local")
     val viaLocal = TextDedup.dedupClusters(df, maxRounds = 80)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     TextDedup.releaseCaches()
@@ -76,9 +77,22 @@ class CcEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(viaReliable == viaLocal, "reliable path changed the clustering")
       // evidence the rounds actually wrote durable RDD checkpoints
       import scala.jdk.CollectionConverters._
-      val files = java.nio.file.Files.walk(ckptDir).iterator().asScala
-        .count(p => p.getFileName.toString.startsWith("part-"))
-      assert(files > 0, "no checkpoint files written under the reliable path")
+      def partFiles(dir: java.nio.file.Path): Long =
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .count(p => p.getFileName.toString.startsWith("part-"))
+      assert(partFiles(ckptDir) > 0, "no checkpoint files written under the reliable path")
+      // conf UNSET + checkpoint dir present → reliable is the DEFAULT: a
+      // deployment that configured a durable dir gets loss tolerance
+      // without knowing about the second flag
+      s.conf.unset(Checkpointer.ConfKey)
+      val ckptDir2 = java.nio.file.Files.createTempDirectory("graft_ckpt_default")
+      s.sparkContext.setCheckpointDir(ckptDir2.toString)
+      val viaDefault = TextDedup.dedupClusters(df, maxRounds = 80)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      TextDedup.releaseCaches()
+      assert(viaDefault == viaLocal, "default-reliable path changed the clustering")
+      assert(partFiles(ckptDir2) > 0,
+        "checkpoint dir configured but the default path wrote no durable checkpoints")
     } finally s.conf.set(Checkpointer.ConfKey, "local")
   }
 
