@@ -5250,6 +5250,169 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** PDF 1.5+ structural + font surface as a driver row (r5): each document
+    * becomes a PDF in one of 8 physical framings — classic xref, xref
+    * stream, predicted xref stream, /ObjStm, /Differences+/ToUnicode simple
+    * font, Identity-H CID font, /Encrypt-ed, truncated — parsed back
+    * through the production Decode path. Framings 0-5 must round-trip the
+    * text byte-identically (60-bit md5 pin); 6/7 must fall back with the
+    * DISTINCT error kinds (encrypted vs parse). The oracle replays the
+    * expected text from the raw documents table, so any parser drift in
+    * xref-stream decode, ObjStm expansion, predictor unfiltering, or font
+    * decode flips the hash.
+    */
+  private def qPdfXrefstream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pdf.Pdf
+    val prefix = "§ déjà vu — café №42"
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val chunks = if (text.isEmpty) Seq("") else text.grouped(40).toSeq
+        val lines = prefix +: chunks
+        val placements = lines.zipWithIndex.map { case (l, i) => (50.0, 760.0 - 12.0 * i, l) }
+        val framing = (id % 8).toInt
+        val bytes: Array[Byte] = framing match {
+          case 0 => Pdf.writePages(Seq(Pdf.PageSpec(placements)), flate = id % 2 == 0)
+          case 1 => Pdf.writePages(Seq(Pdf.PageSpec(placements)), flate = id % 2 == 0,
+            framing = Pdf.Framing.XrefStream)
+          case 2 => Pdf.writePages(Seq(Pdf.PageSpec(placements)), flate = id % 2 == 0,
+            framing = Pdf.Framing.XrefStreamPred)
+          case 3 => Pdf.writePages(Seq(Pdf.PageSpec(placements)), flate = id % 2 == 0,
+            framing = Pdf.Framing.ObjStm)
+          case 4 => Pdf.writeCustomFontDoc(Seq(lines), cid = false)
+          case 5 => Pdf.writeCustomFontDoc(Seq(lines), cid = true)
+          case 6 => // encrypted: /Encrypt injected into the trailer
+            new String(Pdf.writePages(Seq(Pdf.PageSpec(placements)), flate = false),
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+              .replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          case _ => // truncated mid-file: must fall back, not crash
+            val full = Pdf.writePages(Seq(Pdf.PageSpec(placements)), flate = false)
+            java.util.Arrays.copyOfRange(full, 0, full.length / 3)
+        }
+        val dec = graft.pipeline.Decode.decode(bytes, null)
+        val errKind = dec.error.map(_.takeWhile(_ != ':')).getOrElse("")
+        (id, framing, dec.pages.length, errKind, dec.pages.map(_.text).mkString("\n\n"))
+      }
+      .toDF("doc_id", "framing", "n_pages", "err_kind", "got_text")
+      .withColumn("text_h", when(col("n_pages") > 0, ph(col("got_text"))).otherwise(lit(0L)))
+      .select("doc_id", "framing", "n_pages", "err_kind", "text_h")
+      .orderBy("doc_id")
+  }
+
+  /** REAL-pixel perceptual hash (r5): per document a deterministic
+    * grayscale image — pixel(x,y) = (7x + 13y + 31·doc_id) mod 251, dims
+    * (9·(2+id%4)) × (7·(2+id%5)) so the 7×9 dHash cells divide evenly —
+    * is encoded as an actual PNG (color type rotates gray/RGB/RGBA by
+    * id%3, scanline filter rotates 0-4 by row), decoded back through the
+    * real codec, and hashed with the pixel-domain dHash. The oracle
+    * recomputes the hash from the closed-form pixel function, so the WHOLE
+    * codec chain (chunking, zlib, all five PNG filters, luma) is verified
+    * end-to-end: any byte the decoder gets wrong flips the hash. Replaces
+    * nothing — q_phash keeps the opaque-byte twin for non-image payloads.
+    */
+  private def qPngPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.media.Png
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (9 * (2 + id % 4)).toInt
+        val h = (7 * (2 + id % 5)).toInt
+        val img = Png.Gray(w, h, Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          ((7L * x + 13L * y + 31L * id) % 251L).toInt
+        })
+        val colorType = (id % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+        val bytes = Png.encodeGrayAs(img, colorType, y => y % 5)
+        val back = Png.decode(bytes)
+        (id, w.toLong, h.toLong, graft.ops.Multimodal.dHashImage(back))
+      }
+      .toDF("doc_id", "w", "h", "dhash")
+      .orderBy("doc_id")
+  }
+
+  private val pngCellsSql =
+    """list_transform(generate_series(0, 62), k ->
+         list_sum(list_transform(generate_series(0, cw * ch - 1), j ->
+           (7 * ((k % 9) * cw + (j % cw)) + 13 * ((k // 9) * ch + (j // cw)) + 31 * base) % 251)))"""
+
+  private val oPngPhash =
+    s"""WITH p AS (SELECT doc_id, doc_id AS base,
+           2 + doc_id % 4 AS cw, 2 + doc_id % 5 AS ch FROM documents),
+       c AS (SELECT doc_id, 9 * cw AS w, 7 * ch AS h, $pngCellsSql AS cells FROM p)
+       SELECT doc_id, w, h,
+         list_sum(list_transform(generate_series(0, 55), b ->
+           CASE WHEN cells[(b // 8) * 9 + (b % 8) + 1] > cells[(b // 8) * 9 + (b % 8) + 2]
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS dhash
+       FROM c ORDER BY doc_id"""
+
+  /** Image near-dup pairs over REAL PNGs: consecutive doc ids share a base
+    * image (base = id/2) and the odd sibling carries a one-pixel +1 edit —
+    * hamming ≤ 1 by construction, so every (2k, 2k+1) pair MUST surface
+    * through the banded Hamming join over decoded-pixel dHashes. The
+    * oracle recomputes hashes from the closed form and brute-forces all
+    * pairs, so the banding's exactness over the real codec is what's
+    * verified.
+    */
+  private def qPngPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.media.Png
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val base = id / 2
+        val w = (9 * (2 + base % 4)).toInt
+        val h = (7 * (2 + base % 5)).toInt
+        val img = Png.Gray(w, h, Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          val v = (7L * x + 13L * y + 31L * base) % 251L
+          (v + (if (id % 2 == 1 && x == 0 && y == 0) 1L else 0L)).toInt
+        })
+        val colorType = (id % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+        (id, Png.encodeGrayAs(img, colorType, y => y % 5))
+      }
+      .toDF("id", "payload")
+    graft.ops.Multimodal.imageNearDupPairs(s, media, maxHamming = 3, decodePixels = true)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val oPngPhashPairs =
+    s"""WITH p AS (SELECT doc_id, doc_id // 2 AS base,
+           2 + (doc_id // 2) % 4 AS cw, 2 + (doc_id // 2) % 5 AS ch FROM documents),
+       c AS (SELECT doc_id, cw, ch,
+           list_transform(generate_series(0, 62), k ->
+             list_sum(list_transform(generate_series(0, cw * ch - 1), j ->
+               (7 * ((k % 9) * cw + (j % cw)) + 13 * ((k // 9) * ch + (j // cw)) + 31 * base) % 251
+                 + CASE WHEN doc_id % 2 = 1 AND k = 0 AND j = 0 THEN 1 ELSE 0 END))) AS cells
+         FROM p),
+       ph AS (SELECT doc_id AS id,
+           list_sum(list_transform(generate_series(0, 55), b ->
+             CASE WHEN cells[(b // 8) * 9 + (b % 8) + 1] > cells[(b // 8) * 9 + (b % 8) + 2]
+                  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS h
+         FROM c)
+       SELECT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.h, b.h))::BIGINT AS hamming
+       FROM ph a JOIN ph b ON a.id < b.id
+       WHERE bit_count(xor(a.h, b.h)) <= 3
+       ORDER BY id_a, id_b"""
+
+  // Oracle twin of qPdfXrefstream: expected text replayed straight from the
+  // documents table (constant decoration line + 40-char chunking), expected
+  // framing outcomes by doc_id % 8. Framings 0-5 → 1 page, text hash;
+  // 6 → pdf-encrypted fallback; 7 → pdf-parse fallback.
+  private val oPdfXrefstream =
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS framing,
+         '§ déjà vu — café №42' || chr(10) ||
+           array_to_string(list_transform(generate_series(0, (length(text)-1)//40),
+             i -> substr(text, i*40 + 1, 40)), chr(10)) AS full_text
+       FROM documents)
+       SELECT doc_id, framing,
+         CASE WHEN framing >= 6 THEN 0 ELSE 1 END AS n_pages,
+         CASE WHEN framing = 6 THEN 'pdf-encrypted'
+              WHEN framing = 7 THEN 'pdf-parse' ELSE '' END AS err_kind,
+         CASE WHEN framing >= 6 THEN 0
+              ELSE ('0x' || substr(md5(full_text), 1, 15))::BIGINT END AS text_h
+       FROM d ORDER BY doc_id"""
+
   // ================================================================== catalog
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats" -> qStats _,
@@ -5404,10 +5567,16 @@ object Queries {
     "q_llm_merge" -> qLlmMerge _,
     "q_standard_entities" -> qStandardEntities _,
     "q_html_extract" -> qHtmlExtract _,
+    "q_pdf_xrefstream" -> qPdfXrefstream _,
+    "q_png_phash" -> qPngPhash _,
+    "q_png_phash_pairs" -> qPngPhashPairs _,
     "q_py_findall" -> qPyFindall _
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pdf_xrefstream" -> oPdfXrefstream,
+    "q_png_phash" -> oPngPhash,
+    "q_png_phash_pairs" -> oPngPhashPairs,
     "q_stats" -> oStats,
     "q_summary" -> oSummary,
     "q_needs_ocr" -> oNeedsOcr,

@@ -76,6 +76,15 @@ object PayloadGen {
     if (doc.ocr) return scannedPdfPayload(doc)
     val v = variant(doc.url, 2)
     val flate = variant(doc.url, 3) != 0
+    // physical framing rotates per url (r5): classic xref table, xref
+    // stream, predicted xref stream, /ObjStm — a real crawl slice is
+    // mostly PDF 1.5+, so the fixture corpus must be too
+    val framing = variant(doc.url, 4) match {
+      case 0 => Pdf.Framing.Classic
+      case 1 => Pdf.Framing.XrefStream
+      case 2 => Pdf.Framing.XrefStreamPred
+      case _ => Pdf.Framing.ObjStm
+    }
     val pages = doc.pages.map { p =>
       val lines = PyStr.split(p.text, '\n')
       val placements =
@@ -93,7 +102,8 @@ object PayloadGen {
     }
     Pdf.writePages(pages, flate,
       width = doc.pages.head.width.getOrElse(612.0),
-      height = doc.pages.head.height.getOrElse(792.0))
+      height = doc.pages.head.height.getOrElse(792.0),
+      framing = framing)
   }
 
   /** A "scanned" PDF: each page's text layer is a short stub run (the

@@ -124,6 +124,52 @@ object Multimodal {
           .as("frame"))
   }
 
+  /** dHash56 over REAL pixels (r5): a decoded grayscale lattice reduced to
+    * the same 7×9 cell grid, bit r·8+c set iff cell (r,c) is brighter than
+    * cell (r,c+1). Cell boundaries are the floor partition (r·h/7, c·w/9);
+    * brightness compares cell MEANS exactly via cross-multiplied integer
+    * sums, so images whose dimensions don't divide the grid stay
+    * bit-deterministic (no float averaging). Dividing dimensions reduce to
+    * plain sum comparison — the shape the DuckDB oracle replays.
+    */
+  def dHashImage(img: graft.media.Png.Gray): Long = {
+    val rows = 7; val cols = 9
+    val w = img.width; val h = img.height
+    val sums = Array.ofDim[Long](rows, cols)
+    val areas = Array.ofDim[Long](rows, cols)
+    var r = 0
+    while (r < rows) {
+      val y0 = r * h / rows; val y1 = (r + 1) * h / rows
+      var c = 0
+      while (c < cols) {
+        val x0 = c * w / cols; val x1 = (c + 1) * w / cols
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += img(x, y); x += 1 }
+          y += 1
+        }
+        sums(r)(c) = s
+        areas(r)(c) = (y1 - y0).toLong * (x1 - x0)
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < 8) {
+        if (sums(r)(c) * areas(r)(c + 1) > sums(r)(c + 1) * areas(r)(c))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
   /** 56-bit difference-hash (dHash) over the stub decode: the payload is
     * laid out as a 7×9 cell grid — cell (r,c) = Σ bytes at positions
     * ≡ r·9+c (mod 63), the integer-exact twin of a downscaled grayscale
@@ -140,22 +186,31 @@ object Multimodal {
     * why dHash survives re-encoding where a byte hash doesn't.
     */
   def dHash56(spark: SparkSession, media: DataFrame,
-              idCol: String = "id", payloadCol: String = "payload"): DataFrame = {
+              idCol: String = "id", payloadCol: String = "payload",
+              decodePixels: Boolean = false): DataFrame = {
     import spark.implicits._
     media.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .map { case (id, p) =>
-        val cells = slotSums(p, 63)
-        var h = 0L
-        var r = 0
-        while (r < 7) {
-          var c = 0
-          while (c < 8) {
-            if (cells(r * 9 + c) > cells(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
-            c += 1
+        // routed by magic bytes like the pipeline's payload decode: real
+        // PNG pixels when asked and present, the stub byte grid otherwise
+        val h =
+          if (decodePixels && graft.media.Png.isPng(p))
+            dHashImage(graft.media.Png.decode(p))
+          else {
+            val cells = slotSums(p, 63)
+            var hh = 0L
+            var r = 0
+            while (r < 7) {
+              var c = 0
+              while (c < 8) {
+                if (cells(r * 9 + c) > cells(r * 9 + c + 1)) hh |= 1L << (r * 8 + c)
+                c += 1
+              }
+              r += 1
+            }
+            hh
           }
-          r += 1
-        }
         (id, h)
       }.toDF("id", "simhash")
   }
@@ -167,8 +222,8 @@ object Multimodal {
     */
   def imageNearDupPairs(spark: SparkSession, media: DataFrame,
                         idCol: String = "id", payloadCol: String = "payload",
-                        maxHamming: Int = 3): DataFrame =
-    TextDedup.simhashPairs(dHash56(spark, media, idCol, payloadCol),
+                        maxHamming: Int = 3, decodePixels: Boolean = false): DataFrame =
+    TextDedup.simhashPairs(dHash56(spark, media, idCol, payloadCol, decodePixels),
       bits = 56, chunks = 8, maxHamming = maxHamming)
 
   /** Media features → the similarity-search path: reuse VectorSim over the

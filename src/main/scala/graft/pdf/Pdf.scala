@@ -1,20 +1,46 @@
 package graft.pdf
 
+import graft.media.PngFilter
+
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
-/** Minimal deterministic PDF subset: writer (fixture generation) + parser
-  * (the engine's PDF path). Covers what the north rule names — content-
-  * stream tokenize, text-run ordering, column/paragraph reconstruction —
-  * for the subset the fixture generator emits: xref, Flate or plain
-  * content streams, BT/ET, Tf, Td/TD/Tm, Tj/TJ/'. Replaces the reference's
-  * pdfplumber `page.extract_text()` role
-  * (/root/reference/extractor/extractors/pdf_text_extractor.py:146).
+/** Deterministic PDF writer (fixture generation) + parser (the engine's PDF
+  * path). Replaces the reference's pdfplumber `page.extract_text()` role
+  * (/root/reference/extractor/extractors/pdf_text_extractor.py:58-217).
   *
-  * Anything outside the subset passes through as an empty page + a metric,
-  * mirroring the reference's fallback-not-fail philosophy
+  * Parser coverage (round 5 — the real-world PDF 1.5+ surface):
+  *   - classic cross-reference tables AND cross-reference streams
+  *     (`/Type /XRef`, /W columns, /Index, /Prev chains, PNG predictors
+  *     10-15 via /DecodeParms) — ISO 32000-1 §7.5.8;
+  *   - object streams (`/Type /ObjStm`) holding compressed dict objects,
+  *     located via type-2 xref entries — §7.5.7;
+  *   - incremental updates: the newest xref section wins per object;
+  *   - page TREES (nested /Pages nodes, /MediaBox + /Resources
+  *     inheritance), /Contents arrays, indirect /Length;
+  *   - text decode per font: simple fonts with /Encoding /Differences
+  *     (WinAnsi base + Adobe-glyph-list names) and /ToUnicode CMaps
+  *     (bfchar/bfrange), Type0/CID fonts via 2-byte /ToUnicode codes;
+  *     fonts with neither are fixture Helvetica — raw UTF-8 bytes;
+  *   - literal strings (octal escapes, line continuations) and hex
+  *     strings in content streams; inline images skipped BI..EI.
+  *
+  * Structure resolution is xref-driven (startxref → chain), with a
+  * whole-file object scan as the repair fallback — the architecture real
+  * parsers use for damaged files. Encrypted documents (`/Encrypt` in the
+  * trailer) raise [[Pdf.EncryptedPdfException]] so callers can report
+  * "can't" (encrypted) separately from "won't" (malformed).
+  *
+  * Anything still outside the subset passes through as an empty page + a
+  * metric, mirroring the reference's fallback-not-fail philosophy
   * (pdf_text_extractor.py:75-98,195-198).
   */
 object Pdf {
+
+  /** Distinct failure class for `/Encrypt`-ed documents: crawl reports must
+    * separate "encrypted, by design unreadable" from "parser gap".
+    */
+  final class EncryptedPdfException(msg: String) extends java.io.IOException(msg)
 
   final case class TextRun(x: Double, y: Double, text: String)
   /** A straight ruling-line segment from the page's path operators. */
@@ -32,6 +58,23 @@ object Pdf {
   final case class PageSpec(placements: Seq[(Double, Double, String)],
                             tables: Seq[Seq[Seq[Option[String]]]] = Nil)
 
+  /** File framing for the writer: the same logical document in the four
+    * physical layouts a real crawl slice contains.
+    */
+  sealed trait Framing
+  object Framing {
+    /** PDF 1.4: classic `xref` table + `trailer` dict. */
+    case object Classic extends Framing
+    /** PDF 1.5: Flate cross-reference STREAM (`/Type /XRef`, /W [1 4 2]). */
+    case object XrefStream extends Framing
+    /** Xref stream with PNG predictor 12 (Up) /DecodeParms — the common
+      * real-world encoding. */
+    case object XrefStreamPred extends Framing
+    /** Dict objects packed into a `/Type /ObjStm` object stream, located
+      * by type-2 entries of a predicted xref stream. */
+    case object ObjStm extends Framing
+  }
+
   private val CellW = 90.0
   private val RowH = 14.0
 
@@ -44,27 +87,25 @@ object Pdf {
     writePages(pages.map(p => PageSpec(p)), flate, width, height)
 
   def writePages(pages: Seq[PageSpec], flate: Boolean,
-                 width: Double = 612.0, height: Double = 792.0): Array[Byte] = {
+                 width: Double = 612.0, height: Double = 792.0,
+                 framing: Framing = Framing.Classic): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    val offsets = ArrayBuffer.empty[Int]
     def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    def obj(body: Array[Byte]): Unit = { offsets += out.size(); out.write(body) }
 
-    out.write(bytes("%PDF-1.4\n"))
     val nPages = pages.length
     // object numbering: 1 catalog, 2 pages, 3 font, 4..3+n page objs, 4+n..3+2n contents
     val pageObjNums = (0 until nPages).map(4 + _)
     val contObjNums = (0 until nPages).map(4 + nPages + _)
 
-    obj(bytes("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
-    obj(bytes(s"2 0 obj\n<< /Type /Pages /Kids [${pageObjNums.map(n => s"$n 0 R").mkString(" ")}] /Count $nPages >>\nendobj\n"))
-    obj(bytes("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"))
-    pages.indices.foreach { i =>
-      obj(bytes(s"${pageObjNums(i)} 0 obj\n<< /Type /Page /Parent 2 0 R " +
-        s"/MediaBox [0 0 $width $height] /Contents ${contObjNums(i)} 0 R " +
-        "/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n"))
-    }
-    pages.zipWithIndex.foreach { case (spec, i) =>
+    val catalogDict = "<< /Type /Catalog /Pages 2 0 R >>"
+    val pagesDict =
+      s"<< /Type /Pages /Kids [${pageObjNums.map(n => s"$n 0 R").mkString(" ")}] /Count $nPages >>"
+    val fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    def pageDict(i: Int) =
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $width $height] " +
+        s"/Contents ${contObjNums(i)} 0 R /Resources << /Font << /F1 3 0 R >> >> >>"
+
+    def contentBytes(spec: PageSpec): Array[Byte] = {
       val content = new java.lang.StringBuilder
       spec.placements.foreach { case (x, y, line) =>
         content.append("BT /F1 10 Tf 1 0 0 1 ").append(fmtNum(x)).append(' ')
@@ -96,10 +137,220 @@ object Pdf {
           yTop -= rows * RowH + 24.0 // gap keeps grid clusters disjoint
         }
       }
-      val raw = bytes(content.toString)
+      bytes(content.toString)
+    }
+
+    def streamObjBytes(num: Int, spec: PageSpec): Array[Byte] = {
+      val raw = contentBytes(spec)
       val data = if (flate) deflate(raw) else raw
       val filter = if (flate) " /Filter /FlateDecode" else ""
-      obj(bytes(s"${contObjNums(i)} 0 obj\n<< /Length ${data.length}$filter >>\nstream\n"))
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(bytes(s"$num 0 obj\n<< /Length ${data.length}$filter >>\nstream\n"))
+      b.write(data)
+      b.write(bytes("\nendstream\nendobj\n"))
+      b.toByteArray
+    }
+
+    framing match {
+      case Framing.Classic =>
+        val offsets = ArrayBuffer.empty[Int]
+        def obj(body: Array[Byte]): Unit = { offsets += out.size(); out.write(body) }
+        out.write(bytes("%PDF-1.4\n"))
+        obj(bytes(s"1 0 obj\n$catalogDict\nendobj\n"))
+        obj(bytes(s"2 0 obj\n$pagesDict\nendobj\n"))
+        obj(bytes(s"3 0 obj\n$fontDict\nendobj\n"))
+        pages.indices.foreach(i => obj(bytes(s"${pageObjNums(i)} 0 obj\n${pageDict(i)}\nendobj\n")))
+        pages.zipWithIndex.foreach { case (spec, i) => obj(streamObjBytes(contObjNums(i), spec)) }
+        val xrefPos = out.size()
+        val total = offsets.length + 1
+        out.write(bytes(s"xref\n0 $total\n0000000000 65535 f \n"))
+        offsets.foreach(o => out.write(bytes(f"$o%010d 00000 n \n")))
+        out.write(bytes(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n"))
+
+      case Framing.XrefStream | Framing.XrefStreamPred =>
+        val predicted = framing == Framing.XrefStreamPred
+        val offsets = mutable.Map.empty[Int, Int] // objnum -> byte offset
+        def obj(num: Int, body: Array[Byte]): Unit = { offsets(num) = out.size(); out.write(body) }
+        out.write(bytes("%PDF-1.5\n"))
+        obj(1, bytes(s"1 0 obj\n$catalogDict\nendobj\n"))
+        obj(2, bytes(s"2 0 obj\n$pagesDict\nendobj\n"))
+        obj(3, bytes(s"3 0 obj\n$fontDict\nendobj\n"))
+        pages.indices.foreach(i =>
+          obj(pageObjNums(i), bytes(s"${pageObjNums(i)} 0 obj\n${pageDict(i)}\nendobj\n")))
+        pages.zipWithIndex.foreach { case (spec, i) =>
+          obj(contObjNums(i), streamObjBytes(contObjNums(i), spec))
+        }
+        val xrefNum = 4 + 2 * nPages
+        val xrefPos = out.size()
+        offsets(xrefNum) = xrefPos
+        out.write(xrefStreamObj(xrefNum, size = xrefNum + 1, predicted,
+          entry = n => if (n == 0) (0, 0, 65535) else (1, offsets(n), 0)))
+        out.write(bytes(s"startxref\n$xrefPos\n%%EOF\n"))
+
+      case Framing.ObjStm =>
+        val offsets = mutable.Map.empty[Int, Int]
+        def obj(num: Int, body: Array[Byte]): Unit = { offsets(num) = out.size(); out.write(body) }
+        out.write(bytes("%PDF-1.5\n"))
+        // content streams stay top-level (streams cannot live inside an ObjStm)
+        pages.zipWithIndex.foreach { case (spec, i) =>
+          obj(contObjNums(i), streamObjBytes(contObjNums(i), spec))
+        }
+        // dict objects packed into the object stream, in-stream index order
+        val members: Vector[(Int, String)] =
+          Vector(1 -> catalogDict, 2 -> pagesDict, 3 -> fontDict) ++
+            pages.indices.map(i => pageObjNums(i) -> pageDict(i))
+        val bodies = members.map(_._2 + "\n")
+        val memberOffsets = bodies.scanLeft(0)(_ + _.getBytes("UTF-8").length)
+        val header = members.zip(memberOffsets).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+        val stmRaw = bytes(header ++ bodies.mkString)
+        val stmData = deflate(stmRaw)
+        val objStmNum = 4 + 2 * nPages
+        val xrefNum = objStmNum + 1
+        obj(objStmNum, {
+          val b = new java.io.ByteArrayOutputStream()
+          b.write(bytes(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${members.length} " +
+            s"/First ${bytes(header).length} /Length ${stmData.length} /Filter /FlateDecode >>\nstream\n"))
+          b.write(stmData)
+          b.write(bytes("\nendstream\nendobj\n"))
+          b.toByteArray
+        })
+        val memberIdx = members.map(_._1).zipWithIndex.toMap
+        val xrefPos = out.size()
+        offsets(xrefNum) = xrefPos
+        out.write(xrefStreamObj(xrefNum, size = xrefNum + 1, predicted = true,
+          entry = n =>
+            if (n == 0) (0, 0, 65535)
+            else memberIdx.get(n) match {
+              case Some(idx) => (2, objStmNum, idx) // compressed: (type2, stm, index)
+              case None      => (1, offsets(n), 0)
+            }))
+        out.write(bytes(s"startxref\n$xrefPos\n%%EOF\n"))
+    }
+    out.toByteArray
+  }
+
+  /** Fixture writer for the FONT-DECODE surface: the same page texts, but
+    * stored under a custom encoding instead of raw UTF-8 bytes.
+    *
+    *   - `cid = false`: a simple 1-byte font — ASCII bytes identity,
+    *     non-ASCII chars assigned codes from 0x80 and declared through
+    *     /Encoding /Differences glyph names (even indices: uniXXXX or an
+    *     AGL name) and a /ToUnicode bfchar CMap (odd indices) — BOTH
+    *     decode paths are exercised in one document;
+    *   - `cid = true`: a Type0 font with /Encoding /Identity-H — every
+    *     char (ASCII included) gets a 2-byte code (sorted-char order, so
+    *     consecutive codepoints get consecutive codes), content uses hex
+    *     strings, and the /ToUnicode CMap uses bfrange for runs and
+    *     bfchar for singletons.
+    *
+    * `parse(writeCustomFontDoc(pages, cid)) == parse(write(pages, …))`
+    * is the round-trip contract (PdfFontSpec).
+    */
+  def writeCustomFontDoc(pages: Seq[Seq[String]], cid: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def bytes(s: String) = s.getBytes(Latin1) // content carries raw code bytes
+    val offsets = ArrayBuffer.empty[Int]
+    def obj(body: Array[Byte]): Unit = { offsets += out.size(); out.write(body) }
+
+    val nPages = pages.length
+    // 1 catalog, 2 pages, 3 font, 4 tounicode, 5..4+n page objs, 5+n..4+2n contents
+    val pageObjNums = (0 until nPages).map(5 + _)
+    val contObjNums = (0 until nPages).map(5 + nPages + _)
+    val chars: Vector[Char] = pages.flatten.flatMap(_.toCharArray).distinct.sorted.toVector
+
+    val (fontDict, toUnicode, encodeLine) =
+      if (cid) {
+        val codeOf: Map[Char, Int] = chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+        // maximal runs of consecutive codepoints (which, by sorted-order
+        // assignment, also have consecutive codes) → bfrange; rest → bfchar
+        val runs = ArrayBuffer.empty[(Int, Int)] // inclusive index ranges into chars
+        var s = 0
+        (1 to chars.length).foreach { i =>
+          if (i == chars.length || chars(i) != chars(i - 1) + 1) { runs += ((s, i - 1)); s = i }
+        }
+        val (multi, single) = runs.toVector.partition { case (a, b) => b > a }
+        val cmap = new StringBuilder
+        cmap ++= "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        if (multi.nonEmpty) {
+          cmap ++= s"${multi.length} beginbfrange\n"
+          multi.foreach { case (a, b) =>
+            cmap ++= f"<${a + 1}%04X> <${b + 1}%04X> <${chars(a).toInt}%04X>\n"
+          }
+          cmap ++= "endbfrange\n"
+        }
+        if (single.nonEmpty) {
+          cmap ++= s"${single.length} beginbfchar\n"
+          single.foreach { case (a, _) =>
+            cmap ++= f"<${a + 1}%04X> <${chars(a).toInt}%04X>\n"
+          }
+          cmap ++= "endbfchar\n"
+        }
+        cmap ++= "endcmap\nend\n"
+        val fd = "<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+          "/Encoding /Identity-H /ToUnicode 4 0 R >>"
+        val enc: String => String = line =>
+          "<" + line.map(c => f"${codeOf(c)}%04X").mkString + "> Tj"
+        (fd, cmap.toString, enc)
+      } else {
+        val nonAscii = chars.filter(_ >= 0x80)
+        require(nonAscii.length <= 112, s"too many non-ASCII chars: ${nonAscii.length}")
+        val codeOf: Map[Char, Int] =
+          nonAscii.zipWithIndex.map { case (c, i) => c -> (0x80 + i) }.toMap
+        // even indices → /Differences (AGL name when one exists, else uniXXXX);
+        // odd indices → /ToUnicode bfchar
+        val aglByChar: Map[String, String] = agl.collect {
+          case (name, s) if s.length == 1 => s -> name
+        }
+        val diffEntries = nonAscii.zipWithIndex.collect { case (c, i) if i % 2 == 0 =>
+          val name = aglByChar.getOrElse(c.toString, f"uni${c.toInt}%04X")
+          s"${0x80 + i} /$name"
+        }
+        val bfEntries = nonAscii.zipWithIndex.collect { case (c, i) if i % 2 == 1 =>
+          f"<${0x80 + i}%02X> <${c.toInt}%04X>"
+        }
+        val cmap =
+          if (bfEntries.isEmpty) ""
+          else s"/CIDInit /ProcSet findresource begin\nbegincmap\n${bfEntries.length} " +
+            s"beginbfchar\n${bfEntries.mkString("\n")}\nendbfchar\nendcmap\nend\n"
+        val encPart =
+          if (diffEntries.isEmpty) ""
+          else s" /Encoding << /BaseEncoding /WinAnsiEncoding /Differences [${diffEntries.mkString(" ")}] >>"
+        val toUniPart = if (cmap.isEmpty) "" else " /ToUnicode 4 0 R"
+        val fd = s"<< /Type /Font /Subtype /Type1 /BaseFont /GraftEnc$encPart$toUniPart >>"
+        val enc: String => String = line => {
+          val sb = new java.lang.StringBuilder("(")
+          line.foreach { c =>
+            val code = if (c < 0x80) c.toInt else codeOf(c)
+            code.toChar match {
+              case '\\' => sb.append("\\\\")
+              case '('  => sb.append("\\(")
+              case ')'  => sb.append("\\)")
+              case _ if code < 0x20 => sb.append(f"\\$code%03o")
+              case ch   => sb.append(ch)
+            }
+          }
+          sb.append(") Tj").toString
+        }
+        (fd, cmap, enc)
+      }
+
+    out.write(bytes("%PDF-1.4\n"))
+    obj(bytes("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+    obj(bytes(s"2 0 obj\n<< /Type /Pages /Kids [${pageObjNums.map(n => s"$n 0 R").mkString(" ")}] /Count $nPages >>\nendobj\n"))
+    obj(bytes(s"3 0 obj\n$fontDict\nendobj\n"))
+    val cmapData = toUnicode.getBytes(Latin1)
+    obj(bytes(s"4 0 obj\n<< /Length ${cmapData.length} >>\nstream\n" + toUnicode + "\nendstream\nendobj\n"))
+    pages.indices.foreach { i =>
+      obj(bytes(s"${pageObjNums(i)} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        "/MediaBox [0 0 612 792] " +
+        s"/Contents ${contObjNums(i)} 0 R /Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n"))
+    }
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val content = lines.zipWithIndex.map { case (line, k) =>
+        s"BT /F1 10 Tf 1 0 0 1 50 ${fmtNum(760.0 - 12.0 * k)} Tm ${encodeLine(line)} ET"
+      }.mkString("\n") + "\n"
+      val data = content.getBytes(Latin1)
+      obj(bytes(s"${contObjNums(i)} 0 obj\n<< /Length ${data.length} >>\nstream\n"))
       out.write(data)
       out.write(bytes("\nendstream\nendobj\n"))
     }
@@ -109,6 +360,34 @@ object Pdf {
     offsets.foreach(o => out.write(bytes(f"$o%010d 00000 n \n")))
     out.write(bytes(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n"))
     out.toByteArray
+  }
+
+  /** Serialize a cross-reference stream object: /W [1 4 2] rows for objects
+    * 0 until size, optionally PNG-predicted (filter 2 / Up, /Predictor 12),
+    * always Flate. `entry(n)` returns (type, field2, field3).
+    */
+  private def xrefStreamObj(num: Int, size: Int, predicted: Boolean,
+                            entry: Int => (Int, Int, Int)): Array[Byte] = {
+    def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val rowBytes = 7 // W = [1 4 2]
+    val raw = new Array[Byte](size * rowBytes)
+    (0 until size).foreach { n =>
+      val (t, f2, f3) = entry(n)
+      val o = n * rowBytes
+      raw(o) = t.toByte
+      raw(o + 1) = (f2 >>> 24).toByte; raw(o + 2) = (f2 >>> 16).toByte
+      raw(o + 3) = (f2 >>> 8).toByte; raw(o + 4) = f2.toByte
+      raw(o + 5) = (f3 >>> 8).toByte; raw(o + 6) = f3.toByte
+    }
+    val body = if (predicted) PngFilter.filter(raw, rowBytes, bpp = 1, _ => 2) else raw
+    val data = deflate(body)
+    val parms = if (predicted) s" /DecodeParms << /Predictor 12 /Columns $rowBytes >>" else ""
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(bytes(s"$num 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R " +
+      s"/Length ${data.length} /Filter /FlateDecode$parms >>\nstream\n"))
+    b.write(data)
+    b.write(bytes("\nendstream\nendobj\n"))
+    b.toByteArray
   }
 
   private def fmtNum(d: Double): String =
@@ -139,7 +418,7 @@ object Pdf {
     out.toByteArray
   }
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
+  private[pdf] def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
     val buf = new Array[Byte](8192)
@@ -158,68 +437,454 @@ object Pdf {
     payload.length >= 5 && payload(0) == '%' && payload(1) == 'P' &&
       payload(2) == 'D' && payload(3) == 'F' && payload(4) == '-'
 
-  /** Parse the subset: object scan → /Kids page order → per-page content
-    * stream → text runs. Throws on anything outside the subset (callers
-    * convert to a pass-through + metric).
+  private final case class PdfObj(dict: String, stream: Option[Array[Byte]])
+  private final case class DocObjs(objs: mutable.Map[Int, PdfObj], trailers: Vector[String])
+
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private val EncryptRx = java.util.regex.Pattern.compile("""/Encrypt(?![A-Za-z0-9])""")
+  private val ObjHeadRx = java.util.regex.Pattern.compile("""(\d+)\s+(\d+)\s+obj\b""")
+  // compiled-Pattern cache: the parser runs concurrently inside mapPartitions,
+  // so this must be a concurrent map (Pattern itself is immutable/thread-safe)
+  private val RefAfterKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def cachedPattern(key: String, mk: => java.util.regex.Pattern): java.util.regex.Pattern =
+    RefAfterKeyCache.computeIfAbsent(key, _ => mk)
+
+  /** Parse a PDF into pages: xref-chain resolution (classic tables, xref
+    * streams, /Prev, ObjStm members) with a whole-file object-scan repair
+    * fallback, then page-tree walk → per-page content tokenize with
+    * per-font text decode. Throws [[EncryptedPdfException]] on `/Encrypt`;
+    * throws IOException on anything outside the subset (callers convert to
+    * a pass-through + metric).
     */
   def parse(payload: Array[Byte]): Vector[PdfPage] = {
-    // Objects are latin-1-decodable byte-wise; strings we re-decode as UTF-8.
-    val latin = new String(payload, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val latin = new String(payload, Latin1)
+    val doc =
+      try loadByXref(payload, latin)
+      catch { case _: Exception => loadByScan(payload, latin) }
+    if (doc.trailers.exists(t => EncryptRx.matcher(t).find()))
+      throw new EncryptedPdfException("encrypted PDF (/Encrypt in trailer)")
+    buildPages(doc)
+  }
 
-    // collect "N 0 obj ... endobj" with optional stream payload
-    val objRx = java.util.regex.Pattern.compile("""(\d+)\s+0\s+obj""")
-    val m = objRx.matcher(latin)
-    val dicts = scala.collection.mutable.Map.empty[Int, String]
-    val streams = scala.collection.mutable.Map.empty[Int, Array[Byte]]
-    while (m.find()) {
-      val num = m.group(1).toInt
-      val bodyStart = m.end()
-      val endObj = latin.indexOf("endobj", bodyStart)
-      if (endObj < 0) throw new java.io.IOException("unterminated object")
-      val body = latin.substring(bodyStart, endObj)
-      val streamIdx = body.indexOf("stream")
-      if (streamIdx >= 0 && body.contains("endstream")) {
-        val dict = body.substring(0, streamIdx)
-        dicts(num) = dict
-        // stream data starts after "stream\n" (or \r\n)
-        var ds = bodyStart + streamIdx + "stream".length
-        if (latin.charAt(ds) == '\r') ds += 1
-        if (latin.charAt(ds) == '\n') ds += 1
-        val len = extractInt(dict, "/Length").getOrElse(
-          throw new java.io.IOException("stream without /Length"))
-        streams(num) = java.util.Arrays.copyOfRange(payload, ds, ds + len)
-      } else dicts(num) = body
+  // ----------------------------------------------------- structure: by xref
+  private sealed trait XEntry
+  private final case class InFile(off: Int) extends XEntry
+  private final case class InStream(stm: Int, idx: Int) extends XEntry
+  private case object XFree extends XEntry
+
+  private def loadByXref(payload: Array[Byte], latin: String): DocObjs = {
+    val sx = latin.lastIndexOf("startxref")
+    if (sx < 0) throw new java.io.IOException("no startxref")
+    val firstOff = {
+      var i = sx + "startxref".length
+      while (i < latin.length && latin.charAt(i).isWhitespace) i += 1
+      val s = i
+      while (i < latin.length && latin.charAt(i).isDigit) i += 1
+      if (i == s) throw new java.io.IOException("bad startxref")
+      latin.substring(s, i).toInt
+    }
+    // newest-first chain walk; first entry per object number wins
+    val entries = mutable.Map.empty[Int, XEntry]
+    val trailers = Vector.newBuilder[String]
+    def addEntries(es: Iterable[(Int, XEntry)]): Unit =
+      es.foreach { case (n, e) => if (!entries.contains(n)) entries(n) = e }
+
+    def decodeXrefStreamAt(off: Int): Option[Int] = { // returns /Prev
+      val (num, obj) = parseObjectAt(payload, latin, off, _ => None)
+      if (!nameMatches(obj.dict, "/Type", "XRef"))
+        throw new java.io.IOException(s"object $num at startxref is not /Type /XRef")
+      trailers += obj.dict
+      val data = decodedStream(obj)
+      val w = extractNumArray(obj.dict, "/W").map(_.toInt)
+      if (w.isEmpty) throw new java.io.IOException("xref stream without /W")
+      val size = extractInt(obj.dict, "/Size").getOrElse(
+        throw new java.io.IOException("xref stream without /Size"))
+      val index = extractNumArray(obj.dict, "/Index").map(_.toInt) match {
+        case Vector() => Vector(0, size)
+        case v        => v
+      }
+      val rowBytes = w.sum
+      if (rowBytes <= 0 || data.length % rowBytes != 0)
+        throw new java.io.IOException("xref stream row size mismatch")
+      var pos = 0
+      val es = ArrayBuffer.empty[(Int, XEntry)]
+      index.grouped(2).foreach { g =>
+        val start = g(0); val count = g(1)
+        (0 until count).foreach { k =>
+          val fields = w.map { width =>
+            var v = 0L
+            (0 until width).foreach { _ => v = (v << 8) | (data(pos) & 0xff); pos += 1 }
+            v
+          }
+          def f(j: Int): Long = if (j < fields.length) fields(j) else 0L
+          val t = if (w(0) == 0) 1L else f(0) // omitted type column defaults to 1
+          val e = t match {
+            case 0 => XFree
+            case 1 => InFile(f(1).toInt)
+            case 2 => InStream(f(1).toInt, f(2).toInt)
+            case _ => XFree // unknown types are "reference to null" per spec
+          }
+          es += ((start + k) -> e)
+        }
+      }
+      addEntries(es)
+      extractInt(obj.dict, "/Prev")
     }
 
-    // find the Pages node and Kids order
-    val pagesObj = dicts.collectFirst {
-      case (_, d) if d.contains("/Type /Pages") => d
-    }.getOrElse(throw new java.io.IOException("no /Pages"))
-    val kidRx = java.util.regex.Pattern.compile("""(\d+)\s+0\s+R""")
-    val kidsSection = pagesObj.substring(pagesObj.indexOf("/Kids"))
-    val km = kidRx.matcher(kidsSection.substring(0, kidsSection.indexOf(']') + 1))
-    val kids = ArrayBuffer.empty[Int]
-    while (km.find()) kids += km.group(1).toInt
+    def decodeClassicAt(off0: Int): Option[Int] = {
+      var i = skipWs(latin, off0)
+      if (!latin.startsWith("xref", i)) throw new java.io.IOException("no xref keyword")
+      i += 4
+      val local = ArrayBuffer.empty[(Int, XEntry)]
+      var parsing = true
+      while (parsing) {
+        i = skipWs(latin, i)
+        if (latin.startsWith("trailer", i)) parsing = false
+        else {
+          // subsection header: start count
+          val (start, i1) = readInt(latin, i)
+          val (count, i2) = readInt(latin, i1)
+          i = skipWs(latin, i2)
+          (0 until count).foreach { k =>
+            // 20-byte entries: oooooooooo ggggg n|f
+            val line = latin.substring(i, math.min(i + 20, latin.length))
+            val off = line.substring(0, 10).toInt
+            val kind = line.charAt(17)
+            local += ((start + k) -> (if (kind == 'n') InFile(off) else XFree))
+            i += 20
+          }
+        }
+      }
+      i = skipWs(latin, i + "trailer".length)
+      val (trailer, _) = balancedDict(latin, i)
+      trailers += trailer
+      // hybrid-reference file: /XRefStm entries take precedence over this
+      // section's table entries (ISO 32000-1 §7.5.8.4) — decode it FIRST
+      extractInt(trailer, "/XRefStm").foreach(o => decodeXrefStreamAt(o))
+      addEntries(local)
+      extractInt(trailer, "/Prev")
+    }
 
-    kids.toVector.map { pn =>
-      val pd = dicts.getOrElse(pn, throw new java.io.IOException(s"missing page obj $pn"))
-      val mb = extractNums(pd, "/MediaBox", 4)
-      val contents = extractInt(pd, "/Contents").getOrElse(
-        throw new java.io.IOException("page without /Contents"))
-      val contentDict = dicts.getOrElse(contents, "")
-      val rawStream = streams.getOrElse(contents,
-        throw new java.io.IOException(s"missing content stream $contents"))
+    var next: Option[Int] = Some(firstOff)
+    val seenOffs = mutable.Set.empty[Int]
+    while (next.isDefined) {
+      val off = next.get
+      next =
+        if (!seenOffs.add(off)) None // /Prev loop guard
+        else if (latin.startsWith("xref", skipWs(latin, off))) decodeClassicAt(off)
+        else decodeXrefStreamAt(off)
+    }
+
+    // materialize: in-file objects first, then ObjStm members via type-2
+    val objs = mutable.Map.empty[Int, PdfObj]
+    val lengthResolver: Int => Option[Int] = m => entries.get(m).collect {
+      case InFile(o) =>
+        val (_, lo) = parseObjectAt(payload, latin, o, _ => None)
+        lo.dict.trim.toInt
+    }
+    entries.foreach {
+      case (n, InFile(off)) =>
+        val (got, obj) = parseObjectAt(payload, latin, off, lengthResolver)
+        if (got != n) throw new java.io.IOException(s"xref says obj $n at $off, found $got")
+        objs(n) = obj
+      case _ => ()
+    }
+    val byStream = entries.collect { case (n, InStream(s, i)) => (s, n, i) }.groupBy(_._1)
+    byStream.foreach { case (stmNum, group) =>
+      val container = objs.getOrElse(stmNum,
+        throw new java.io.IOException(s"missing object stream $stmNum"))
+      val members = objStmMembers(container)
+      group.foreach { case (_, n, idx) =>
+        if (idx < 0 || idx >= members.length)
+          throw new java.io.IOException(s"ObjStm $stmNum has no index $idx")
+        objs(n) = PdfObj(members(idx)._2, None)
+      }
+    }
+    if (objs.isEmpty) throw new java.io.IOException("xref chain resolved no objects")
+    DocObjs(objs, trailers.result())
+  }
+
+  // ----------------------------------------------------- structure: by scan
+  /** Repair path: scan every `N G obj` in file order (later wins — the
+    * incremental-update approximation), expand any object streams, collect
+    * trailer + xref-stream dicts for /Root and /Encrypt.
+    */
+  private def loadByScan(payload: Array[Byte], latin: String): DocObjs = {
+    val objs = mutable.Map.empty[Int, PdfObj]
+    val m = ObjHeadRx.matcher(latin)
+    var searchFrom = 0
+    while (m.find(searchFrom)) {
+      val (num, obj) =
+        try parseObjectAt(payload, latin, m.start(), _ => None)
+        catch { case _: Exception => (-1, null) } // damaged object: skip, keep scanning
+      if (num >= 0) objs(num) = obj
+      // resume after the object head (not its body: stream bytes may
+      // contain spurious "N G obj" sequences we must not interpret, but a
+      // mis-sliced body must not swallow real following objects either)
+      searchFrom = m.end()
+    }
+    if (objs.isEmpty) throw new java.io.IOException("no objects found")
+    // object streams: add members that xref-less scanning cannot see
+    objs.toVector.foreach { case (_, o) =>
+      if (nameMatches(o.dict, "/Type", "ObjStm") && o.stream.isDefined) {
+        objStmMembers(o).foreach { case (n, body) =>
+          if (!objs.contains(n)) objs(n) = PdfObj(body, None)
+        }
+      }
+    }
+    val trailers = Vector.newBuilder[String]
+    var ti = latin.indexOf("trailer")
+    while (ti >= 0) {
+      val ds = skipWs(latin, ti + "trailer".length)
+      if (ds < latin.length && latin.startsWith("<<", ds))
+        try trailers += balancedDict(latin, ds)._1 catch { case _: Exception => () }
+      ti = latin.indexOf("trailer", ti + 1)
+    }
+    objs.values.foreach(o => if (nameMatches(o.dict, "/Type", "XRef")) trailers += o.dict)
+    DocObjs(objs, trailers.result())
+  }
+
+  /** Parse one `N G obj … endobj` at `off`: balanced dict (or plain value),
+    * then optional stream sliced by /Length (direct, indirect via
+    * `lengthResolver`, or an `endstream` scan as last resort).
+    */
+  private def parseObjectAt(payload: Array[Byte], latin: String, off: Int,
+                            lengthResolver: Int => Option[Int]): (Int, PdfObj) = {
+    val m = ObjHeadRx.matcher(latin)
+    m.region(skipWs(latin, off), latin.length)
+    if (!m.lookingAt()) throw new java.io.IOException(s"no object header at $off")
+    val num = m.group(1).toInt
+    var i = skipWs(latin, m.end())
+    val (dict, dictEnd) =
+      if (latin.startsWith("<<", i)) balancedDict(latin, i)
+      else {
+        val e = latin.indexOf("endobj", i)
+        if (e < 0) throw new java.io.IOException("unterminated object")
+        (latin.substring(i, e), e)
+      }
+    i = skipWs(latin, dictEnd)
+    if (latin.startsWith("stream", i)) {
+      var ds = i + "stream".length
+      if (ds < latin.length && latin.charAt(ds) == '\r') ds += 1
+      if (ds < latin.length && latin.charAt(ds) == '\n') ds += 1
+      val len = extractInt(dict, "/Length")
+        .orElse(refValue(dict, "/Length").flatMap(lengthResolver))
+        .getOrElse {
+          val e = latin.indexOf("endstream", ds)
+          if (e < 0) throw new java.io.IOException("stream without /Length or endstream")
+          // back off the EOL the writer put before "endstream"
+          var ee = e
+          if (ee > ds && latin.charAt(ee - 1) == '\n') ee -= 1
+          if (ee > ds && latin.charAt(ee - 1) == '\r') ee -= 1
+          ee - ds
+        }
+      if (ds + len > payload.length) throw new java.io.IOException("stream past EOF")
+      (num, PdfObj(dict, Some(java.util.Arrays.copyOfRange(payload, ds, ds + len))))
+    } else (num, PdfObj(dict, None))
+  }
+
+  /** Decode an object's stream: Flate if declared, then /DecodeParms PNG
+    * predictors (10-15). TIFF predictor 2 is out of subset → throw.
+    */
+  private def decodedStream(o: PdfObj): Array[Byte] = {
+    val raw = o.stream.getOrElse(throw new java.io.IOException("object has no stream"))
+    val data = if (o.dict.contains("/FlateDecode")) inflate(raw) else raw
+    dictValue(o.dict, "/DecodeParms") match {
+      case Some(parms) =>
+        val pred = extractInt(parms, "/Predictor").getOrElse(1)
+        if (pred >= 10) {
+          val columns = extractInt(parms, "/Columns").getOrElse(1)
+          val colors = extractInt(parms, "/Colors").getOrElse(1)
+          val bpc = extractInt(parms, "/BitsPerComponent").getOrElse(8)
+          val rowBytes = math.max(1, (columns * colors * bpc + 7) / 8)
+          val bpp = math.max(1, colors * bpc / 8)
+          PngFilter.unfilter(data, rowBytes, bpp)
+        } else if (pred == 2) throw new java.io.IOException("TIFF predictor unsupported")
+        else data
+      case None => data
+    }
+  }
+
+  /** Members of a `/Type /ObjStm`: (objnum, body) in stream order. */
+  private def objStmMembers(o: PdfObj): Vector[(Int, String)] = {
+    val data = new String(decodedStream(o), Latin1)
+    val n = extractInt(o.dict, "/N").getOrElse(throw new java.io.IOException("ObjStm without /N"))
+    val first = extractInt(o.dict, "/First").getOrElse(
+      throw new java.io.IOException("ObjStm without /First"))
+    var i = 0
+    val header = ArrayBuffer.empty[Int]
+    while (header.length < 2 * n) {
+      val (v, i2) = readInt(data, i)
+      header += v; i = i2
+    }
+    (0 until n).toVector.map { k =>
+      val num = header(2 * k)
+      val off = first + header(2 * k + 1)
+      val end = if (k + 1 < n) first + header(2 * k + 3) else data.length
+      num -> data.substring(off, math.min(end, data.length))
+    }
+  }
+
+  // ---------------------------------------------------------- page assembly
+  private def buildPages(doc: DocObjs): Vector[PdfPage] = {
+    val objs = doc.objs
+    val rootNum = doc.trailers.iterator.flatMap(t => refValue(t, "/Root")).nextOption()
+      .orElse(objs.collectFirst { case (n, o) if nameMatches(o.dict, "/Type", "Catalog") => n })
+    // tolerate a missing catalog if a /Type /Pages root exists (repair path)
+    val pagesNum = rootNum.flatMap(n => objs.get(n)).flatMap(o => refValue(o.dict, "/Pages"))
+      .orElse(objs.collectFirst {
+        case (n, o) if nameMatches(o.dict, "/Type", "Pages") && o.dict.contains("/Kids") => n
+      })
+      .getOrElse(throw new java.io.IOException("no /Pages"))
+
+    val leaves = ArrayBuffer.empty[(String, Vector[Double], Option[String])]
+    def walk(num: Int, mb: Option[Vector[Double]], res: Option[String], depth: Int): Unit = {
+      if (depth > 64) throw new java.io.IOException("page tree too deep")
+      val d = objs.getOrElse(num, throw new java.io.IOException(s"missing page obj $num")).dict
+      // /MediaBox and /Resources inherit down the page tree (ISO 32000-1 §7.7.3.4)
+      val mb2 = if (d.contains("/MediaBox")) Some(extractNums(d, "/MediaBox", 4)) else mb
+      val res2 = resolvedDictValue(objs, d, "/Resources").orElse(res)
+      if (d.contains("/Kids")) refArray(d, "/Kids").foreach(walk(_, mb2, res2, depth + 1))
+      else leaves += ((d, mb2.getOrElse(Vector(0.0, 0.0, 0.0, 0.0)), res2))
+    }
+    walk(pagesNum, None, None, 0)
+
+    leaves.toVector.map { case (pd, mb, res) =>
+      val contents = contentRefs(pd)
+      if (contents.isEmpty) throw new java.io.IOException("page without /Contents")
+      val parts = contents.map { n =>
+        decodedStream(objs.getOrElse(n, throw new java.io.IOException(s"missing content stream $n")))
+      }
+      // multiple /Contents streams concatenate with an implied separator
       val data =
-        if (contentDict.contains("/FlateDecode")) inflate(rawStream) else rawStream
-      val (runs, segs) = tokenizeContent(new String(data, java.nio.charset.StandardCharsets.UTF_8))
+        if (parts.length == 1) parts.head
+        else {
+          val b = new java.io.ByteArrayOutputStream()
+          parts.foreach { p => b.write(p); b.write('\n') }
+          b.toByteArray
+        }
+      val fonts = fontDecoders(objs, res)
+      val (runs, segs) = tokenizeContent(new String(data, Latin1), fonts)
       PdfPage(mb(2) - mb(0), mb(3) - mb(1), runs, segs)
     }
   }
 
+  /** /Contents: single indirect ref or an array of refs. */
+  private def contentRefs(dict: String): Vector[Int] = {
+    val idx = dict.indexOf("/Contents")
+    if (idx < 0) return Vector.empty
+    var i = skipWs(dict, idx + "/Contents".length)
+    if (i < dict.length && dict.charAt(i) == '[') {
+      val close = dict.indexOf(']', i)
+      if (close < 0) return Vector.empty
+      refsIn(dict.substring(i + 1, close))
+    } else refValue(dict.substring(idx, math.min(idx + 64, dict.length)), "/Contents").toVector
+  }
+
+  // ------------------------------------------------------------- dict utils
+  private def skipWs(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && (s.charAt(i).isWhitespace || s.charAt(i) == 0)) i += 1
+    i
+  }
+
+  private def readInt(s: String, from: Int): (Int, Int) = {
+    var i = skipWs(s, from)
+    val start = i
+    while (i < s.length && s.charAt(i).isDigit) i += 1
+    if (i == start) throw new java.io.IOException(s"expected integer at $from")
+    (s.substring(start, i).toInt, i)
+  }
+
+  /** Balanced `<< … >>` extraction, skipping literal and hex strings so a
+    * `>>` inside a string cannot close the dict early. Returns (dict text
+    * including delimiters, index after the closing `>>`).
+    */
+  private def balancedDict(s: String, start: Int): (String, Int) = {
+    if (!s.startsWith("<<", start)) throw new java.io.IOException(s"no dict at $start")
+    var i = start + 2
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (c == '>' && i + 1 < s.length && s.charAt(i + 1) == '>') { depth -= 1; i += 2 }
+      else if (c == '(') { // literal string: skip with escape handling
+        var d = 1; i += 1
+        while (i < s.length && d > 0) {
+          val cc = s.charAt(i)
+          if (cc == '\\') i += 2
+          else { if (cc == '(') d += 1 else if (cc == ')') d -= 1; i += 1 }
+        }
+      } else if (c == '<') { // hex string
+        i += 1
+        while (i < s.length && s.charAt(i) != '>') i += 1
+        i += 1
+      } else i += 1
+    }
+    if (depth != 0) throw new java.io.IOException("unterminated dict")
+    (s.substring(start, i), i)
+  }
+
   private def extractInt(dict: String, key: String): Option[Int] = {
-    val p = java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(key) + """\s+(\d+)""")
+    val p = cachedPattern("I" + key,
+      java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(key) + """\s+(\d+)(?!\s+\d+\s+R)"""))
     val m = p.matcher(dict)
     if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  /** `key N G R` → Some(N). */
+  private def refValue(dict: String, key: String): Option[Int] = {
+    val p = cachedPattern("R" + key,
+      java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(key) + """\s+(\d+)\s+(\d+)\s+R\b"""))
+    val m = p.matcher(dict)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  /** `/Type /Name` check tolerating `/Type/Name` spacing. */
+  private def nameMatches(dict: String, key: String, name: String): Boolean = {
+    val p = cachedPattern("N" + key + name,
+      java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(key) + """\s*/""" +
+        java.util.regex.Pattern.quote(name) + """(?![A-Za-z0-9])"""))
+    p.matcher(dict).find()
+  }
+
+  /** All `N G R` refs in a flat region. */
+  private def refsIn(s: String): Vector[Int] = {
+    val rx = java.util.regex.Pattern.compile("""(\d+)\s+(\d+)\s+R\b""")
+    val m = rx.matcher(s)
+    val out = Vector.newBuilder[Int]
+    while (m.find()) out += m.group(1).toInt
+    out.result()
+  }
+
+  private def refArray(dict: String, key: String): Vector[Int] = {
+    val idx = dict.indexOf(key)
+    if (idx < 0) return Vector.empty
+    val open = dict.indexOf('[', idx)
+    val close = dict.indexOf(']', open)
+    if (open < 0 || close < 0) return Vector.empty
+    refsIn(dict.substring(open + 1, close))
+  }
+
+  /** Inline `key << … >>` value, if present. */
+  private def dictValue(dict: String, key: String): Option[String] = {
+    val idx = dict.indexOf(key)
+    if (idx < 0) return None
+    val i = skipWs(dict, idx + key.length)
+    if (dict.startsWith("<<", i)) Some(balancedDict(dict, i)._1) else None
+  }
+
+  /** `key` value as a dict, whether written inline or as an indirect ref. */
+  private def resolvedDictValue(objs: mutable.Map[Int, PdfObj], dict: String,
+                                key: String): Option[String] = {
+    val idx = dict.indexOf(key)
+    if (idx < 0) return None
+    val i = skipWs(dict, idx + key.length)
+    if (dict.startsWith("<<", i)) Some(balancedDict(dict, i)._1)
+    else refValue(dict.substring(idx, math.min(idx + 64, dict.length)), key)
+      .flatMap(objs.get).map(_.dict)
   }
 
   private def extractNums(dict: String, key: String, n: Int): Vector[Double] = {
@@ -230,39 +895,304 @@ object Pdf {
     section.trim.split("\\s+").take(n).map(_.toDouble).toVector
   }
 
-  /** Content-stream tokenizer: operand stack + the text operators of the
-    * subset (Tf Td TD Tm T* Tj ' TJ BT ET) plus the path operators that
-    * carry table ruling lines (m l S).
+  private def extractNumArray(dict: String, key: String): Vector[Long] = {
+    val idx = dict.indexOf(key)
+    if (idx < 0) return Vector.empty
+    val open = dict.indexOf('[', idx)
+    val close = dict.indexOf(']', open)
+    if (open < 0 || close < 0) return Vector.empty
+    dict.substring(open + 1, close).trim.split("\\s+").filter(_.nonEmpty)
+      .map(_.toLong).toVector
+  }
+
+  // ------------------------------------------------------------ font decode
+  /** Byte-string → text decode for one font. Raw strings carry one char per
+    * BYTE (latin-1 framing from the tokenizer).
     */
-  def tokenizeContent(content: String): (Vector[TextRun], Vector[Seg]) = {
+  sealed trait FontDecoder { def decode(raw: String): String }
+
+  /** Fixture/default fonts (no /Encoding differences, no /ToUnicode): the
+    * writer stores UTF-8 bytes directly in strings.
+    */
+  case object Utf8Decoder extends FontDecoder {
+    def decode(raw: String): String = {
+      var ascii = true
+      var i = 0
+      while (ascii && i < raw.length) { if (raw.charAt(i) >= 0x80) ascii = false; i += 1 }
+      if (ascii) raw
+      else {
+        val bs = new Array[Byte](raw.length)
+        i = 0
+        while (i < raw.length) { bs(i) = raw.charAt(i).toByte; i += 1 }
+        new String(bs, Utf8)
+      }
+    }
+  }
+
+  /** Simple (1-byte-code) font: 256-entry code → text table. */
+  final class SimpleDecoder(table: Array[String]) extends FontDecoder {
+    def decode(raw: String): String = {
+      val sb = new java.lang.StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) { sb.append(table(raw.charAt(i) & 0xff)); i += 1 }
+      sb.toString
+    }
+  }
+
+  /** Type0/CID font with 2-byte codes mapped through /ToUnicode. */
+  final class CidDecoder(map: Map[Int, String]) extends FontDecoder {
+    def decode(raw: String): String = {
+      val sb = new java.lang.StringBuilder(raw.length / 2)
+      var i = 0
+      while (i + 1 < raw.length) {
+        val code = ((raw.charAt(i) & 0xff) << 8) | (raw.charAt(i + 1) & 0xff)
+        sb.append(map.getOrElse(code, "�"))
+        i += 2
+      }
+      sb.toString
+    }
+  }
+
+  /** Font resource name → decoder, from a page's /Resources /Font dict. */
+  private def fontDecoders(objs: mutable.Map[Int, PdfObj],
+                           resources: Option[String]): Map[String, FontDecoder] =
+    resources match {
+      case None => Map.empty
+      case Some(res) =>
+        resolvedDictValue(objs, res, "/Font") match {
+          case None => Map.empty
+          case Some(fd) =>
+            val rx = java.util.regex.Pattern.compile("""/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R\b""")
+            val m = rx.matcher(fd)
+            val out = Map.newBuilder[String, FontDecoder]
+            while (m.find()) {
+              objs.get(m.group(2).toInt).foreach { fo =>
+                out += m.group(1) -> fontDecoder(objs, fo.dict)
+              }
+            }
+            out.result()
+        }
+    }
+
+  private def fontDecoder(objs: mutable.Map[Int, PdfObj], fd: String): FontDecoder = {
+    val toUni: Option[Map[Int, String]] =
+      refValue(fd, "/ToUnicode").flatMap(objs.get).flatMap { o =>
+        try Some(parseToUnicode(o)) catch { case _: Exception => None }
+      }
+    if (nameMatches(fd, "/Subtype", "Type0"))
+      toUni.map(new CidDecoder(_)).getOrElse(Utf8Decoder)
+    else {
+      val diffs: Vector[(Int, String)] = resolvedDictValue(objs, fd, "/Encoding") match {
+        case Some(enc) if enc.contains("/Differences") => parseDifferences(enc)
+        case _ => Vector.empty
+      }
+      if (diffs.isEmpty && toUni.isEmpty) Utf8Decoder
+      else {
+        val table = winAnsiBase()
+        diffs.foreach { case (code, s) => if (code >= 0 && code < 256) table(code) = s }
+        toUni.foreach(_.foreach { case (code, s) => if (code >= 0 && code < 256) table(code) = s })
+        new SimpleDecoder(table)
+      }
+    }
+  }
+
+  /** /Differences array: numbers set the next code, names assign glyphs. */
+  private def parseDifferences(enc: String): Vector[(Int, String)] = {
+    val idx = enc.indexOf("/Differences")
+    val open = enc.indexOf('[', idx)
+    val close = enc.indexOf(']', open)
+    if (open < 0 || close < 0) return Vector.empty
+    val body = enc.substring(open + 1, close)
+    val tok = java.util.regex.Pattern.compile("""(\d+)|/([A-Za-z0-9.]+)""")
+    val m = tok.matcher(body)
+    var code = 0
+    val out = Vector.newBuilder[(Int, String)]
+    while (m.find()) {
+      if (m.group(1) != null) code = m.group(1).toInt
+      else { out += code -> glyphText(m.group(2)); code += 1 }
+    }
+    out.result()
+  }
+
+  /** Glyph name → text: uniXXXX / uXXXX[XX] forms, then the AGL subset. */
+  private def glyphText(name: String): String =
+    if (name.length >= 7 && name.startsWith("uni") &&
+        name.substring(3).forall(c => Character.digit(c, 16) >= 0)) {
+      // uniXXXX[XXXX…]: concatenated UTF-16BE units
+      name.substring(3).grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString
+    } else if (name.length >= 5 && name.length <= 7 && name.startsWith("u") &&
+               name.substring(1).forall(c => Character.digit(c, 16) >= 0)) {
+      new String(Character.toChars(Integer.parseInt(name.substring(1), 16)))
+    } else agl.getOrElse(name, "�")
+
+  /** Adobe Glyph List subset: ASCII names, Latin-1 accents, common
+    * typography. Identity letters/digits are generated.
+    */
+  private lazy val agl: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    (('A' to 'Z') ++ ('a' to 'z')).foreach(c => b += c.toString -> c.toString)
+    b ++= Seq(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+      "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+      "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+      "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+      "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~",
+      "bullet" -> "•", "endash" -> "–", "emdash" -> "—",
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotedblleft" -> "“", "quotedblright" -> "”",
+      "quotesinglbase" -> "‚", "quotedblbase" -> "„",
+      "ellipsis" -> "…", "Euro" -> "€", "degree" -> "°",
+      "copyright" -> "©", "registered" -> "®", "trademark" -> "™",
+      "section" -> "§", "paragraph" -> "¶", "periodcentered" -> "·",
+      "dagger" -> "†", "daggerdbl" -> "‡", "perthousand" -> "‰",
+      "guilsinglleft" -> "‹", "guilsinglright" -> "›",
+      "guillemotleft" -> "«", "guillemotright" -> "»",
+      "florin" -> "ƒ", "circumflex" -> "ˆ", "tilde" -> "˜",
+      "OE" -> "Œ", "oe" -> "œ", "Scaron" -> "Š", "scaron" -> "š",
+      "Ydieresis" -> "Ÿ", "Zcaron" -> "Ž", "zcaron" -> "ž",
+      "dotlessi" -> "ı", "minus" -> "−", "fraction" -> "⁄",
+      "sterling" -> "£", "yen" -> "¥", "cent" -> "¢",
+      "currency" -> "¤", "brokenbar" -> "¦", "exclamdown" -> "¡",
+      "questiondown" -> "¿", "multiply" -> "×", "divide" -> "÷",
+      "plusminus" -> "±", "mu" -> "µ", "onequarter" -> "¼",
+      "onehalf" -> "½", "threequarters" -> "¾",
+      "eacute" -> "é", "egrave" -> "è", "ecircumflex" -> "ê",
+      "agrave" -> "à", "acircumflex" -> "â", "ccedilla" -> "ç",
+      "adieresis" -> "ä", "odieresis" -> "ö", "udieresis" -> "ü",
+      "idieresis" -> "ï", "edieresis" -> "ë", "ntilde" -> "ñ",
+      "Adieresis" -> "Ä", "Odieresis" -> "Ö", "Udieresis" -> "Ü",
+      "germandbls" -> "ß", "aring" -> "å", "Aring" -> "Å",
+      "oslash" -> "ø", "Oslash" -> "Ø", "ae" -> "æ", "AE" -> "Æ",
+      "eth" -> "ð", "thorn" -> "þ", "yacute" -> "ý",
+      "oacute" -> "ó", "iacute" -> "í", "uacute" -> "ú",
+      "aacute" -> "á", "ograve" -> "ò", "igrave" -> "ì",
+      "ugrave" -> "ù", "otilde" -> "õ", "atilde" -> "ã"
+    )
+    b.result()
+  }
+
+  /** WinAnsiEncoding (cp1252) base table: ASCII identity, cp1252 specials
+    * in 0x80-0x9F, Latin-1 identity above. Unmapped codes → U+FFFD.
+    */
+  private def winAnsiBase(): Array[String] = {
+    val t = Array.fill[String](256)("�")
+    // whitespace codes pass through: extracted text preserves tabs/newlines
+    Seq(0x09, 0x0A, 0x0D).foreach(c => t(c) = c.toChar.toString)
+    (0x20 to 0x7E).foreach(c => t(c) = c.toChar.toString)
+    (0xA0 to 0xFF).foreach(c => t(c) = c.toChar.toString)
+    val cp1252 = Map(
+      0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„",
+      0x85 -> "…", 0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ",
+      0x89 -> "‰", 0x8A -> "Š", 0x8B -> "‹", 0x8C -> "Œ",
+      0x8E -> "Ž", 0x91 -> "‘", 0x92 -> "’", 0x93 -> "“",
+      0x94 -> "”", 0x95 -> "•", 0x96 -> "–", 0x97 -> "—",
+      0x98 -> "˜", 0x99 -> "™", 0x9A -> "š", 0x9B -> "›",
+      0x9C -> "œ", 0x9E -> "ž", 0x9F -> "Ÿ")
+    cp1252.foreach { case (c, s) => t(c) = s }
+    t
+  }
+
+  /** /ToUnicode CMap: bfchar pairs and bfrange triples (incl. the array
+    * destination form). Codes are big-endian of the source hex bytes;
+    * destinations are UTF-16BE unit sequences.
+    */
+  private[pdf] def parseToUnicode(o: PdfObj): Map[Int, String] = {
+    val text = new String(decodedStream(o), Latin1)
+    val out = Map.newBuilder[Int, String]
+    def hexInt(h: String): Int = Integer.parseInt(h.replaceAll("\\s", ""), 16)
+    def hexText(h: String): String =
+      h.replaceAll("\\s", "").grouped(4).map(g => Integer.parseInt(g, 16).toChar).mkString
+    val charBlocks = java.util.regex.Pattern.compile("(?s)beginbfchar(.*?)endbfchar")
+    val pair = java.util.regex.Pattern.compile("<([0-9A-Fa-f\\s]+)>\\s*<([0-9A-Fa-f\\s]+)>")
+    var m = charBlocks.matcher(text)
+    while (m.find()) {
+      val pm = pair.matcher(m.group(1))
+      while (pm.find()) out += hexInt(pm.group(1)) -> hexText(pm.group(2))
+    }
+    val rangeBlocks = java.util.regex.Pattern.compile("(?s)beginbfrange(.*?)endbfrange")
+    val triple = java.util.regex.Pattern.compile(
+      "<([0-9A-Fa-f\\s]+)>\\s*<([0-9A-Fa-f\\s]+)>\\s*(<([0-9A-Fa-f\\s]+)>|\\[([^\\]]*)\\])")
+    m = rangeBlocks.matcher(text)
+    while (m.find()) {
+      val tm = triple.matcher(m.group(1))
+      while (tm.find()) {
+        val lo = hexInt(tm.group(1)); val hi = hexInt(tm.group(2))
+        if (tm.group(4) != null) {
+          val base = tm.group(4).replaceAll("\\s", "")
+          val baseVal = hexInt(base)
+          (lo to hi).foreach { c =>
+            // increment applies to the LAST UTF-16 unit (ISO 32000-1 §9.10.3)
+            val v = baseVal + (c - lo)
+            val width = math.max(4, base.length)
+            out += c -> hexText(("0" * width + v.toHexString).takeRight(width))
+          }
+        } else {
+          val dm = java.util.regex.Pattern.compile("<([0-9A-Fa-f\\s]+)>").matcher(tm.group(5))
+          var c = lo
+          while (dm.find() && c <= hi) { out += c -> hexText(dm.group(1)); c += 1 }
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------- content tokenize
+  /** Content-stream tokenizer with per-font string decode: operand stack +
+    * the text operators (Tf Td TD Tm T* Tj ' " TJ BT ET), the path
+    * operators that carry table ruling lines (m l S), literal + hex
+    * strings, BI..EI inline-image skip. Strings stay RAW (one char per
+    * byte) on the operand stack; the current font's decoder converts at
+    * emit time.
+    */
+  def tokenizeContent(content: String): (Vector[TextRun], Vector[Seg]) =
+    tokenizeContent(content, Map.empty)
+
+  def tokenizeContent(content: String,
+                      fonts: Map[String, FontDecoder]): (Vector[TextRun], Vector[Seg]) = {
     val runs = ArrayBuffer.empty[TextRun]
     val segs = ArrayBuffer.empty[Seg]
     var i = 0
     val n = content.length
-    val operands = ArrayBuffer.empty[Any] // Double | String | Vector[Any]
+    val operands = ArrayBuffer.empty[Any] // Double | String (raw) | name String
 
     var curX = 0.0; var curY = 0.0         // text-line origin
     var leading = 0.0
     var pathX = 0.0; var pathY = 0.0       // current path point (m/l)
     var hasPoint = false
+    var decoder: FontDecoder = Utf8Decoder
 
     def popNums(k: Int): Vector[Double] = {
       val vs = operands.takeRight(k).map {
         case d: Double => d
-        case s: String => s.toDouble
+        case s: String => try s.toDouble catch { case _: Exception => 0.0 }
         case _         => 0.0
       }.toVector
-      operands.remove(operands.length - k, k)
-      vs
+      operands.remove(math.max(0, operands.length - k), math.min(k, operands.length))
+      if (vs.length == k) vs else Vector.fill(k)(0.0)
     }
 
-    def emit(s: String): Unit = runs += TextRun(curX, curY, s)
+    def emit(raw: String): Unit = runs += TextRun(curX, curY, decoder.decode(raw))
 
     while (i < n) {
       val c = content.charAt(i)
       if (c.isWhitespace) i += 1
-      else if (c == '(') {
+      else if (c == '%') { // comment to EOL
+        while (i < n && content.charAt(i) != '\n' && content.charAt(i) != '\r') i += 1
+      } else if (c == '(') {
         val (s, next) = readString(content, i)
+        operands += s; i = next
+      } else if (c == '<' && i + 1 < n && content.charAt(i + 1) == '<') {
+        // inline dict (BDC/DP/BI operands): skip balanced
+        val (_, next) = balancedDict(content, i)
+        i = next
+      } else if (c == '<') {
+        val (s, next) = readHexString(content, i)
         operands += s; i = next
       } else if (c == '[') {
         // TJ array: strings + kerning numbers
@@ -273,36 +1203,54 @@ object Pdf {
           val cc = content.charAt(i)
           if (cc == ']') { done = true; i += 1 }
           else if (cc == '(') { val (s, next) = readString(content, i); sb.append(s); i = next }
+          else if (cc == '<') { val (s, next) = readHexString(content, i); sb.append(s); i = next }
           else i += 1 // kerning numbers don't affect ordering
         }
         operands += sb.toString
       } else if (c == '/') {
         val start = i; i += 1
         while (i < n && !content.charAt(i).isWhitespace && content.charAt(i) != '/' &&
-               content.charAt(i) != '(' && content.charAt(i) != '[') i += 1
+               content.charAt(i) != '(' && content.charAt(i) != '[' &&
+               content.charAt(i) != '<' && content.charAt(i) != '>' &&
+               content.charAt(i) != ']') i += 1
         operands += content.substring(start, i)
-      } else if (c == '-' || c == '.' || c.isDigit) {
+      } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
         val start = i; i += 1
         while (i < n && (content.charAt(i).isDigit || content.charAt(i) == '.')) i += 1
-        operands += content.substring(start, i).toDouble
+        val numStr = content.substring(start, i)
+        operands += (try numStr.toDouble catch { case _: Exception => 0.0 })
       } else {
         val start = i
         while (i < n && !content.charAt(i).isWhitespace && content.charAt(i) != '(' &&
-               content.charAt(i) != '[' && content.charAt(i) != '/') i += 1
+               content.charAt(i) != '[' && content.charAt(i) != '/' &&
+               content.charAt(i) != '<' && content.charAt(i) != ']') i += 1
         val op = content.substring(start, i)
         op match {
           case "BT" => curX = 0; curY = 0; leading = 0; operands.clear()
           case "ET" => operands.clear()
-          case "Tf" => operands.clear()
+          case "Tf" =>
+            // operands: … /Name size — select the page's font decoder
+            if (operands.length >= 2) operands(operands.length - 2) match {
+              case name: String if name.startsWith("/") =>
+                decoder = fonts.getOrElse(name.substring(1), Utf8Decoder)
+              case _ => ()
+            }
+            operands.clear()
           case "Tm" =>
             val v = popNums(6); curX = v(4); curY = v(5); operands.clear()
           case "Td" =>
             val v = popNums(2); curX += v(0); curY += v(1); operands.clear()
           case "TD" =>
             val v = popNums(2); leading = -v(1); curX += v(0); curY += v(1); operands.clear()
+          case "TL" =>
+            val v = popNums(1); leading = v(0); operands.clear()
           case "T*" => curY -= leading; operands.clear()
           case "Tj" | "'" =>
             if (op == "'") curY -= leading
+            operands.lastOption.foreach { case s: String => emit(s); case _ => () }
+            operands.clear()
+          case "\"" =>
+            curY -= leading
             operands.lastOption.foreach { case s: String => emit(s); case _ => () }
             operands.clear()
           case "TJ" =>
@@ -317,6 +1265,19 @@ object Pdf {
             pathX = v(0); pathY = v(1); hasPoint = true
             operands.clear()
           case "S" => hasPoint = false; operands.clear()
+          case "BI" =>
+            // inline image: skip binary data through to a delimited EI
+            val id = content.indexOf("ID", i)
+            if (id < 0) i = n
+            else {
+              var e = content.indexOf("EI", id + 2)
+              while (e > 0 &&
+                     !(content.charAt(e - 1).isWhitespace &&
+                       (e + 2 >= n || content.charAt(e + 2).isWhitespace)))
+                e = content.indexOf("EI", e + 1)
+              i = if (e < 0) n else e + 2
+            }
+            operands.clear()
           case _ => operands.clear() // unknown operator: subset tolerates and drops
         }
       }
@@ -391,6 +1352,9 @@ object Pdf {
     (tables, rest)
   }
 
+  /** Literal string: escapes (named, octal, line continuation), nesting.
+    * Returns the RAW byte string (one char per byte).
+    */
   private def readString(content: String, start: Int): (String, Int) = {
     val sb = new java.lang.StringBuilder
     var i = start + 1
@@ -400,20 +1364,52 @@ object Pdf {
       val c = content.charAt(i)
       if (c == '\\' && i + 1 < n) {
         content.charAt(i + 1) match {
-          case 'n'  => sb.append('\n')
-          case 'r'  => sb.append('\r')
-          case 't'  => sb.append('\t')
-          case '\\' => sb.append('\\')
-          case '('  => sb.append('(')
-          case ')'  => sb.append(')')
-          case other => sb.append(other)
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'b'  => sb.append('\b'); i += 2
+          case 'f'  => sb.append('\f'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '('  => sb.append('('); i += 2
+          case ')'  => sb.append(')'); i += 2
+          case '\n' => i += 2 // line continuation: both chars vanish
+          case '\r' =>
+            i += 2
+            if (i < n && content.charAt(i) == '\n') i += 1
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = 0; i += 1
+            while (k < 3 && i < n && content.charAt(i) >= '0' && content.charAt(i) <= '7') {
+              v = v * 8 + (content.charAt(i) - '0'); i += 1; k += 1
+            }
+            sb.append((v & 0xff).toChar)
+          case other => sb.append(other); i += 2
         }
-        i += 2
       } else if (c == '(') { depth += 1; sb.append(c); i += 1 }
       else if (c == ')') { depth -= 1; if (depth > 0) sb.append(c); i += 1 }
       else { sb.append(c); i += 1 }
     }
     (sb.toString, i)
+  }
+
+  /** Hex string `<…>`: whitespace ignored, odd digit count zero-padded.
+    * Returns the RAW byte string.
+    */
+  private def readHexString(content: String, start: Int): (String, Int) = {
+    val sb = new java.lang.StringBuilder
+    var i = start + 1
+    val n = content.length
+    var hi = -1
+    while (i < n && content.charAt(i) != '>') {
+      val c = content.charAt(i)
+      val d = Character.digit(c, 16)
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else { sb.append(((hi << 4) | d).toChar); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) sb.append((hi << 4).toChar)
+    (sb.toString, math.min(i + 1, n))
   }
 }
 

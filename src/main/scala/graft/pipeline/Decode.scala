@@ -119,6 +119,12 @@ object Decode {
             }
             (ps, "pdf", Vector.empty[Span], html.length.toLong, None)
           } catch {
+            // "can't" (encrypted by design) is reported distinctly from
+            // "won't" (outside the parse subset) so crawl reports can
+            // separate the two residuals (VERDICT r4 #8)
+            case e: Pdf.EncryptedPdfException =>
+              (Vector.empty[PageData], "pdf", Vector.empty[Span], html.length.toLong,
+                Some(s"pdf-encrypted: ${e.getMessage}"))
             case e: Exception =>
               (Vector.empty[PageData], "pdf", Vector.empty[Span], html.length.toLong,
                 Some(s"pdf-parse: ${e.getMessage}"))

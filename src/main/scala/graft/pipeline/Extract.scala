@@ -138,12 +138,16 @@ object Extract {
   final case class Acc(docs: org.apache.spark.util.LongAccumulator,
                        bytesIn: org.apache.spark.util.LongAccumulator,
                        charsOut: org.apache.spark.util.LongAccumulator,
-                       errors: org.apache.spark.util.LongAccumulator)
+                       errors: org.apache.spark.util.LongAccumulator,
+                       pdfFallback: org.apache.spark.util.LongAccumulator,
+                       pdfEncrypted: org.apache.spark.util.LongAccumulator)
   def newAcc(spark: SparkSession): Acc = Acc(
     spark.sparkContext.longAccumulator("docs"),
     spark.sparkContext.longAccumulator("bytes_in"),
     spark.sparkContext.longAccumulator("chars_out"),
-    spark.sparkContext.longAccumulator("errors"))
+    spark.sparkContext.longAccumulator("errors"),
+    spark.sparkContext.longAccumulator("pdf_fallback"),
+    spark.sparkContext.longAccumulator("pdf_encrypted"))
 
   /** Transform one bucket's pages into DocRows. Declarative pre/post ops;
     * the parse core is a typed mapPartitions (Catalyst object op).
@@ -166,7 +170,13 @@ object Extract {
         val row = parseRow(url, html, text, bucket, cfg.mode, llm, ocr, useOcr)
         acc.foreach { a =>
           a.docs.add(1L); a.bytesIn.add(row.bytes_in); a.charsOut.add(row.chars_out)
-          if (row.error != null) a.errors.add(1L)
+          if (row.error != null) {
+            a.errors.add(1L)
+            if (row.payload_kind == "pdf") {
+              if (row.error.startsWith("pdf-encrypted")) a.pdfEncrypted.add(1L)
+              else a.pdfFallback.add(1L)
+            }
+          }
         }
         row
       }
@@ -213,16 +223,22 @@ object Extract {
         // bucket (column-pruned vectorized scan, one tiny job per commit).
         val bm =
           if (cfg.exactMetrics) {
+            val isPdfErr = col("error").isNotNull && col("payload_kind") === "pdf"
             val m = spark.read.parquet(dir.toString).agg(
               count(lit(1)), coalesce(sum(col("bytes_in")), lit(0L)),
               coalesce(sum(col("chars_out")), lit(0L)),
               coalesce(sum(when(col("error").isNotNull, 1L).otherwise(0L)), lit(0L)),
-              coalesce(sum(when(col("needs_ocr"), 1L).otherwise(0L)), lit(0L))).head()
+              coalesce(sum(when(col("needs_ocr"), 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(when(isPdfErr && !col("error").startsWith("pdf-encrypted"),
+                1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(when(isPdfErr && col("error").startsWith("pdf-encrypted"),
+                1L).otherwise(0L)), lit(0L))).head()
             BucketMetrics(b, m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
-              secs, m.getLong(4))
+              secs, m.getLong(4), m.getLong(5), m.getLong(6))
           } else
             BucketMetrics(b, acc.docs.value, acc.bytesIn.value,
-              acc.charsOut.value, acc.errors.value, secs)
+              acc.charsOut.value, acc.errors.value, secs, 0L,
+              acc.pdfFallback.value, acc.pdfEncrypted.value)
         version += 1
         metrics = metrics :+ bm
         dataDirs = dataDirs :+ s"data/snap-$snapshotId/bucket=$b"

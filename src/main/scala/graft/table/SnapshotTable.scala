@@ -27,9 +27,19 @@ final case class BucketMetrics(
     /** image-PDF suspects (first-page text < 50 chars, O2) — distinguishes
       * "needs OCR, passed through" from "parse error" in the lineage.
       */
-    needsOcr: Long = 0L
+    needsOcr: Long = 0L,
+    /** PDF payloads that fell to the empty-page fallback (parse outside the
+      * subset) — the `pdf_fallback_rate` numerator a real crawl watches to
+      * surface the residual parser gap (VERDICT r4 #1).
+      */
+    pdfFallback: Long = 0L,
+    /** PDF payloads rejected as `/Encrypt`-ed — "can't", counted apart from
+      * the fallback "won't" (VERDICT r4 #8).
+      */
+    pdfEncrypted: Long = 0L
 ) {
   def docsPerSec: Double = if (seconds > 0) docs / seconds else 0.0
+  def pdfFallbackRate: Double = if (docs > 0) pdfFallback.toDouble / docs else 0.0
 }
 
 final case class Manifest(
@@ -75,7 +85,10 @@ final class SnapshotTable(rootStr: String) {
           m.get("bytes_in").asLong(), m.get("chars_out").asLong(),
           m.get("errors").asLong(), m.get("seconds").asDouble(),
           // absent in pre-round-2 manifests → 0
-          Option(m.get("needs_ocr")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L))
+          Option(m.get("needs_ocr")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L),
+          // absent in pre-round-5 manifests → 0
+          Option(m.get("pdf_fallback")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L),
+          Option(m.get("pdf_encrypted")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L))
       }.toVector
     )
   }
@@ -111,8 +124,11 @@ final class SnapshotTable(rootStr: String) {
         "chars_out" -> J.I(bm.charsOut),
         "errors" -> J.I(bm.errors),
         "needs_ocr" -> J.I(bm.needsOcr),
+        "pdf_fallback" -> J.I(bm.pdfFallback),
+        "pdf_encrypted" -> J.I(bm.pdfEncrypted),
         "seconds" -> J.F(bm.seconds),
-        "docs_per_sec" -> J.F(bm.docsPerSec)
+        "docs_per_sec" -> J.F(bm.docsPerSec),
+        "pdf_fallback_rate" -> J.F(bm.pdfFallbackRate)
       )))
     ))
   }

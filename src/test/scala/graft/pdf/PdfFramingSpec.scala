@@ -1,0 +1,170 @@
+package graft.pdf
+
+import graft.media.PngFilter
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets
+
+/** The PDF 1.5+ structural surface (round 5): the same logical document in
+  * all four physical framings must parse identically — classic xref table,
+  * cross-reference stream (plain and PNG-predicted), and /ObjStm-packed
+  * dict objects. Plus: /Prev-chained incremental updates where the xref
+  * decides liveness (not file order), the scan-repair fallback on damaged
+  * xrefs, /Contents arrays, nested page trees with attribute inheritance,
+  * indirect /Length, hex strings, octal escapes, and /Encrypt detection.
+  */
+class PdfFramingSpec extends AnyFunSuite {
+
+  private val pageA = Pdf.PageSpec(Seq(
+    (50.0, 760.0, "Framing fixture line one"),
+    (50.0, 748.0, "line two with (parens) and \\ backslash"),
+    (50.0, 736.0, "unicode: déjà vu — ß and 中文")))
+  private val pageB = Pdf.PageSpec(
+    Seq((50.0, 760.0, "left col"), (330.0, 760.0, "right col")),
+    tables = Seq(Seq(Seq(Some("h1"), Some("h2")), Seq(Some("a"), None))))
+  private val docPages = Seq(pageA, pageB)
+
+  private def textOf(pages: Vector[Pdf.PdfPage]): Vector[String] =
+    pages.map(p => Layout.pageText(p.runs))
+
+  test("all four framings parse identically (flate on and off)") {
+    for (flate <- Seq(false, true)) {
+      val classic = Pdf.parse(Pdf.writePages(docPages, flate))
+      assert(classic.length == 2 && textOf(classic).head.contains("déjà vu"))
+      for (framing <- Seq(Pdf.Framing.XrefStream, Pdf.Framing.XrefStreamPred, Pdf.Framing.ObjStm)) {
+        val bytes = Pdf.writePages(docPages, flate, framing = framing)
+        val got = Pdf.parse(bytes)
+        assert(got == classic, s"framing=$framing flate=$flate diverged from classic")
+      }
+    }
+  }
+
+  test("xref-stream framings are structurally what they claim") {
+    val xs = new String(Pdf.writePages(docPages, flate = true,
+      framing = Pdf.Framing.XrefStream), StandardCharsets.ISO_8859_1)
+    assert(xs.startsWith("%PDF-1.5"))
+    assert(xs.contains("/Type /XRef") && !xs.contains("trailer"))
+    val pred = new String(Pdf.writePages(docPages, flate = true,
+      framing = Pdf.Framing.XrefStreamPred), StandardCharsets.ISO_8859_1)
+    assert(pred.contains("/Predictor 12"))
+    val ostm = new String(Pdf.writePages(docPages, flate = true,
+      framing = Pdf.Framing.ObjStm), StandardCharsets.ISO_8859_1)
+    assert(ostm.contains("/Type /ObjStm"))
+    // the dict objects really are compressed away: no top-level catalog
+    assert(!ostm.contains("1 0 obj\n<< /Type /Catalog"))
+  }
+
+  test("scan-repair fallback: corrupted startxref still parses every framing") {
+    for (framing <- Seq(Pdf.Framing.Classic, Pdf.Framing.XrefStream, Pdf.Framing.ObjStm)) {
+      val bytes = Pdf.writePages(docPages, flate = true, framing = framing)
+      val s = new String(bytes, StandardCharsets.ISO_8859_1)
+      val broken = s.replaceAll("""startxref\n\d+""", "startxref\n999999999")
+        .getBytes(StandardCharsets.ISO_8859_1)
+      val got = Pdf.parse(broken)
+      assert(textOf(got) == textOf(Pdf.parse(bytes)), s"repair path diverged for $framing")
+    }
+  }
+
+  test("incremental update: the xref chain, not file order, decides liveness") {
+    // Build a classic doc, then append a REPLACEMENT content stream for page
+    // 1 plus a new xref section with /Prev → parse must see the new text.
+    val base = Pdf.writePages(Seq(pageA), flate = false)
+    val baseStr = new String(base, StandardCharsets.ISO_8859_1)
+    val oldStart = baseStr.lastIndexOf("startxref")
+    val oldXref = baseStr.substring(oldStart + 10, baseStr.indexOf("\n", oldStart + 10)).trim.toInt
+    val newContent = "BT /F1 10 Tf 1 0 0 1 50 760 Tm (UPDATED TEXT v2) Tj ET\n"
+    val sb = new StringBuilder(baseStr)
+    val updOff = sb.length
+    sb ++= s"5 0 obj\n<< /Length ${newContent.length} >>\nstream\n$newContent\nendstream\nendobj\n"
+    val xrefOff = sb.length
+    sb ++= f"xref\n5 1\n$updOff%010d 00000 n \n"
+    sb ++= s"trailer\n<< /Size 6 /Root 1 0 R /Prev $oldXref >>\nstartxref\n$xrefOff\n%%EOF\n"
+    val updated = sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    assert(textOf(Pdf.parse(updated)) == Vector("UPDATED TEXT v2"))
+
+    // Now the adversarial direction: append a STALE object copy at the end
+    // of the file but do NOT reference it from any xref section. File-order
+    // scanning would pick the stale copy; the xref chain must not.
+    val sb2 = new StringBuilder(sb.toString)
+    sb2 ++= "5 0 obj\n<< /Length 52 >>\nstream\nBT /F1 10 Tf 1 0 0 1 50 760 Tm (STALE GHOST) Tj ET\n\nendstream\nendobj\n"
+    val ghosted = sb2.toString.getBytes(StandardCharsets.ISO_8859_1)
+    assert(textOf(Pdf.parse(ghosted)) == Vector("UPDATED TEXT v2"),
+      "a trailing unreferenced object displaced the xref-live one")
+  }
+
+  test("/Encrypt in the trailer raises the distinct encrypted error") {
+    val bytes = Pdf.writePages(Seq(pageA), flate = false)
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val enc = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 99 0 R")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    intercept[Pdf.EncryptedPdfException](Pdf.parse(enc))
+    // and through an xref-stream trailer dict too
+    val xs = new String(Pdf.writePages(Seq(pageA), flate = false,
+      framing = Pdf.Framing.XrefStream), StandardCharsets.ISO_8859_1)
+    val enc2 = xs.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 99 0 R")
+    // /Length of the xref stream is unchanged by this dict edit, so the
+    // startxref offset shift must be repaired for the strict path; the scan
+    // fallback handles it regardless — both must end in EncryptedPdfException
+    intercept[Pdf.EncryptedPdfException](
+      Pdf.parse(enc2.getBytes(StandardCharsets.ISO_8859_1)))
+  }
+
+  test("content-stream surface: hex strings, octal escapes, comments, inline images") {
+    val content = """BT /F1 10 Tf 1 0 0 1 50 760 Tm <48656C6C6F20686578> Tj ET
+      |% a comment line
+      |BT /F1 10 Tf 1 0 0 1 50 748 Tm (octal \101\102\103 done) Tj ET
+      |BI /W 2 /H 2 /CS /G ID ab)(cd EI
+      |BT /F1 10 Tf 1 0 0 1 50 736 Tm (after image) Tj ET
+      |""".stripMargin
+    val (runs, _) = Pdf.tokenizeContent(content)
+    assert(runs.map(_.text) == Vector("Hello hex", "octal ABC done", "after image"))
+  }
+
+  test("indirect /Length, /Contents array, nested page tree with inheritance") {
+    // hand-built: page tree of two /Pages levels; leaf inherits MediaBox +
+    // Resources from the ROOT node; /Contents is a 2-element array; the
+    // content stream /Length is an indirect reference to object 9.
+    val c1 = "BT /F1 10 Tf 1 0 0 1 50 760 Tm (part one) Tj ET\n"
+    val c2 = "BT /F1 10 Tf 1 0 0 1 50 748 Tm (part two) Tj ET\n"
+    val objs = Vector(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 6 0 R >> >> >>\nendobj\n",
+      "3 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n",
+      "4 0 obj\n<< /Type /Page /Parent 3 0 R /Contents [5 0 R 7 0 R] >>\nendobj\n",
+      s"5 0 obj\n<< /Length 9 0 R >>\nstream\n$c1\nendstream\nendobj\n",
+      "6 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n",
+      s"7 0 obj\n<< /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj\n",
+      s"9 0 obj\n${c1.length}\nendobj\n")
+    val body = new StringBuilder("%PDF-1.4\n")
+    val offsets = objs.map { o => val off = body.length; body ++= o; off }
+    val xref = body.length
+    body ++= s"xref\n0 1\n0000000000 65535 f \n"
+    // non-contiguous object numbers → per-object subsections
+    objs.zip(offsets).foreach { case (o, off) =>
+      val num = o.takeWhile(_.isDigit)
+      body ++= s"$num 1\n" + f"$off%010d 00000 n \n"
+    }
+    body ++= s"trailer\n<< /Size 10 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n"
+    val pdf = body.toString.getBytes(StandardCharsets.ISO_8859_1)
+    val pages = Pdf.parse(pdf)
+    assert(pages.length == 1)
+    assert(pages.head.width == 612.0 && pages.head.height == 792.0, "inherited MediaBox")
+    assert(Layout.pageText(pages.head.runs) == "part one\npart two")
+  }
+
+  test("PngFilter: filter → unfilter is the identity for every filter type") {
+    val rnd = new scala.util.Random(17)
+    for (ft <- 0 to 4; bpp <- Seq(1, 3)) {
+      val rowBytes = 12
+      val raw = Array.fill[Byte](rowBytes * 9)(rnd.nextInt(256).toByte)
+      val filtered = PngFilter.filter(raw, rowBytes, bpp, _ => ft)
+      assert(PngFilter.unfilter(filtered, rowBytes, bpp).toSeq == raw.toSeq,
+        s"filter type $ft bpp $bpp")
+    }
+    // mixed per-row filter choice
+    val raw = Array.tabulate[Byte](70)(i => (i * 37).toByte)
+    val filtered = PngFilter.filter(raw, 7, 1, r => r % 5)
+    assert(PngFilter.unfilter(filtered, 7, 1).toSeq == raw.toSeq)
+  }
+}
