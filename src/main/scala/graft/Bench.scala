@@ -113,7 +113,10 @@ object Bench {
     // region where thread-scaling is a faithful proxy for executor-scaling.
     val cores4n = math.max(cpus / 4, 4)
     val coresN = math.max(cores4n / 4, 1)
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "120").toInt
+    // r5: corpus grown 4× (120 → 480 replicate, ~44k docs) so the 4N level
+    // runs ≥45 s — after the r4 parse-core speedups a ~12 s window made the
+    // efficiency number hostage to single noise episodes (VERDICT r4 #5)
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "480").toInt
     val fat = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAT", "16").toInt
     // one bucket: the bench measures parse throughput; bucket sequencing
     // (pipeline drain × buckets) is resume granularity, not throughput —

@@ -443,6 +443,9 @@ object Pdf {
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
   private val EncryptRx = java.util.regex.Pattern.compile("""/Encrypt(?![A-Za-z0-9])""")
+  private val RefRx = java.util.regex.Pattern.compile("""(\d+)\s+(\d+)\s+R\b""")
+  private val NameRx = java.util.regex.Pattern.compile("""/([A-Za-z0-9]+)""")
+  private val FontEntryRx = java.util.regex.Pattern.compile("""/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R\b""")
   private val ObjHeadRx = java.util.regex.Pattern.compile("""(\d+)\s+(\d+)\s+obj\b""")
   // compiled-Pattern cache: the parser runs concurrently inside mapPartitions,
   // so this must be a concurrent map (Pattern itself is immutable/thread-safe)
@@ -685,12 +688,23 @@ object Pdf {
     } else (num, PdfObj(dict, None))
   }
 
-  /** Decode an object's stream: Flate if declared, then /DecodeParms PNG
-    * predictors (10-15). TIFF predictor 2 is out of subset → throw.
+  /** Decode an object's stream through its /Filter chain (listed in decode
+    * order per ISO 32000-1 §7.4): Flate, ASCIIHex, ASCII85, RunLength —
+    * with their short-name synonyms — then /DecodeParms PNG predictors
+    * (10-15). Image codecs (DCT/JPX/CCITT) and TIFF predictor 2 are out of
+    * subset → throw (they only appear on XObject streams this parser never
+    * needs to decode; a /Contents stream carrying one is a true fallback).
     */
   private def decodedStream(o: PdfObj): Array[Byte] = {
     val raw = o.stream.getOrElse(throw new java.io.IOException("object has no stream"))
-    val data = if (o.dict.contains("/FlateDecode")) inflate(raw) else raw
+    var data = raw
+    filterNames(o.dict).foreach {
+      case "FlateDecode" | "Fl"      => data = inflate(data)
+      case "ASCIIHexDecode" | "AHx"  => data = asciiHexDecode(data)
+      case "ASCII85Decode" | "A85"   => data = ascii85Decode(data)
+      case "RunLengthDecode" | "RL"  => data = runLengthDecode(data)
+      case other => throw new java.io.IOException(s"stream filter /$other out of subset")
+    }
     dictValue(o.dict, "/DecodeParms") match {
       case Some(parms) =>
         val pred = extractInt(parms, "/Predictor").getOrElse(1)
@@ -705,6 +719,96 @@ object Pdf {
         else data
       case None => data
     }
+  }
+
+  /** /Filter value: empty (no filter), a single name, or an array of names
+    * in decode order.
+    */
+  private def filterNames(dict: String): Vector[String] = {
+    val idx = dict.indexOf("/Filter")
+    if (idx < 0) return Vector.empty
+    var i = skipWs(dict, idx + "/Filter".length)
+    val nameRx = NameRx
+    if (i < dict.length && dict.charAt(i) == '[') {
+      val close = dict.indexOf(']', i)
+      if (close < 0) return Vector.empty
+      val m = nameRx.matcher(dict.substring(i + 1, close))
+      val out = Vector.newBuilder[String]
+      while (m.find()) out += m.group(1)
+      out.result()
+    } else {
+      val m = nameRx.matcher(dict)
+      m.region(i, dict.length)
+      if (m.lookingAt()) Vector(m.group(1)) else Vector.empty
+    }
+  }
+
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) { if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 } }
+        else if (!c.isWhitespace) throw new java.io.IOException(s"bad hex char '$c'")
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd digit count: final nibble padded with 0
+    out.toByteArray
+  }
+
+  private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val group = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(count: Int): Unit = { // count = chars in group (2..5)
+      var v = 0L
+      (0 until 5).foreach(k => v = v * 85 + (if (k < count) group(k) else 84)) // pad 'u'
+      val bytes = count - 1
+      (0 until bytes).foreach(k => out.write(((v >>> (24 - 8 * k)) & 0xff).toInt))
+    }
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true // "~>" EOD
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        group(n) = c - '!'; n += 1
+        if (n == 5) { flush(5); n = 0 }
+      } else if (!c.isWhitespace) throw new java.io.IOException(s"bad ascii85 char '$c'")
+      i += 1
+    }
+    if (n == 1) throw new java.io.IOException("ascii85: dangling single char")
+    if (n > 1) flush(n)
+    out.toByteArray
+  }
+
+  private def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val len = data(i) & 0xff
+      if (len == 128) done = true // EOD
+      else if (len < 128) {
+        if (i + 1 + len + 1 > data.length) throw new java.io.IOException("truncated RL literal")
+        out.write(data, i + 1, len + 1)
+        i += len + 1
+      } else {
+        if (i + 1 >= data.length) throw new java.io.IOException("truncated RL run")
+        val b = data(i + 1)
+        (0 until 257 - len).foreach(_ => out.write(b))
+        i += 1
+      }
+      i += 1
+    }
+    out.toByteArray
   }
 
   /** Members of a `/Type /ObjStm`: (objnum, body) in stream order. */
@@ -751,6 +855,8 @@ object Pdf {
     }
     walk(pagesNum, None, None, 0)
 
+    // pages overwhelmingly share one /Resources dict — build each font map once
+    val fontCache = mutable.Map.empty[String, Map[String, FontDecoder]]
     leaves.toVector.map { case (pd, mb, res) =>
       val contents = contentRefs(pd)
       if (contents.isEmpty) throw new java.io.IOException("page without /Contents")
@@ -765,7 +871,10 @@ object Pdf {
           parts.foreach { p => b.write(p); b.write('\n') }
           b.toByteArray
         }
-      val fonts = fontDecoders(objs, res)
+      val fonts = res match {
+        case Some(r) => fontCache.getOrElseUpdate(r, fontDecoders(objs, res))
+        case None    => Map.empty[String, FontDecoder]
+      }
       val (runs, segs) = tokenizeContent(new String(data, Latin1), fonts)
       PdfPage(mb(2) - mb(0), mb(3) - mb(1), runs, segs)
     }
@@ -852,8 +961,7 @@ object Pdf {
 
   /** All `N G R` refs in a flat region. */
   private def refsIn(s: String): Vector[Int] = {
-    val rx = java.util.regex.Pattern.compile("""(\d+)\s+(\d+)\s+R\b""")
-    val m = rx.matcher(s)
+    val m = RefRx.matcher(s)
     val out = Vector.newBuilder[Int]
     while (m.find()) out += m.group(1).toInt
     out.result()
@@ -962,8 +1070,7 @@ object Pdf {
         resolvedDictValue(objs, res, "/Font") match {
           case None => Map.empty
           case Some(fd) =>
-            val rx = java.util.regex.Pattern.compile("""/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R\b""")
-            val m = rx.matcher(fd)
+            val m = FontEntryRx.matcher(fd)
             val out = Map.newBuilder[String, FontDecoder]
             while (m.find()) {
               objs.get(m.group(2).toInt).foreach { fo =>

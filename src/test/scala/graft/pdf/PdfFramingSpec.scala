@@ -153,6 +153,71 @@ class PdfFramingSpec extends AnyFunSuite {
     assert(Layout.pageText(pages.head.runs) == "part one\npart two")
   }
 
+  test("stream filter chains: ASCIIHex, ASCII85+Flate, RunLength") {
+    def deflate(d: Array[Byte]): Array[Byte] = {
+      val df = new java.util.zip.Deflater(); df.setInput(d); df.finish()
+      val buf = new Array[Byte](d.length * 2 + 64)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!df.finished()) out.write(buf, 0, df.deflate(buf))
+      df.end(); out.toByteArray
+    }
+    def a85(d: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < d.length) {
+        val n = math.min(4, d.length - i)
+        var v = 0L
+        (0 until 4).foreach(k => v = (v << 8) | (if (i + k < d.length) d(i + k) & 0xff else 0))
+        val cs = new Array[Char](5)
+        var vv = v
+        (4 to 0 by -1).foreach { k => cs(k) = ('!' + (vv % 85).toInt).toChar; vv /= 85 }
+        if (n == 4 && v == 0) sb += 'z' else sb.appendAll(cs, 0, n + 1)
+        i += 4
+      }
+      sb.append("~>").toString
+    }
+    def hex(d: Array[Byte]): String = d.map(b => f"${b & 0xff}%02X").mkString + ">"
+    def rle(d: Array[Byte]): Array[Byte] = { // literal-only encoding + EOD
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < d.length) {
+        val n = math.min(128, d.length - i)
+        out.write(n - 1); out.write(d, i, n); i += n
+      }
+      out.write(128); out.toByteArray
+    }
+    val content = "BT /F1 10 Tf 1 0 0 1 50 760 Tm (filtered stream content) Tj ET\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val variants = Seq(
+      ("/Filter /ASCIIHexDecode", hex(content).getBytes(StandardCharsets.ISO_8859_1)),
+      ("/Filter [/ASCII85Decode /FlateDecode]",
+        a85(deflate(content)).getBytes(StandardCharsets.ISO_8859_1)),
+      ("/Filter /RunLengthDecode", rle(content)),
+      ("/Filter [/AHx /RL]", hex(rle(content)).getBytes(StandardCharsets.ISO_8859_1)))
+    variants.foreach { case (filter, data) =>
+      val objs = Vector(
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n")
+      val body = new java.io.ByteArrayOutputStream()
+      body.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      objs.foreach { o => offs += body.size(); body.write(o.getBytes(StandardCharsets.ISO_8859_1)) }
+      offs += body.size()
+      body.write(s"4 0 obj\n<< /Length ${data.length} $filter >>\nstream\n"
+        .getBytes(StandardCharsets.ISO_8859_1))
+      body.write(data)
+      body.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+      val xref = body.size()
+      val sb = new StringBuilder(s"xref\n0 1\n0000000000 65535 f \n")
+      offs.zipWithIndex.foreach { case (o, i) => sb ++= s"${i + 1} 1\n" + f"$o%010d 00000 n \n" }
+      sb ++= s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n"
+      body.write(sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+      val pages = Pdf.parse(body.toByteArray)
+      assert(textOf(pages) == Vector("filtered stream content"), s"filter chain $filter")
+    }
+  }
+
   test("PngFilter: filter → unfilter is the identity for every filter type") {
     val rnd = new scala.util.Random(17)
     for (ft <- 0 to 4; bpp <- Seq(1, 3)) {
