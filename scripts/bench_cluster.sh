@@ -60,7 +60,7 @@ grep -q "Successfully registered" "$LOGS/worker.log" || { echo "worker failed to
 echo "[cluster] generating corpus (untimed)"
 "$SPARK/bin/spark-submit" --master "local[8]" --driver-memory 8g \
   --class graft.tools.ClusterBench "$JAR" \
-  gen "$WORK/pages" "$WORK/warm" 480 16 2>"$LOGS/gen.log" | grep CLUSTERGEN
+  gen "$WORK/pages" "$WORK/warm" 640 16 2>"$LOGS/gen.log" | grep CLUSTERGEN
 
 # one submit = one fresh driver + executors; warmups run INSIDE the app
 submit() { # $1 = cores.max (2 => 1 executor, 8 => 4 executors), $2 = out tag

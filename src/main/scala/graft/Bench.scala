@@ -69,7 +69,7 @@ object Bench {
     "q_shuffle", "q_indexable", "q_novelty", "q_neg_pairs",
     "q_phash", "q_phash_pairs", "q_quality_eval", "q_truncate", "q_host_rep",
     "q_wet_extract", "q_wat_extract", "q_pdf_xrefstream",
-    "q_png_phash", "q_png_phash_pairs",
+    "q_png_phash", "q_png_phash_pairs", "q_pdf_meta",
     // q_soft_dedup is excluded with the other iterative-CC compositions
     // (its cluster map is q_dedup_clusters' already-profiled shape; the
     // weight join adds one |clusters|-row aggregate)
@@ -113,10 +113,11 @@ object Bench {
     // region where thread-scaling is a faithful proxy for executor-scaling.
     val cores4n = math.max(cpus / 4, 4)
     val coresN = math.max(cores4n / 4, 1)
-    // r5: corpus grown 4× (120 → 480 replicate, ~44k docs) so the 4N level
-    // runs ≥45 s — after the r4 parse-core speedups a ~12 s window made the
-    // efficiency number hostage to single noise episodes (VERDICT r4 #5)
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "480").toInt
+    // r5: corpus grown >5× (120 → 640 replicate, ~59k docs) so the 4N level
+    // runs ≥45 s — after the r4/r5 parse-core speedups a ~12 s window made
+    // the efficiency number hostage to single noise episodes (VERDICT r4 #5;
+    // the 480-replicate calibration run clocked 4N at 38.6 s / 1145 docs/s)
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "640").toInt
     val fat = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAT", "16").toInt
     // one bucket: the bench measures parse throughput; bucket sequencing
     // (pipeline drain × buckets) is resume granularity, not throughput —

@@ -5438,6 +5438,52 @@ object Queries {
     corpus.unionByName(env).orderBy("mode")
   }
 
+  /** PDF document-information metadata (r5): the /Info dict — the PDF
+    * analog of the HTML page_meta surface — written per doc (Title forced
+    * through the UTF-16BE-with-BOM string form on odd ids, ASCII on even;
+    * framing rotates all four physical layouts; /Info rides inside the
+    * ObjStm when that framing packs dicts) and read back via
+    * `Pdf.docInfo` + the D:-date parser. Oracle replays every field from
+    * the documents table.
+    */
+  private def qPdfMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pdf.Pdf
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val title =
+          if (id % 2 == 0) "T: " + text.take(24)
+          else "№ " + text.take(24) // non-ASCII → UTF-16BE string form
+        val author = s"author-${id % 7}"
+        val date = f"D:${2019 + id % 6}%04d${1 + id % 12}%02d${1 + id % 27}%02d120000Z"
+        val framing = (id % 4) match {
+          case 0 => Pdf.Framing.Classic
+          case 1 => Pdf.Framing.XrefStream
+          case 2 => Pdf.Framing.XrefStreamPred
+          case _ => Pdf.Framing.ObjStm
+        }
+        val bytes = Pdf.writePages(Seq(Pdf.PageSpec(Seq((50.0, 760.0, "body")))),
+          flate = id % 2 == 0, framing = framing,
+          info = Seq("Title" -> title, "Author" -> author, "CreationDate" -> date))
+        val got = Pdf.docInfo(bytes)
+        val ymd = got.get("CreationDate").flatMap(Pdf.infoDateYmd).getOrElse((0, 0, 0))
+        (id, got.getOrElse("Title", ""), got.getOrElse("Author", ""),
+          ymd._1.toLong, ymd._2.toLong, ymd._3.toLong)
+      }
+      .toDF("doc_id", "title", "author", "y", "m", "d")
+      .orderBy("doc_id")
+  }
+
+  private val oPdfMeta =
+    """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'T: ' || substr(text, 1, 24)
+              ELSE '№ ' || substr(text, 1, 24) END AS title,
+         'author-' || CAST(doc_id % 7 AS VARCHAR) AS author,
+         (2019 + doc_id % 6)::BIGINT AS y,
+         (1 + doc_id % 12)::BIGINT AS m,
+         (1 + doc_id % 27)::BIGINT AS d
+       FROM documents ORDER BY doc_id"""
+
   // Oracle for qEntryDigest: the corpus row is recomputed live from the
   // documents table; the construction/standard rows are golden constants
   // pinned against the sf0.01 corpus the driver contract verifies at
@@ -5611,6 +5657,7 @@ object Queries {
     "q_png_phash" -> qPngPhash _,
     "q_png_phash_pairs" -> qPngPhashPairs _,
     "q_entry_digest" -> qEntryDigest _,
+    "q_pdf_meta" -> qPdfMeta _,
     "q_py_findall" -> qPyFindall _
   )
 
@@ -5619,6 +5666,7 @@ object Queries {
     "q_png_phash" -> oPngPhash,
     "q_png_phash_pairs" -> oPngPhashPairs,
     "q_entry_digest" -> oEntryDigest,
+    "q_pdf_meta" -> oPdfMeta,
     "q_stats" -> oStats,
     "q_summary" -> oSummary,
     "q_needs_ocr" -> oNeedsOcr,

@@ -57,10 +57,15 @@ object Png {
           colorType = bytes(dataOff + 9) & 0xff
           val interlace = bytes(dataOff + 12) & 0xff
           if (width <= 0 || height <= 0) throw new java.io.IOException("bad dimensions")
-          if (bitDepth != 8) throw new java.io.IOException(s"bit depth $bitDepth out of subset")
           if (interlace != 0) throw new java.io.IOException("interlaced PNG out of subset")
-          if (!Set(0, 2, 3, 4, 6).contains(colorType))
-            throw new java.io.IOException(s"color type $colorType out of subset")
+          val legalDepths: Set[Int] = colorType match {
+            case 0 => Set(1, 2, 4, 8, 16)
+            case 3 => Set(1, 2, 4, 8)
+            case 2 | 4 | 6 => Set(8, 16)
+            case other => throw new java.io.IOException(s"color type $other out of subset")
+          }
+          if (!legalDepths.contains(bitDepth))
+            throw new java.io.IOException(s"bit depth $bitDepth for color type $colorType out of subset")
         case "PLTE" =>
           palette = Array.tabulate(len / 3) { i =>
             ((bytes(dataOff + 3 * i) & 0xff) << 16) |
@@ -79,25 +84,41 @@ object Png {
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     }
-    val rowBytes = width * channels
-    val raw = PngFilter.unfilter(inflate(idat.toByteArray), rowBytes, channels)
+    val bitsPerPixel = channels * bitDepth
+    val rowBytes = (width * bitsPerPixel + 7) / 8
+    // filter left-reference distance: whole bytes, min 1 (RFC 2083 §6.2)
+    val fbpp = math.max(1, bitsPerPixel / 8)
+    val raw = PngFilter.unfilter(inflate(idat.toByteArray), rowBytes, fbpp)
     if (raw.length < rowBytes * height) throw new java.io.IOException("short pixel data")
 
+    // one sample as 0..255: depth 16 keeps the high byte; sub-byte depths
+    // (single-channel types only) unpack MSB-first and gray scales to full
+    // range by v·255/(2^d−1); palette indices stay raw
+    val depthMax = (1 << math.min(bitDepth, 8)) - 1
+    def sample(rowBase: Int, x: Int, ch: Int): Int = bitDepth match {
+      case 8  => raw(rowBase + x * channels + ch) & 0xff
+      case 16 => raw(rowBase + (x * channels + ch) * 2) & 0xff
+      case d =>
+        val bit = x * d
+        ((raw(rowBase + (bit >> 3)) & 0xff) >> (8 - d - (bit & 7))) & ((1 << d) - 1)
+    }
     val gray = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       var x = 0
       val base = y * rowBytes
       while (x < width) {
-        val p = base + x * channels
         val g = colorType match {
-          case 0 | 4 => raw(p) & 0xff
+          case 0 =>
+            val v = sample(base, x, 0)
+            if (bitDepth < 8) v * 255 / depthMax else v
+          case 4 => sample(base, x, 0)
           case 2 | 6 =>
-            val r = raw(p) & 0xff; val gg = raw(p + 1) & 0xff; val b = raw(p + 2) & 0xff
-            (77 * r + 150 * gg + 29 * b) >> 8
+            (77 * sample(base, x, 0) + 150 * sample(base, x, 1) +
+              29 * sample(base, x, 2)) >> 8
           case 3 =>
             if (palette == null) throw new java.io.IOException("palette PNG without PLTE")
-            val idx = raw(p) & 0xff
+            val idx = sample(base, x, 0)
             if (idx >= palette.length) throw new java.io.IOException("palette index out of range")
             val rgb = palette(idx)
             (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8

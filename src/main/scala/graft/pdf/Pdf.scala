@@ -86,9 +86,36 @@ object Pdf {
             width: Double = 612.0, height: Double = 792.0): Array[Byte] =
     writePages(pages.map(p => PageSpec(p)), flate, width, height)
 
+  /** Serialize a document-information string: ASCII stays a literal string
+    * (PDFDocEncoding-compatible bytes); anything non-ASCII uses the
+    * standard UTF-16BE-with-BOM form (ISO 32000-1 §7.9.2.2) written as a
+    * HEX string — pure ASCII on the wire, so every framing's byte path
+    * carries it unchanged.
+    */
+  private def infoString(s: String): String =
+    if (s.forall(_ < 0x80)) {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      sb.append('(')
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '('  => sb.append("\\(")
+        case ')'  => sb.append("\\)")
+        case '\r' => sb.append("\\r")
+        case '\n' => sb.append("\\n")
+        case c    => sb.append(c)
+      }
+      sb.append(')')
+      sb.toString
+    } else {
+      val raw = Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+      raw.map(b => f"${b & 0xff}%02X").mkString("<", "", ">")
+    }
+
   def writePages(pages: Seq[PageSpec], flate: Boolean,
                  width: Double = 612.0, height: Double = 792.0,
-                 framing: Framing = Framing.Classic): Array[Byte] = {
+                 framing: Framing = Framing.Classic,
+                 info: Seq[(String, String)] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
@@ -104,6 +131,11 @@ object Pdf {
     def pageDict(i: Int) =
       s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $width $height] " +
         s"/Contents ${contObjNums(i)} 0 R /Resources << /Font << /F1 3 0 R >> >> >>"
+    // document information dictionary (/Info in the trailer), optional
+    val infoNum: Option[Int] = if (info.nonEmpty) Some(4 + 2 * nPages) else None
+    def infoDict: String =
+      "<< " + info.map { case (k, v) => s"/$k ${infoString(v)}" }.mkString(" ") + " >>"
+    def infoTrailerPart: String = infoNum.fold("")(n => s" /Info $n 0 R")
 
     def contentBytes(spec: PageSpec): Array[Byte] = {
       val content = new java.lang.StringBuilder
@@ -161,11 +193,12 @@ object Pdf {
         obj(bytes(s"3 0 obj\n$fontDict\nendobj\n"))
         pages.indices.foreach(i => obj(bytes(s"${pageObjNums(i)} 0 obj\n${pageDict(i)}\nendobj\n")))
         pages.zipWithIndex.foreach { case (spec, i) => obj(streamObjBytes(contObjNums(i), spec)) }
+        infoNum.foreach(n => obj(bytes(s"$n 0 obj\n$infoDict\nendobj\n")))
         val xrefPos = out.size()
         val total = offsets.length + 1
         out.write(bytes(s"xref\n0 $total\n0000000000 65535 f \n"))
         offsets.foreach(o => out.write(bytes(f"$o%010d 00000 n \n")))
-        out.write(bytes(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n"))
+        out.write(bytes(s"trailer\n<< /Size $total /Root 1 0 R$infoTrailerPart >>\nstartxref\n$xrefPos\n%%EOF\n"))
 
       case Framing.XrefStream | Framing.XrefStreamPred =>
         val predicted = framing == Framing.XrefStreamPred
@@ -180,11 +213,13 @@ object Pdf {
         pages.zipWithIndex.foreach { case (spec, i) =>
           obj(contObjNums(i), streamObjBytes(contObjNums(i), spec))
         }
-        val xrefNum = 4 + 2 * nPages
+        infoNum.foreach(n => obj(n, bytes(s"$n 0 obj\n$infoDict\nendobj\n")))
+        val xrefNum = 4 + 2 * nPages + info.length.min(1)
         val xrefPos = out.size()
         offsets(xrefNum) = xrefPos
         out.write(xrefStreamObj(xrefNum, size = xrefNum + 1, predicted,
-          entry = n => if (n == 0) (0, 0, 65535) else (1, offsets(n), 0)))
+          entry = n => if (n == 0) (0, 0, 65535) else (1, offsets(n), 0),
+          extra = infoTrailerPart))
         out.write(bytes(s"startxref\n$xrefPos\n%%EOF\n"))
 
       case Framing.ObjStm =>
@@ -196,15 +231,17 @@ object Pdf {
           obj(contObjNums(i), streamObjBytes(contObjNums(i), spec))
         }
         // dict objects packed into the object stream, in-stream index order
+        // (the /Info dict rides compressed too — trailer refs INTO an ObjStm)
         val members: Vector[(Int, String)] =
           Vector(1 -> catalogDict, 2 -> pagesDict, 3 -> fontDict) ++
-            pages.indices.map(i => pageObjNums(i) -> pageDict(i))
+            pages.indices.map(i => pageObjNums(i) -> pageDict(i)) ++
+            infoNum.map(n => n -> infoDict)
         val bodies = members.map(_._2 + "\n")
         val memberOffsets = bodies.scanLeft(0)(_ + _.getBytes("UTF-8").length)
         val header = members.zip(memberOffsets).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
         val stmRaw = bytes(header ++ bodies.mkString)
         val stmData = deflate(stmRaw)
-        val objStmNum = 4 + 2 * nPages
+        val objStmNum = 4 + 2 * nPages + info.length.min(1)
         val xrefNum = objStmNum + 1
         obj(objStmNum, {
           val b = new java.io.ByteArrayOutputStream()
@@ -223,7 +260,8 @@ object Pdf {
             else memberIdx.get(n) match {
               case Some(idx) => (2, objStmNum, idx) // compressed: (type2, stm, index)
               case None      => (1, offsets(n), 0)
-            }))
+            },
+          extra = infoTrailerPart))
         out.write(bytes(s"startxref\n$xrefPos\n%%EOF\n"))
     }
     out.toByteArray
@@ -367,7 +405,8 @@ object Pdf {
     * always Flate. `entry(n)` returns (type, field2, field3).
     */
   private def xrefStreamObj(num: Int, size: Int, predicted: Boolean,
-                            entry: Int => (Int, Int, Int)): Array[Byte] = {
+                            entry: Int => (Int, Int, Int),
+                            extra: String = ""): Array[Byte] = {
     def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val rowBytes = 7 // W = [1 4 2]
     val raw = new Array[Byte](size * rowBytes)
@@ -383,7 +422,7 @@ object Pdf {
     val data = deflate(body)
     val parms = if (predicted) s" /DecodeParms << /Predictor 12 /Columns $rowBytes >>" else ""
     val b = new java.io.ByteArrayOutputStream()
-    b.write(bytes(s"$num 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R " +
+    b.write(bytes(s"$num 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R$extra " +
       s"/Length ${data.length} /Filter /FlateDecode$parms >>\nstream\n"))
     b.write(data)
     b.write(bytes("\nendstream\nendobj\n"))
@@ -469,6 +508,76 @@ object Pdf {
     if (doc.trailers.exists(t => EncryptRx.matcher(t).find()))
       throw new EncryptedPdfException("encrypted PDF (/Encrypt in trailer)")
     buildPages(doc)
+  }
+
+  /** Document-information dictionary (trailer /Info): Title/Author/Subject/
+    * Keywords/Creator/Producer/CreationDate/ModDate as decoded strings —
+    * the PDF analog of the HTML `page_meta` surface. Strings decode per
+    * ISO 32000-1 §7.9.2.2: UTF-16BE when they carry the FE FF BOM,
+    * byte-per-char (PDFDocEncoding ≈ Latin-1 for the printable range)
+    * otherwise. Returns empty on documents without /Info; throws only on
+    * encrypted documents (same contract as [[parse]]).
+    */
+  def docInfo(payload: Array[Byte]): Map[String, String] = {
+    val latin = new String(payload, Latin1)
+    val doc =
+      try loadByXref(payload, latin)
+      catch { case _: Exception => loadByScan(payload, latin) }
+    if (doc.trailers.exists(t => EncryptRx.matcher(t).find()))
+      throw new EncryptedPdfException("encrypted PDF (/Encrypt in trailer)")
+    doc.trailers.iterator.flatMap(t => refValue(t, "/Info")).nextOption()
+      .flatMap(doc.objs.get) match {
+      case None => Map.empty
+      case Some(o) =>
+        val keys = Seq("Title", "Author", "Subject", "Keywords", "Creator",
+          "Producer", "CreationDate", "ModDate")
+        keys.flatMap { k =>
+          infoValue(o.dict, "/" + k).map(raw => k -> decodeInfoString(raw))
+        }.toMap
+    }
+  }
+
+  /** `key (literal)` or `key <hex>` value as the RAW byte string. */
+  private def infoValue(dict: String, key: String): Option[String] = {
+    var from = 0
+    while (from >= 0) {
+      val idx = dict.indexOf(key, from)
+      if (idx < 0) return None
+      val after = idx + key.length
+      // reject prefix hits (/Creator vs /CreationDate)
+      if (after < dict.length && !dict.charAt(after).isLetterOrDigit) {
+        val i = skipWs(dict, after)
+        if (i < dict.length && dict.charAt(i) == '(')
+          return Some(readString(dict, i)._1)
+        if (i < dict.length && dict.charAt(i) == '<' &&
+            (i + 1 >= dict.length || dict.charAt(i + 1) != '<'))
+          return Some(readHexString(dict, i)._1)
+        return None
+      }
+      from = after
+    }
+    None
+  }
+
+  /** RAW info bytes → text: UTF-16BE behind a FE FF BOM, Latin-1 bytes
+    * otherwise (the printable-range PDFDocEncoding approximation).
+    */
+  private def decodeInfoString(raw: String): String =
+    if (raw.length >= 2 && raw.charAt(0) == 0xFE.toChar && raw.charAt(1) == 0xFF.toChar) {
+      val bs = new Array[Byte](raw.length - 2)
+      var i = 2
+      while (i < raw.length) { bs(i - 2) = raw.charAt(i).toByte; i += 1 }
+      new String(bs, java.nio.charset.StandardCharsets.UTF_16BE)
+    } else raw
+
+  /** `D:YYYYMMDDHHmmSS…` info date → (year, month, day) if parseable. */
+  def infoDateYmd(s: String): Option[(Int, Int, Int)] = {
+    val m = java.util.regex.Pattern.compile("""^D:(\d{4})(\d{2})?(\d{2})?""").matcher(s)
+    if (m.lookingAt())
+      Some((m.group(1).toInt,
+        Option(m.group(2)).map(_.toInt).getOrElse(1),
+        Option(m.group(3)).map(_.toInt).getOrElse(1)))
+    else None
   }
 
   // ----------------------------------------------------- structure: by xref

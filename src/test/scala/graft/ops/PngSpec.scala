@@ -58,15 +58,75 @@ class PngSpec extends AnyFunSuite {
       (77 * 255) >> 8, (150 * 255) >> 8, (77 * 30 + 150 * 60 + 29 * 90) >> 8))
   }
 
-  test("out-of-subset inputs fail loudly (16-bit, interlaced, truncated)") {
+  test("out-of-subset inputs fail loudly (interlaced, bad depth, truncated)") {
     val img = mkGray(8, 8, (x, y) => x * y)
     val good = Png.encodeGrayAs(img, 0)
     intercept[java.io.IOException](Png.decode(good.take(40)))
-    val deep = good.clone; deep(24) = 16 // IHDR bit depth
+    val deep = good.clone; deep(24) = 3 // IHDR bit depth 3 is illegal everywhere
     intercept[java.io.IOException](Png.decode(deep))
     val laced = good.clone; laced(28) = 1 // IHDR interlace
     intercept[java.io.IOException](Png.decode(laced))
     assert(!Png.isPng("not a png".getBytes))
+  }
+
+  private def handBuilt(ihdr: Array[Byte], idatRaw: Array[Byte],
+                        plte: Option[Array[Byte]] = None): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).foreach(out.write)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      def w32(v: Int): Unit = { out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+      w32(data.length)
+      val tb = ctype.getBytes("US-ASCII"); out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      w32(crc.getValue.toInt)
+    }
+    chunk("IHDR", ihdr)
+    plte.foreach(chunk("PLTE", _))
+    val d = new java.util.zip.Deflater()
+    d.setInput(idatRaw); d.finish()
+    val buf = new Array[Byte](256); val comp = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  test("sub-byte depths: 2-bit gray unpacks MSB-first and scales to full range") {
+    // 4x2, depth 2, gray: row0 samples 0,1,2,3; row1 3,2,1,0; filter 0
+    val png = handBuilt(
+      Array[Byte](0, 0, 0, 4, 0, 0, 0, 2, 2, 0, 0, 0, 0),
+      Array[Byte](0, 0x1B.toByte, 0, 0xE4.toByte))
+    val g = Png.decode(png)
+    assert(g.pixels.toSeq == Seq(0, 85, 170, 255, 255, 170, 85, 0))
+  }
+
+  test("1-bit gray and 4-bit palette decode") {
+    // 8x1, depth 1, gray: bits 10110001 → 255,0,255,255,0,0,0,255
+    val g1 = Png.decode(handBuilt(
+      Array[Byte](0, 0, 0, 8, 0, 0, 0, 1, 1, 0, 0, 0, 0),
+      Array[Byte](0, 0xB1.toByte)))
+    assert(g1.pixels.toSeq == Seq(255, 0, 255, 255, 0, 0, 0, 255))
+    // 3x1, depth 4, palette: indices 0,1,2 packed as 0x01 0x20
+    val g4 = Png.decode(handBuilt(
+      Array[Byte](0, 0, 0, 3, 0, 0, 0, 1, 4, 3, 0, 0, 0),
+      Array[Byte](0, 0x01, 0x20),
+      plte = Some(Array[Byte](0, 0, 0, 100, 100, 100, 200.toByte, 200.toByte, 200.toByte))))
+    assert(g4.pixels.toSeq == Seq(0, (77 * 100 + 150 * 100 + 29 * 100) >> 8,
+      (77 * 200 + 150 * 200 + 29 * 200) >> 8))
+  }
+
+  test("16-bit depths keep the high byte (gray and RGB)") {
+    // 2x1 depth-16 gray: 0x1234, 0xFF00 → 0x12, 0xFF
+    val g16 = Png.decode(handBuilt(
+      Array[Byte](0, 0, 0, 2, 0, 0, 0, 1, 16, 0, 0, 0, 0),
+      Array[Byte](0, 0x12, 0x34, 0xFF.toByte, 0x00)))
+    assert(g16.pixels.toSeq == Seq(0x12, 0xFF))
+    // 1x1 depth-16 RGB: (0xFF??, 0x0000, 0x0000) → luma of (255,0,0)
+    val rgb16 = Png.decode(handBuilt(
+      Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 16, 2, 0, 0, 0),
+      Array[Byte](0, 0xFF.toByte, 0x7F, 0, 0, 0, 0)))
+    assert(rgb16.pixels.toSeq == Seq((77 * 255) >> 8))
   }
 
   test("dHashImage: 9x7 single-pixel cells reduce to direct comparisons") {

@@ -218,6 +218,26 @@ class PdfFramingSpec extends AnyFunSuite {
     }
   }
 
+  test("/Info document metadata round-trips in every framing, incl. UTF-16BE strings") {
+    val info = Seq(
+      "Title" -> "Résumé — №7 (draft)", // non-ASCII → BOM + UTF-16BE form
+      "Author" -> "plain ascii author",
+      "CreationDate" -> "D:20240315120000Z")
+    for (framing <- Seq(Pdf.Framing.Classic, Pdf.Framing.XrefStream,
+                        Pdf.Framing.XrefStreamPred, Pdf.Framing.ObjStm)) {
+      val bytes = Pdf.writePages(Seq(pageA), flate = true, framing = framing, info = info)
+      val got = Pdf.docInfo(bytes)
+      assert(got.get("Title").contains("Résumé — №7 (draft)"), s"framing $framing: $got")
+      assert(got.get("Author").contains("plain ascii author"))
+      assert(got.get("CreationDate").flatMap(Pdf.infoDateYmd).contains((2024, 3, 15)))
+      // page content unaffected by the extra object
+      assert(textOf(Pdf.parse(bytes)) ==
+        textOf(Pdf.parse(Pdf.writePages(Seq(pageA), flate = true))), s"framing $framing")
+    }
+    // documents without /Info report empty, not a fallback
+    assert(Pdf.docInfo(Pdf.writePages(Seq(pageA), flate = false)).isEmpty)
+  }
+
   test("PngFilter: filter → unfilter is the identity for every filter type") {
     val rnd = new scala.util.Random(17)
     for (ft <- 0 to 4; bpp <- Seq(1, 3)) {
