@@ -18,7 +18,7 @@ WORK=$(mktemp -d /tmp/graft_cluster.XXXX)
 LOGS="$WORK/logs"; mkdir -p "$LOGS" "$WORK/spark-work"
 # exact artifact match: the app jar only — -sources/-javadoc/-tests or a
 # stale differently-named jar must fail loudly, not silently get benched
-mapfile -t JARS < <(ls "$REPO"/target/scala-2.13/graft*_2.13-*.jar 2>/dev/null \
+mapfile -t JARS < <(ls "$REPO"/target/scala-2.13/pdfextractorspark_2.13-*.jar 2>/dev/null \
   | grep -v -e '-sources\.jar$' -e '-javadoc\.jar$' -e '-tests\.jar$')
 if [ "${#JARS[@]}" -ne 1 ]; then
   echo "expected exactly one app jar in target/scala-2.13, found: ${JARS[*]:-none}" >&2

@@ -5484,6 +5484,57 @@ object Queries {
          (1 + doc_id % 27)::BIGINT AS d
        FROM documents ORDER BY doc_id"""
 
+  /** Encrypted-PDF decryption as a driver row (r5): the standard security
+    * handler with an EMPTY user password (the common owner-locked case) —
+    * RC4-128 through classic and ObjStm framings, AES-128 /AESV2 through an
+    * xref-stream framing — must decrypt and round-trip the text
+    * byte-identically; a real user password must keep the document out via
+    * the DISTINCT `pdf-encrypted` fallback. Oracle replays expected text
+    * from the documents table, so a key-derivation or cipher bug flips the
+    * hash.
+    */
+  private def qPdfEncrypted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pdf.Pdf
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val chunks = if (text.isEmpty) Seq("") else text.grouped(40).toSeq
+        val placements = chunks.zipWithIndex.map { case (l, i) => (50.0, 760.0 - 12.0 * i, l) }
+        val spec = Seq(Pdf.PageSpec(placements))
+        val mode = (id % 5).toInt
+        val bytes = mode match {
+          case 0 => Pdf.writePages(spec, flate = id % 2 == 0)
+          case 1 => Pdf.writePages(spec, flate = id % 2 == 0,
+            encrypt = Some(Pdf.EncryptSpec()))
+          case 2 => Pdf.writePages(spec, flate = id % 2 == 0, framing = Pdf.Framing.ObjStm,
+            encrypt = Some(Pdf.EncryptSpec()))
+          case 3 => Pdf.writePages(spec, flate = id % 2 == 0, framing = Pdf.Framing.XrefStream,
+            encrypt = Some(Pdf.EncryptSpec(aes = true)))
+          case _ => Pdf.writePages(spec, flate = id % 2 == 0,
+            encrypt = Some(Pdf.EncryptSpec(userPwd = s"pwd-$id")))
+        }
+        val dec = graft.pipeline.Decode.decode(bytes, null)
+        val errKind = dec.error.map(_.takeWhile(_ != ':')).getOrElse("")
+        (id, mode, dec.pages.length, errKind, dec.pages.map(_.text).mkString("\n\n"))
+      }
+      .toDF("doc_id", "mode", "n_pages", "err_kind", "got_text")
+      .withColumn("text_h", when(col("n_pages") > 0, ph(col("got_text"))).otherwise(lit(0L)))
+      .select("doc_id", "mode", "n_pages", "err_kind", "text_h")
+      .orderBy("doc_id")
+  }
+
+  private val oPdfEncrypted =
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS mode,
+         array_to_string(list_transform(generate_series(0, (length(text)-1)//40),
+           i -> substr(text, i*40 + 1, 40)), chr(10)) AS full_text
+       FROM documents)
+       SELECT doc_id, mode,
+         CASE WHEN mode = 4 THEN 0 ELSE 1 END AS n_pages,
+         CASE WHEN mode = 4 THEN 'pdf-encrypted' ELSE '' END AS err_kind,
+         CASE WHEN mode = 4 THEN 0
+              ELSE ('0x' || substr(md5(full_text), 1, 15))::BIGINT END AS text_h
+       FROM d ORDER BY doc_id"""
+
   // Oracle for qEntryDigest: the corpus row is recomputed live from the
   // documents table; the construction/standard rows are golden constants
   // pinned against the sf0.01 corpus the driver contract verifies at
@@ -5658,6 +5709,7 @@ object Queries {
     "q_png_phash_pairs" -> qPngPhashPairs _,
     "q_entry_digest" -> qEntryDigest _,
     "q_pdf_meta" -> qPdfMeta _,
+    "q_pdf_encrypted" -> qPdfEncrypted _,
     "q_py_findall" -> qPyFindall _
   )
 
@@ -5667,6 +5719,7 @@ object Queries {
     "q_png_phash_pairs" -> oPngPhashPairs,
     "q_entry_digest" -> oEntryDigest,
     "q_pdf_meta" -> oPdfMeta,
+    "q_pdf_encrypted" -> oPdfEncrypted,
     "q_stats" -> oStats,
     "q_summary" -> oSummary,
     "q_needs_ocr" -> oNeedsOcr,

@@ -75,6 +75,14 @@ object Pdf {
     case object ObjStm extends Framing
   }
 
+  /** Writer-side standard-security-handler parameters: rev 3 RC4-128 by
+    * default, rev 4 /AESV2 when `aes`. An empty `userPwd` produces the
+    * owner-locked-but-readable documents a crawl can decrypt; a non-empty
+    * one produces truly password-protected fixtures.
+    */
+  final case class EncryptSpec(userPwd: String = "", ownerPwd: String = "owner-pass",
+                               aes: Boolean = false)
+
   private val CellW = 90.0
   private val RowH = 14.0
 
@@ -92,6 +100,14 @@ object Pdf {
     * HEX string — pure ASCII on the wire, so every framing's byte path
     * carries it unchanged.
     */
+  /** The raw byte form an info string decodes FROM: ASCII bytes, or
+    * BOM + UTF-16BE for non-ASCII values.
+    */
+  private def infoRawBytes(s: String): Array[Byte] =
+    if (s.forall(_ < 0x80)) s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    else Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+
   private def infoString(s: String): String =
     if (s.forall(_ < 0x80)) {
       val sb = new java.lang.StringBuilder(s.length + 8)
@@ -115,7 +131,8 @@ object Pdf {
   def writePages(pages: Seq[PageSpec], flate: Boolean,
                  width: Double = 612.0, height: Double = 792.0,
                  framing: Framing = Framing.Classic,
-                 info: Seq[(String, String)] = Nil): Array[Byte] = {
+                 info: Seq[(String, String)] = Nil,
+                 encrypt: Option[EncryptSpec] = None): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
@@ -133,7 +150,52 @@ object Pdf {
         s"/Contents ${contObjNums(i)} 0 R /Resources << /Font << /F1 3 0 R >> >> >>"
     // document information dictionary (/Info in the trailer), optional
     val infoNum: Option[Int] = if (info.nonEmpty) Some(4 + 2 * nPages) else None
+    val infoCount = if (info.nonEmpty) 1 else 0
+    // standard security handler state, optional: (objnum, cipher, dict, trailer extra)
+    val encNum: Option[Int] = encrypt.map(_ => 4 + 2 * nPages + infoCount)
+    val encState: Option[(Int, PdfCrypt.Decryptor, String, String)] = encrypt.map { es =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      pages.foreach(_.placements.foreach { case (x, y, t) =>
+        md.update(s"$x/$y/$t".getBytes(java.nio.charset.StandardCharsets.UTF_8)) })
+      val fileId = md.digest()
+      val (v, r) = if (es.aes) (4, 4) else (2, 3)
+      val keyLen = 16
+      val perm = -44
+      val oBytes = PdfCrypt.computeO(
+        es.ownerPwd.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+        es.userPwd.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), r, keyLen)
+      val key = PdfCrypt.computeKey(
+        es.userPwd.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+        oBytes, perm, fileId, r, keyLen)
+      val uBytes = PdfCrypt.computeU(key, fileId, r)
+      def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString("<", "", ">")
+      val cf = if (es.aes)
+        " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF" else ""
+      val dict = s"<< /Filter /Standard /V $v /R $r /Length 128 /P $perm " +
+        s"/O ${hx(oBytes)} /U ${hx(uBytes)}$cf >>"
+      val idHex = hx(fileId)
+      (encNum.get, PdfCrypt.Decryptor(key, es.aes), dict,
+        s" /Encrypt ${encNum.get} 0 R /ID [$idHex $idHex]")
+    }
+    def encDictObjBytes: Option[Array[Byte]] =
+      encState.map { case (n, _, d, _) =>
+        s"$n 0 obj\n$d\nendobj\n".getBytes(java.nio.charset.StandardCharsets.UTF_8) }
+    def encTrailerPart: String = encState.fold("")(_._4)
+    def encipher(data: Array[Byte], num: Int): Array[Byte] =
+      encState.fold(data) { case (_, d, _, _) => d.encrypt(data, num, 0) }
     def infoDict: String =
+      "<< " + info.map { case (k, v) =>
+        val vs = encState match {
+          case Some((_, d, _, _)) =>
+            d.encrypt(infoRawBytes(v), infoNum.get, 0)
+              .map(x => f"${x & 0xff}%02X").mkString("<", "", ">")
+          case None => infoString(v)
+        }
+        s"/$k $vs"
+      }.mkString(" ") + " >>"
+    // inside an /ObjStm the member's strings ride the stream's encryption —
+    // they are NOT individually enciphered (§7.5.7)
+    def infoDictPlain: String =
       "<< " + info.map { case (k, v) => s"/$k ${infoString(v)}" }.mkString(" ") + " >>"
     def infoTrailerPart: String = infoNum.fold("")(n => s" /Info $n 0 R")
 
@@ -174,7 +236,7 @@ object Pdf {
 
     def streamObjBytes(num: Int, spec: PageSpec): Array[Byte] = {
       val raw = contentBytes(spec)
-      val data = if (flate) deflate(raw) else raw
+      val data = encipher(if (flate) deflate(raw) else raw, num)
       val filter = if (flate) " /Filter /FlateDecode" else ""
       val b = new java.io.ByteArrayOutputStream()
       b.write(bytes(s"$num 0 obj\n<< /Length ${data.length}$filter >>\nstream\n"))
@@ -194,11 +256,12 @@ object Pdf {
         pages.indices.foreach(i => obj(bytes(s"${pageObjNums(i)} 0 obj\n${pageDict(i)}\nendobj\n")))
         pages.zipWithIndex.foreach { case (spec, i) => obj(streamObjBytes(contObjNums(i), spec)) }
         infoNum.foreach(n => obj(bytes(s"$n 0 obj\n$infoDict\nendobj\n")))
+        encDictObjBytes.foreach(obj)
         val xrefPos = out.size()
         val total = offsets.length + 1
         out.write(bytes(s"xref\n0 $total\n0000000000 65535 f \n"))
         offsets.foreach(o => out.write(bytes(f"$o%010d 00000 n \n")))
-        out.write(bytes(s"trailer\n<< /Size $total /Root 1 0 R$infoTrailerPart >>\nstartxref\n$xrefPos\n%%EOF\n"))
+        out.write(bytes(s"trailer\n<< /Size $total /Root 1 0 R$infoTrailerPart$encTrailerPart >>\nstartxref\n$xrefPos\n%%EOF\n"))
 
       case Framing.XrefStream | Framing.XrefStreamPred =>
         val predicted = framing == Framing.XrefStreamPred
@@ -214,12 +277,13 @@ object Pdf {
           obj(contObjNums(i), streamObjBytes(contObjNums(i), spec))
         }
         infoNum.foreach(n => obj(n, bytes(s"$n 0 obj\n$infoDict\nendobj\n")))
-        val xrefNum = 4 + 2 * nPages + info.length.min(1)
+        encState.foreach { case (n, _, _, _) => obj(n, encDictObjBytes.get) }
+        val xrefNum = 4 + 2 * nPages + infoCount + encState.size
         val xrefPos = out.size()
         offsets(xrefNum) = xrefPos
         out.write(xrefStreamObj(xrefNum, size = xrefNum + 1, predicted,
           entry = n => if (n == 0) (0, 0, 65535) else (1, offsets(n), 0),
-          extra = infoTrailerPart))
+          extra = infoTrailerPart + encTrailerPart))
         out.write(bytes(s"startxref\n$xrefPos\n%%EOF\n"))
 
       case Framing.ObjStm =>
@@ -235,14 +299,15 @@ object Pdf {
         val members: Vector[(Int, String)] =
           Vector(1 -> catalogDict, 2 -> pagesDict, 3 -> fontDict) ++
             pages.indices.map(i => pageObjNums(i) -> pageDict(i)) ++
-            infoNum.map(n => n -> infoDict)
+            infoNum.map(n => n -> infoDictPlain)
         val bodies = members.map(_._2 + "\n")
         val memberOffsets = bodies.scanLeft(0)(_ + _.getBytes("UTF-8").length)
         val header = members.zip(memberOffsets).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
         val stmRaw = bytes(header ++ bodies.mkString)
-        val stmData = deflate(stmRaw)
-        val objStmNum = 4 + 2 * nPages + info.length.min(1)
+        val objStmNum = 4 + 2 * nPages + infoCount + encState.size
         val xrefNum = objStmNum + 1
+        encState.foreach { case (n, _, _, _) => obj(n, encDictObjBytes.get) }
+        val stmData = encipher(deflate(stmRaw), objStmNum)
         obj(objStmNum, {
           val b = new java.io.ByteArrayOutputStream()
           b.write(bytes(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${members.length} " +
@@ -261,7 +326,7 @@ object Pdf {
               case Some(idx) => (2, objStmNum, idx) // compressed: (type2, stm, index)
               case None      => (1, offsets(n), 0)
             },
-          extra = infoTrailerPart))
+          extra = infoTrailerPart + encTrailerPart))
         out.write(bytes(s"startxref\n$xrefPos\n%%EOF\n"))
     }
     out.toByteArray
@@ -476,8 +541,20 @@ object Pdf {
     payload.length >= 5 && payload(0) == '%' && payload(1) == 'P' &&
       payload(2) == 'D' && payload(3) == 'F' && payload(4) == '-'
 
-  private final case class PdfObj(dict: String, stream: Option[Array[Byte]])
-  private final case class DocObjs(objs: mutable.Map[Int, PdfObj], trailers: Vector[String])
+  private final case class PdfObj(dict: String, stream: Option[Array[Byte]],
+                                  num: Int = 0, gen: Int = 0,
+                                  /** members of an /ObjStm: their strings were
+                                    * encrypted with the STREAM, never again
+                                    * individually (§7.5.7) */
+                                  fromObjStm: Boolean = false)
+  private final case class DocObjs(objs: mutable.Map[Int, PdfObj], trailers: Vector[String]) {
+    /** Standard-security-handler decryptor when the document is encrypted
+      * and opens with the EMPTY user password; throws EncryptedPdfException
+      * for password-protected or unsupported-handler documents; None when
+      * not encrypted at all. Lazy: resolved once per document.
+      */
+    lazy val decryptor: Option[PdfCrypt.Decryptor] = resolveEncryption(this)
+  }
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -504,10 +581,11 @@ object Pdf {
     val latin = new String(payload, Latin1)
     val doc =
       try loadByXref(payload, latin)
-      catch { case _: Exception => loadByScan(payload, latin) }
-    if (doc.trailers.exists(t => EncryptRx.matcher(t).find()))
-      throw new EncryptedPdfException("encrypted PDF (/Encrypt in trailer)")
-    buildPages(doc)
+      catch {
+        case e: EncryptedPdfException => throw e // password-protected: not repairable
+        case _: Exception => loadByScan(payload, latin)
+      }
+    buildPages(doc, doc.decryptor)
   }
 
   /** Document-information dictionary (trailer /Info): Title/Author/Subject/
@@ -522,9 +600,11 @@ object Pdf {
     val latin = new String(payload, Latin1)
     val doc =
       try loadByXref(payload, latin)
-      catch { case _: Exception => loadByScan(payload, latin) }
-    if (doc.trailers.exists(t => EncryptRx.matcher(t).find()))
-      throw new EncryptedPdfException("encrypted PDF (/Encrypt in trailer)")
+      catch {
+        case e: EncryptedPdfException => throw e
+        case _: Exception => loadByScan(payload, latin)
+      }
+    val dec = doc.decryptor
     doc.trailers.iterator.flatMap(t => refValue(t, "/Info")).nextOption()
       .flatMap(doc.objs.get) match {
       case None => Map.empty
@@ -532,7 +612,19 @@ object Pdf {
         val keys = Seq("Title", "Author", "Subject", "Keywords", "Creator",
           "Producer", "CreationDate", "ModDate")
         keys.flatMap { k =>
-          infoValue(o.dict, "/" + k).map(raw => k -> decodeInfoString(raw))
+          infoValue(o.dict, "/" + k).map { raw0 =>
+            // dict strings are individually encrypted with the object's key
+            // — except inside an ObjStm, whose stream decrypt covered them
+            val raw = dec match {
+              case Some(d) if !o.fromObjStm =>
+                val bs = new Array[Byte](raw0.length)
+                var i = 0
+                while (i < raw0.length) { bs(i) = raw0.charAt(i).toByte; i += 1 }
+                new String(d.decrypt(bs, o.num, o.gen), Latin1)
+              case _ => raw0 // unencrypted, or ObjStm-resident (already plain)
+            }
+            k -> decodeInfoString(raw)
+          }
         }.toMap
     }
   }
@@ -580,6 +672,75 @@ object Pdf {
     else None
   }
 
+  /** Resolve the document's encryption state (standard security handler,
+    * §7.6.3): None = unencrypted; Some(d) = opens with the EMPTY user
+    * password (the common owner-locked-but-readable case); throws
+    * [[EncryptedPdfException]] when a real password or an unsupported
+    * handler/cipher stands in the way — the "can't" crawl-report bucket.
+    */
+  private def resolveEncryption(doc: DocObjs): Option[PdfCrypt.Decryptor] = {
+    if (!doc.trailers.exists(t => EncryptRx.matcher(t).find())) return None
+    val encNum = doc.trailers.iterator.flatMap(t => refValue(t, "/Encrypt")).nextOption()
+      .getOrElse(throw new EncryptedPdfException("encrypted PDF (unresolvable /Encrypt)"))
+    val enc = doc.objs.getOrElse(encNum,
+      throw new EncryptedPdfException("encrypted PDF (missing /Encrypt object)")).dict
+    if (!nameMatches(enc, "/Filter", "Standard"))
+      throw new EncryptedPdfException("encrypted PDF (non-standard security handler)")
+    val v = extractInt(enc, "/V").getOrElse(0)
+    val r = extractInt(enc, "/R").getOrElse(2)
+    val aes = v == 4 && enc.contains("/AESV2")
+    if (!(v == 1 || v == 2 || (v == 4 && (aes || enc.contains("/V2")))))
+      throw new EncryptedPdfException(s"encrypted PDF (unsupported encryption /V $v)")
+    val keyLen =
+      if (v == 1) 5
+      else if (aes) 16
+      else extractInt(enc, "/Length").map(_ / 8).getOrElse(5)
+    val o = rawStringBytes(enc, "/O").getOrElse(
+      throw new EncryptedPdfException("encrypted PDF (no /O)"))
+    val u = rawStringBytes(enc, "/U").getOrElse(
+      throw new EncryptedPdfException("encrypted PDF (no /U)"))
+    val perm = extractSignedInt(enc, "/P").getOrElse(-1)
+    val encMeta = !enc.replaceAll("\\s+", " ").contains("/EncryptMetadata false")
+    val fileId = doc.trailers.iterator.map(fileIdOf).find(_.nonEmpty).getOrElse(Array.empty[Byte])
+    PdfCrypt.tryEmptyPassword(o, u, perm, fileId, r, keyLen, aes, encMeta) match {
+      case Some(d) => Some(d)
+      case None => throw new EncryptedPdfException("encrypted PDF (password required)")
+    }
+  }
+
+  /** First element of the trailer /ID array as raw bytes. */
+  private def fileIdOf(trailer: String): Array[Byte] = {
+    val idx = trailer.indexOf("/ID")
+    if (idx < 0) return Array.empty
+    var i = skipWs(trailer, idx + 3)
+    if (i >= trailer.length || trailer.charAt(i) != '[') return Array.empty
+    i = skipWs(trailer, i + 1)
+    val raw =
+      if (i < trailer.length && trailer.charAt(i) == '<') readHexString(trailer, i)._1
+      else if (i < trailer.length && trailer.charAt(i) == '(') readString(trailer, i)._1
+      else return Array.empty
+    val bs = new Array[Byte](raw.length)
+    var k = 0
+    while (k < raw.length) { bs(k) = raw.charAt(k).toByte; k += 1 }
+    bs
+  }
+
+  /** `key (literal)` / `key <hex>` value as raw bytes (for /O and /U). */
+  private def rawStringBytes(dict: String, key: String): Option[Array[Byte]] =
+    infoValue(dict, key).map { raw =>
+      val bs = new Array[Byte](raw.length)
+      var i = 0
+      while (i < raw.length) { bs(i) = raw.charAt(i).toByte; i += 1 }
+      bs
+    }
+
+  private def extractSignedInt(dict: String, key: String): Option[Int] = {
+    val p = cachedPattern("S" + key,
+      java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(key) + """\s+(-?\d+)"""))
+    val m = p.matcher(dict)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+
   // ----------------------------------------------------- structure: by xref
   private sealed trait XEntry
   private final case class InFile(off: Int) extends XEntry
@@ -608,7 +769,7 @@ object Pdf {
       if (!nameMatches(obj.dict, "/Type", "XRef"))
         throw new java.io.IOException(s"object $num at startxref is not /Type /XRef")
       trailers += obj.dict
-      val data = decodedStream(obj)
+      val data = decodedStream(obj, None) // xref streams are never encrypted
       val w = extractNumArray(obj.dict, "/W").map(_.toInt)
       if (w.isEmpty) throw new java.io.IOException("xref stream without /W")
       val size = extractInt(obj.dict, "/Size").getOrElse(
@@ -703,19 +864,24 @@ object Pdf {
         objs(n) = obj
       case _ => ()
     }
+    // the encryption dictionary is always a top-level object (ISO 32000-1
+    // §7.5.7: it shall not reside in an object stream), so the decryptor
+    // resolves here — BEFORE ObjStm expansion, whose streams may need it
+    val doc = DocObjs(objs, trailers.result())
+    val dec = doc.decryptor
     val byStream = entries.collect { case (n, InStream(s, i)) => (s, n, i) }.groupBy(_._1)
     byStream.foreach { case (stmNum, group) =>
       val container = objs.getOrElse(stmNum,
         throw new java.io.IOException(s"missing object stream $stmNum"))
-      val members = objStmMembers(container)
+      val members = objStmMembers(container, dec)
       group.foreach { case (_, n, idx) =>
         if (idx < 0 || idx >= members.length)
           throw new java.io.IOException(s"ObjStm $stmNum has no index $idx")
-        objs(n) = PdfObj(members(idx)._2, None)
+        objs(n) = PdfObj(members(idx)._2, None, n, 0, fromObjStm = true)
       }
     }
     if (objs.isEmpty) throw new java.io.IOException("xref chain resolved no objects")
-    DocObjs(objs, trailers.result())
+    doc // objs is the same mutable map — member additions are visible
   }
 
   // ----------------------------------------------------- structure: by scan
@@ -738,14 +904,6 @@ object Pdf {
       searchFrom = m.end()
     }
     if (objs.isEmpty) throw new java.io.IOException("no objects found")
-    // object streams: add members that xref-less scanning cannot see
-    objs.toVector.foreach { case (_, o) =>
-      if (nameMatches(o.dict, "/Type", "ObjStm") && o.stream.isDefined) {
-        objStmMembers(o).foreach { case (n, body) =>
-          if (!objs.contains(n)) objs(n) = PdfObj(body, None)
-        }
-      }
-    }
     val trailers = Vector.newBuilder[String]
     var ti = latin.indexOf("trailer")
     while (ti >= 0) {
@@ -755,7 +913,17 @@ object Pdf {
       ti = latin.indexOf("trailer", ti + 1)
     }
     objs.values.foreach(o => if (nameMatches(o.dict, "/Type", "XRef")) trailers += o.dict)
-    DocObjs(objs, trailers.result())
+    val doc = DocObjs(objs, trailers.result())
+    val dec = doc.decryptor
+    // object streams: add members that xref-less scanning cannot see
+    objs.toVector.foreach { case (_, o) =>
+      if (nameMatches(o.dict, "/Type", "ObjStm") && o.stream.isDefined) {
+        objStmMembers(o, dec).foreach { case (n, body) =>
+          if (!objs.contains(n)) objs(n) = PdfObj(body, None, n, 0, fromObjStm = true)
+        }
+      }
+    }
+    doc
   }
 
   /** Parse one `N G obj … endobj` at `off`: balanced dict (or plain value),
@@ -768,6 +936,7 @@ object Pdf {
     m.region(skipWs(latin, off), latin.length)
     if (!m.lookingAt()) throw new java.io.IOException(s"no object header at $off")
     val num = m.group(1).toInt
+    val gen = m.group(2).toInt
     var i = skipWs(latin, m.end())
     val (dict, dictEnd) =
       if (latin.startsWith("<<", i)) balancedDict(latin, i)
@@ -793,8 +962,8 @@ object Pdf {
           ee - ds
         }
       if (ds + len > payload.length) throw new java.io.IOException("stream past EOF")
-      (num, PdfObj(dict, Some(java.util.Arrays.copyOfRange(payload, ds, ds + len))))
-    } else (num, PdfObj(dict, None))
+      (num, PdfObj(dict, Some(java.util.Arrays.copyOfRange(payload, ds, ds + len)), num, gen))
+    } else (num, PdfObj(dict, None, num, gen))
   }
 
   /** Decode an object's stream through its /Filter chain (listed in decode
@@ -804,9 +973,14 @@ object Pdf {
     * subset → throw (they only appear on XObject streams this parser never
     * needs to decode; a /Contents stream carrying one is a true fallback).
     */
-  private def decodedStream(o: PdfObj): Array[Byte] = {
+  private def decodedStream(o: PdfObj, dec: Option[PdfCrypt.Decryptor]): Array[Byte] = {
     val raw = o.stream.getOrElse(throw new java.io.IOException("object has no stream"))
-    var data = raw
+    // decrypt BEFORE the filter chain (§7.6.2); the xref stream itself is
+    // never encrypted — its callers pass dec = None
+    var data = dec match {
+      case Some(d) => d.decrypt(raw, o.num, o.gen)
+      case None    => raw
+    }
     filterNames(o.dict).foreach {
       case "FlateDecode" | "Fl"      => data = inflate(data)
       case "ASCIIHexDecode" | "AHx"  => data = asciiHexDecode(data)
@@ -921,8 +1095,8 @@ object Pdf {
   }
 
   /** Members of a `/Type /ObjStm`: (objnum, body) in stream order. */
-  private def objStmMembers(o: PdfObj): Vector[(Int, String)] = {
-    val data = new String(decodedStream(o), Latin1)
+  private def objStmMembers(o: PdfObj, dec: Option[PdfCrypt.Decryptor]): Vector[(Int, String)] = {
+    val data = new String(decodedStream(o, dec), Latin1)
     val n = extractInt(o.dict, "/N").getOrElse(throw new java.io.IOException("ObjStm without /N"))
     val first = extractInt(o.dict, "/First").getOrElse(
       throw new java.io.IOException("ObjStm without /First"))
@@ -941,7 +1115,7 @@ object Pdf {
   }
 
   // ---------------------------------------------------------- page assembly
-  private def buildPages(doc: DocObjs): Vector[PdfPage] = {
+  private def buildPages(doc: DocObjs, dec: Option[PdfCrypt.Decryptor]): Vector[PdfPage] = {
     val objs = doc.objs
     val rootNum = doc.trailers.iterator.flatMap(t => refValue(t, "/Root")).nextOption()
       .orElse(objs.collectFirst { case (n, o) if nameMatches(o.dict, "/Type", "Catalog") => n })
@@ -970,7 +1144,7 @@ object Pdf {
       val contents = contentRefs(pd)
       if (contents.isEmpty) throw new java.io.IOException("page without /Contents")
       val parts = contents.map { n =>
-        decodedStream(objs.getOrElse(n, throw new java.io.IOException(s"missing content stream $n")))
+        decodedStream(objs.getOrElse(n, throw new java.io.IOException(s"missing content stream $n")), dec)
       }
       // multiple /Contents streams concatenate with an implied separator
       val data =
@@ -981,7 +1155,7 @@ object Pdf {
           b.toByteArray
         }
       val fonts = res match {
-        case Some(r) => fontCache.getOrElseUpdate(r, fontDecoders(objs, res))
+        case Some(r) => fontCache.getOrElseUpdate(r, fontDecoders(objs, res, dec))
         case None    => Map.empty[String, FontDecoder]
       }
       val (runs, segs) = tokenizeContent(new String(data, Latin1), fonts)
@@ -1171,8 +1345,8 @@ object Pdf {
   }
 
   /** Font resource name → decoder, from a page's /Resources /Font dict. */
-  private def fontDecoders(objs: mutable.Map[Int, PdfObj],
-                           resources: Option[String]): Map[String, FontDecoder] =
+  private def fontDecoders(objs: mutable.Map[Int, PdfObj], resources: Option[String],
+                           dec: Option[PdfCrypt.Decryptor]): Map[String, FontDecoder] =
     resources match {
       case None => Map.empty
       case Some(res) =>
@@ -1183,17 +1357,18 @@ object Pdf {
             val out = Map.newBuilder[String, FontDecoder]
             while (m.find()) {
               objs.get(m.group(2).toInt).foreach { fo =>
-                out += m.group(1) -> fontDecoder(objs, fo.dict)
+                out += m.group(1) -> fontDecoder(objs, fo.dict, dec)
               }
             }
             out.result()
         }
     }
 
-  private def fontDecoder(objs: mutable.Map[Int, PdfObj], fd: String): FontDecoder = {
+  private def fontDecoder(objs: mutable.Map[Int, PdfObj], fd: String,
+                          dec: Option[PdfCrypt.Decryptor]): FontDecoder = {
     val toUni: Option[Map[Int, String]] =
       refValue(fd, "/ToUnicode").flatMap(objs.get).flatMap { o =>
-        try Some(parseToUnicode(o)) catch { case _: Exception => None }
+        try Some(parseToUnicode(o, dec)) catch { case _: Exception => None }
       }
     if (nameMatches(fd, "/Subtype", "Type0"))
       toUni.map(new CidDecoder(_)).getOrElse(Utf8Decoder)
@@ -1318,8 +1493,9 @@ object Pdf {
     * destination form). Codes are big-endian of the source hex bytes;
     * destinations are UTF-16BE unit sequences.
     */
-  private[pdf] def parseToUnicode(o: PdfObj): Map[Int, String] = {
-    val text = new String(decodedStream(o), Latin1)
+  private[pdf] def parseToUnicode(o: PdfObj,
+                                  dec: Option[PdfCrypt.Decryptor] = None): Map[Int, String] = {
+    val text = new String(decodedStream(o, dec), Latin1)
     val out = Map.newBuilder[Int, String]
     def hexInt(h: String): Int = Integer.parseInt(h.replaceAll("\\s", ""), 16)
     def hexText(h: String): String =
