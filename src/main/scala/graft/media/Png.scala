@@ -7,13 +7,14 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * in this sandbox, and none is needed for baseline PNG — IDAT is zlib
   * (java.util.zip) and the scanline filters live in [[PngFilter]].
   *
-  * Decoder coverage: 8-bit gray (type 0), RGB (2), palette (3), gray+alpha
-  * (4), RGBA (6), non-interlaced, multi-IDAT. Output is an 8-bit GRAYSCALE
+  * Decoder coverage: gray (type 0) at depths 1/2/4/8/16, palette (3) at
+  * 1/2/4/8, RGB (2) / gray+alpha (4) / RGBA (6) at 8/16, multi-IDAT,
+  * non-interlaced AND Adam7-interlaced. Output is an 8-bit GRAYSCALE
   * lattice via integer luma (77R + 150G + 29B) >> 8 — the front-end the
   * perceptual-hash / near-dup stack consumes; alpha is ignored (hash
-  * features, not compositing). Interlaced (Adam7) and 16-bit depths are
-  * out of subset → IOException (callers treat as undecodable, exactly like
-  * the PDF fallback philosophy).
+  * features, not compositing). Anything else (unknown interlace method,
+  * illegal depth/type combos) → IOException (callers treat as
+  * undecodable, exactly like the PDF fallback philosophy).
   *
   * Encoder: gray / RGB / palette / RGBA at 8-bit with a caller-chosen
   * per-row filter type, so decode is exercised against every filter, not
@@ -40,6 +41,7 @@ object Png {
         ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
 
     var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
+    var interlaced = false
     var palette: Array[Int] = null // packed 0xRRGGBB
     val idat = new java.io.ByteArrayOutputStream()
     var sawIend = false
@@ -55,9 +57,10 @@ object Png {
           width = u32(dataOff); height = u32(dataOff + 4)
           bitDepth = bytes(dataOff + 8) & 0xff
           colorType = bytes(dataOff + 9) & 0xff
-          val interlace = bytes(dataOff + 12) & 0xff
+          interlaced = (bytes(dataOff + 12) & 0xff) == 1
           if (width <= 0 || height <= 0) throw new java.io.IOException("bad dimensions")
-          if (interlace != 0) throw new java.io.IOException("interlaced PNG out of subset")
+          if ((bytes(dataOff + 12) & 0xff) > 1)
+            throw new java.io.IOException("unknown interlace method")
           val legalDepths: Set[Int] = colorType match {
             case 0 => Set(1, 2, 4, 8, 16)
             case 3 => Set(1, 2, 4, 8)
@@ -85,48 +88,91 @@ object Png {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     }
     val bitsPerPixel = channels * bitDepth
-    val rowBytes = (width * bitsPerPixel + 7) / 8
     // filter left-reference distance: whole bytes, min 1 (RFC 2083 §6.2)
     val fbpp = math.max(1, bitsPerPixel / 8)
-    val raw = PngFilter.unfilter(inflate(idat.toByteArray), rowBytes, fbpp)
-    if (raw.length < rowBytes * height) throw new java.io.IOException("short pixel data")
+    val inflated = inflate(idat.toByteArray)
 
-    // one sample as 0..255: depth 16 keeps the high byte; sub-byte depths
-    // (single-channel types only) unpack MSB-first and gray scales to full
-    // range by v·255/(2^d−1); palette indices stay raw
-    val depthMax = (1 << math.min(bitDepth, 8)) - 1
-    def sample(rowBase: Int, x: Int, ch: Int): Int = bitDepth match {
-      case 8  => raw(rowBase + x * channels + ch) & 0xff
-      case 16 => raw(rowBase + (x * channels + ch) * 2) & 0xff
-      case d =>
-        val bit = x * d
-        ((raw(rowBase + (bit >> 3)) & 0xff) >> (8 - d - (bit & 7))) & ((1 << d) - 1)
-    }
-    val gray = new Array[Int](width * height)
-    var y = 0
-    while (y < height) {
+    // per-pixel channel samples, 0..255 (depth 16 keeps the high byte;
+    // sub-byte depths unpack MSB-first). Filled sequentially for
+    // non-interlaced files, pass-by-pass (Adam7 scatter) otherwise.
+    val samples = new Array[Int](width * height * channels)
+    def rowBytesFor(w: Int): Int = (w * bitsPerPixel + 7) / 8
+    def extractRow(raw: Array[Byte], rowBase: Int, w: Int,
+                   emit: (Int, Int, Int) => Unit): Unit = {
       var x = 0
-      val base = y * rowBytes
-      while (x < width) {
-        val g = colorType match {
-          case 0 =>
-            val v = sample(base, x, 0)
-            if (bitDepth < 8) v * 255 / depthMax else v
-          case 4 => sample(base, x, 0)
-          case 2 | 6 =>
-            (77 * sample(base, x, 0) + 150 * sample(base, x, 1) +
-              29 * sample(base, x, 2)) >> 8
-          case 3 =>
-            if (palette == null) throw new java.io.IOException("palette PNG without PLTE")
-            val idx = sample(base, x, 0)
-            if (idx >= palette.length) throw new java.io.IOException("palette index out of range")
-            val rgb = palette(idx)
-            (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+      while (x < w) {
+        var ch = 0
+        while (ch < channels) {
+          val v = bitDepth match {
+            case 8  => raw(rowBase + x * channels + ch) & 0xff
+            case 16 => raw(rowBase + (x * channels + ch) * 2) & 0xff
+            case d =>
+              val bit = x * d
+              ((raw(rowBase + (bit >> 3)) & 0xff) >> (8 - d - (bit & 7))) & ((1 << d) - 1)
+          }
+          emit(x, ch, v)
+          ch += 1
         }
-        gray(y * width + x) = g
         x += 1
       }
-      y += 1
+    }
+    if (!interlaced) {
+      val rowBytes = rowBytesFor(width)
+      val raw = PngFilter.unfilter(inflated, rowBytes, fbpp)
+      if (raw.length < rowBytes * height) throw new java.io.IOException("short pixel data")
+      var y = 0
+      while (y < height) {
+        val yy = y
+        extractRow(raw, y * rowBytes, width,
+          (x, ch, v) => samples((yy * width + x) * channels + ch) = v)
+        y += 1
+      }
+    } else {
+      // Adam7 (RFC 2083 §8.2): seven sub-images, each filtered independently
+      val passes = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      var off = 0
+      passes.foreach { case (x0, y0, dx, dy) =>
+        val wp = if (width > x0) (width - x0 + dx - 1) / dx else 0
+        val hp = if (height > y0) (height - y0 + dy - 1) / dy else 0
+        if (wp > 0 && hp > 0) {
+          val rb = rowBytesFor(wp)
+          val passLen = hp * (rb + 1)
+          if (off + passLen > inflated.length)
+            throw new java.io.IOException("short Adam7 pass data")
+          val raw = PngFilter.unfilter(
+            java.util.Arrays.copyOfRange(inflated, off, off + passLen), rb, fbpp)
+          var r = 0
+          while (r < hp) {
+            val y = y0 + r * dy
+            extractRow(raw, r * rb, wp,
+              (xp, ch, v) => samples((y * width + (x0 + xp * dx)) * channels + ch) = v)
+            r += 1
+          }
+          off += passLen
+        }
+      }
+    }
+
+    val depthMax = (1 << math.min(bitDepth, 8)) - 1
+    def sm(i: Int, ch: Int): Int = samples(i * channels + ch)
+    val gray = new Array[Int](width * height)
+    var i = 0
+    while (i < gray.length) {
+      gray(i) = colorType match {
+        case 0 =>
+          val v = sm(i, 0)
+          if (bitDepth < 8) v * 255 / depthMax else v
+        case 4 => sm(i, 0)
+        case 2 | 6 => (77 * sm(i, 0) + 150 * sm(i, 1) + 29 * sm(i, 2)) >> 8
+        case 3 =>
+          if (palette == null) throw new java.io.IOException("palette PNG without PLTE")
+          val idx = sm(i, 0)
+          if (idx >= palette.length) throw new java.io.IOException("palette index out of range")
+          val rgb = palette(idx)
+          (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+      }
+      i += 1
     }
     Gray(width, height, gray)
   }
@@ -178,6 +224,52 @@ object Png {
     out.toByteArray
   }
 
+  /** Adam7-interlaced 8-bit grayscale encoder (fixtures): the seven pass
+    * sub-images, each filtered per `ftForRow`, concatenated then deflated.
+    */
+  def encodeGrayAdam7(img: Gray, ftForRow: Int => Int = _ => 0): Array[Byte] = {
+    val passes = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val body = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val wp = if (img.width > x0) (img.width - x0 + dx - 1) / dx else 0
+      val hp = if (img.height > y0) (img.height - y0 + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) {
+        val raw = new Array[Byte](wp * hp)
+        (0 until hp).foreach { r =>
+          (0 until wp).foreach { c =>
+            raw(r * wp + c) = (img(x0 + c * dx, y0 + r * dy) & 0xff).toByte
+          }
+        }
+        body.write(PngFilter.filter(raw, wp, 1, ftForRow))
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    Signature.foreach(out.write)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      def w32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+      }
+      w32(data.length)
+      val tb = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb); out.write(data)
+      val crc = new CRC32(); crc.update(tb); crc.update(data)
+      w32(crc.getValue.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    def p32(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = (v >>> 24).toByte; a(o + 1) = (v >>> 16).toByte
+      a(o + 2) = (v >>> 8).toByte; a(o + 3) = v.toByte
+    }
+    p32(ihdr, 0, img.width); p32(ihdr, 4, img.height)
+    ihdr(8) = 8; ihdr(9) = 0; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 1 // interlace 1
+    chunk("IHDR", ihdr)
+    chunk("IDAT", deflate(body.toByteArray))
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
   /** Convenience: encode a grayscale lattice as the given color type by
     * replicating the gray value into the color channels (alpha = 255) —
     * every color type then decodes back to the SAME grayscale, which is
@@ -221,12 +313,14 @@ object Png {
     inf.setInput(data)
     val buf = new Array[Byte](8192)
     val out = new java.io.ByteArrayOutputStream()
-    while (!inf.finished()) {
+    try while (!inf.finished()) {
       val n = inf.inflate(buf)
       if (n == 0 && inf.needsInput()) throw new java.io.IOException("truncated zlib stream")
       out.write(buf, 0, n)
-    }
-    inf.end()
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new java.io.IOException(s"corrupt deflate stream: ${e.getMessage}")
+    } finally inf.end()
     out.toByteArray
   }
 }

@@ -527,12 +527,14 @@ object Pdf {
     inf.setInput(data)
     val buf = new Array[Byte](8192)
     val out = new java.io.ByteArrayOutputStream()
-    while (!inf.finished()) {
+    try while (!inf.finished()) {
       val n = inf.inflate(buf)
       if (n == 0 && inf.needsInput()) throw new java.io.IOException("truncated flate stream")
       out.write(buf, 0, n)
-    }
-    inf.end()
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new java.io.IOException(s"corrupt deflate stream: ${e.getMessage}")
+    } finally inf.end()
     out.toByteArray
   }
 

@@ -116,6 +116,40 @@ class PngSpec extends AnyFunSuite {
       (77 * 200 + 150 * 200 + 29 * 200) >> 8))
   }
 
+  test("Adam7 interlacing: scatter decode matches the progressive layout") {
+    // sizes exercising partial passes: smaller than 8 in one dim, odd dims
+    for ((w, h) <- Seq((13, 11), (8, 8), (5, 3), (1, 1), (2, 9), (16, 2))) {
+      val img = mkGray(w, h, (x, y) => (x * 37 + y * 91 + 7) % 256)
+      for (ftSeed <- Seq(0, 3)) {
+        val bytes = Png.encodeGrayAdam7(img, r => (r + ftSeed) % 5)
+        val back = Png.decode(bytes)
+        assert(back.width == w && back.height == h)
+        assert(back.pixels.toSeq == img.pixels.toSeq, s"w=$w h=$h ftSeed=$ftSeed")
+      }
+    }
+    // and the interlaced representation hashes identically to sequential
+    val img = mkGray(36, 28, (x, y) => 30 + (x * 3 + y * 5) % 120)
+    assert(Multimodal.dHashImage(Png.decode(Png.encodeGrayAdam7(img))) ==
+      Multimodal.dHashImage(Png.decode(Png.encodeGrayAs(img, 0))))
+  }
+
+  test("decoder never hangs or leaks non-IOException on corrupted PNGs") {
+    val good = Png.encodeGrayAs(mkGray(19, 13, (x, y) => x * y % 256), 2, y => y % 5)
+    val rnd = new scala.util.Random(99)
+    (0 until 300).foreach { k =>
+      val bad = good.clone
+      val flips = 1 + rnd.nextInt(6)
+      (0 until flips).foreach { _ =>
+        bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      }
+      try { Png.decode(bad); () }
+      catch {
+        case _: java.io.IOException => ()
+        case e: Throwable => fail(s"iteration $k leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("16-bit depths keep the high byte (gray and RGB)") {
     // 2x1 depth-16 gray: 0x1234, 0xFF00 → 0x12, 0xFF
     val g16 = Png.decode(handBuilt(

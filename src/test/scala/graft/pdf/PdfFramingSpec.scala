@@ -238,6 +238,34 @@ class PdfFramingSpec extends AnyFunSuite {
     assert(Pdf.docInfo(Pdf.writePages(Seq(pageA), flate = false)).isEmpty)
   }
 
+  test("corruption fuzz: random byte flips never hang or leak an Error from parse") {
+    val rnd = new scala.util.Random(4242)
+    val bases = Seq(
+      Pdf.writePages(docPages, flate = true),
+      Pdf.writePages(docPages, flate = true, framing = Pdf.Framing.XrefStreamPred),
+      Pdf.writePages(docPages, flate = true, framing = Pdf.Framing.ObjStm),
+      Pdf.writePages(docPages, flate = true, framing = Pdf.Framing.Classic,
+        encrypt = Some(Pdf.EncryptSpec())),
+      Pdf.writeCustomFontDoc(Seq(Seq("fuzz körper")), cid = true))
+    bases.zipWithIndex.foreach { case (base, bi) =>
+      (0 until 120).foreach { k =>
+        val bad = base.clone
+        (0 to rnd.nextInt(5)).foreach(_ =>
+          bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte)
+        try { Pdf.parse(bad); () }
+        catch {
+          // the pipeline contract: Decode catches Exception → fallback row;
+          // an Error (SOE/OOM) or a hang would kill real executors
+          case _: Exception => ()
+        }
+        // truncations too
+        val cut = java.util.Arrays.copyOfRange(base, 0, 1 + rnd.nextInt(base.length))
+        try { Pdf.parse(cut); () } catch { case _: Exception => () }
+        if (k == 0) assert(bi >= 0) // keep the loop body effectful for scalac
+      }
+    }
+  }
+
   test("PngFilter: filter → unfilter is the identity for every filter type") {
     val rnd = new scala.util.Random(17)
     for (ft <- 0 to 4; bpp <- Seq(1, 3)) {
