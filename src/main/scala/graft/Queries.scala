@@ -5438,6 +5438,51 @@ object Queries {
     corpus.unionByName(env).orderBy("mode")
   }
 
+  /** REAL JPEG perceptual hash (r5): per document a block-constant 72×56
+    * grayscale lattice — each 8×8 block one palette value 40+8·((37c+53r+
+    * 17·doc_id) mod 22), so each dHash CELL is one DCT block and adjacent
+    * cells differ by ≥8 gray levels — encoded as an actual baseline JPEG
+    * (framing rotates pure grayscale / YCbCr 4:2:0 with chroma skip /
+    * grayscale with restart markers by id%3), decoded through the real
+    * Huffman+IDCT path, and hashed. Flat blocks decode within ±2 of the
+    * source (DC-only, quality-90 quantization), far under the 8-level cell
+    * contrast, so the oracle recomputes the EXACT hash from the closed
+    * form: any entropy-decode, dequant, IDCT, or MCU-layout bug flips it.
+    */
+  private def qJpegPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.media.{Jpeg, Png}
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val img = Png.Gray(72, 56, Array.tabulate(72 * 56) { i =>
+          val bx = (i % 72) / 8; val by = (i / 72) / 8
+          (40L + ((37L * bx + 53L * by + 17L * id) % 22L) * 8L).toInt
+        })
+        val bytes = (id % 3) match {
+          case 0 => Jpeg.encodeGray(img, quality = 90)
+          case 1 => Jpeg.encodeGray(img, quality = 90, color420 = true)
+          case _ => Jpeg.encodeGray(img, quality = 90, restartInterval = 5)
+        }
+        val back = Jpeg.decodeGray(bytes)
+        (id, (id % 3).toInt, back.width.toLong, back.height.toLong,
+          graft.ops.Multimodal.dHashImage(back))
+      }
+      .toDF("doc_id", "framing", "w", "h", "dhash")
+      .orderBy("doc_id")
+  }
+
+  private val oJpegPhash =
+    """WITH c AS (SELECT doc_id,
+         list_transform(generate_series(0, 62), k ->
+           40 + ((37 * (k % 9) + 53 * (k // 9) + 17 * doc_id) % 22) * 8) AS cells
+       FROM documents)
+       SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS framing,
+         72::BIGINT AS w, 56::BIGINT AS h,
+         list_sum(list_transform(generate_series(0, 55), b ->
+           CASE WHEN cells[(b // 8) * 9 + (b % 8) + 1] > cells[(b // 8) * 9 + (b % 8) + 2]
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS dhash
+       FROM c ORDER BY doc_id"""
+
   /** PDF document-information metadata (r5): the /Info dict — the PDF
     * analog of the HTML page_meta surface — written per doc (Title forced
     * through the UTF-16BE-with-BOM string form on odd ids, ASCII on even;
@@ -5710,6 +5755,7 @@ object Queries {
     "q_entry_digest" -> qEntryDigest _,
     "q_pdf_meta" -> qPdfMeta _,
     "q_pdf_encrypted" -> qPdfEncrypted _,
+    "q_jpeg_phash" -> qJpegPhash _,
     "q_py_findall" -> qPyFindall _
   )
 
@@ -5720,6 +5766,7 @@ object Queries {
     "q_entry_digest" -> oEntryDigest,
     "q_pdf_meta" -> oPdfMeta,
     "q_pdf_encrypted" -> oPdfEncrypted,
+    "q_jpeg_phash" -> oJpegPhash,
     "q_stats" -> oStats,
     "q_summary" -> oSummary,
     "q_needs_ocr" -> oNeedsOcr,

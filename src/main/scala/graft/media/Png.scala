@@ -59,6 +59,9 @@ object Png {
           colorType = bytes(dataOff + 9) & 0xff
           interlaced = (bytes(dataOff + 12) & 0xff) == 1
           if (width <= 0 || height <= 0) throw new java.io.IOException("bad dimensions")
+          // allocation cap: a corrupt IHDR must not balloon the heap
+          if (width.toLong * height > (1L << 26))
+            throw new java.io.IOException(s"image $width x $height exceeds decode cap")
           if ((bytes(dataOff + 12) & 0xff) > 1)
             throw new java.io.IOException("unknown interlace method")
           val legalDepths: Set[Int] = colorType match {

@@ -193,10 +193,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .map { case (id, p) =>
         // routed by magic bytes like the pipeline's payload decode: real
-        // PNG pixels when asked and present, the stub byte grid otherwise
+        // PNG/JPEG pixels when asked and present, the stub byte grid
+        // otherwise
         val h =
           if (decodePixels && graft.media.Png.isPng(p))
             dHashImage(graft.media.Png.decode(p))
+          else if (decodePixels && graft.media.Jpeg.isJpeg(p))
+            dHashImage(graft.media.Jpeg.decodeGray(p))
           else {
             val cells = slotSums(p, 63)
             var hh = 0L
