@@ -5483,6 +5483,62 @@ object Queries {
                 THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS dhash
        FROM c ORDER BY doc_id"""
 
+  /** Cross-format image near-dup (r5): docs 3k/3k+1/3k+2 share one block-
+    * constant base image carried as a PNG (color type rotating, per-row
+    * filters), a baseline JPEG (grayscale or 4:2:0), and a GIF (plain or
+    * interlaced) respectively — and ALL THREE decodes land the identical
+    * dHash (lossless PNG/GIF; JPEG's ≤±2 DC error under the 8-level cell
+    * contrast), so every within-base pair MUST surface at hamming 0
+    * through the same banded Hamming join that serves text simhash. THE
+    * capability a byte or cryptographic hash can never provide:
+    * recognizing the same picture across different encodings. Oracle
+    * brute-forces all pairs from the closed-form hash.
+    */
+  private def qCrossFormatPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.media.{Gif, Jpeg, Png}
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val base = id / 3
+        // base-dependent multipliers (mod 7 / mod 11) diversify the hash
+        // family to ~1700 classes: same-base (cross-format) pairs dominate
+        // instead of a 22-class quadratic pair blowup; adjacent-cell
+        // contrast stays >= 8 gray levels (multiplier mod 22 is never 0)
+        val img = Png.Gray(72, 56, Array.tabulate(72 * 56) { i =>
+          val bx = (i % 72) / 8; val by = (i / 72) / 8
+          (40L + (((37L + base % 7L) * bx + (53L + base % 11L) * by + 17L * base) % 22L) * 8L).toInt
+        })
+        val payload = (id % 3) match {
+          case 0 =>
+            val ct = (base % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+            Png.encodeGrayAs(img, ct, y => (y + base.toInt) % 5)
+          case 1 => Jpeg.encodeGray(img, quality = 90, color420 = base % 2 == 0)
+          case _ => Gif.encodeGray(img, interlaced = base % 2 == 0)
+        }
+        (id, payload)
+      }
+      .toDF("id", "payload")
+    graft.ops.Multimodal.imageNearDupPairs(s, media, maxHamming = 3, decodePixels = true)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val oCrossFormatPairs =
+    """WITH c AS (SELECT doc_id,
+         list_transform(generate_series(0, 62), k ->
+           40 + (((37 + (doc_id // 3) % 7) * (k % 9) + (53 + (doc_id // 3) % 11) * (k // 9)
+                  + 17 * (doc_id // 3)) % 22) * 8) AS cells
+       FROM documents),
+       ph AS (SELECT doc_id AS id,
+           list_sum(list_transform(generate_series(0, 55), b ->
+             CASE WHEN cells[(b // 8) * 9 + (b % 8) + 1] > cells[(b // 8) * 9 + (b % 8) + 2]
+                  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS h
+         FROM c)
+       SELECT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.h, b.h))::BIGINT AS hamming
+       FROM ph a JOIN ph b ON a.id < b.id
+       WHERE bit_count(xor(a.h, b.h)) <= 3
+       ORDER BY id_a, id_b"""
+
   /** PDF document-information metadata (r5): the /Info dict — the PDF
     * analog of the HTML page_meta surface — written per doc (Title forced
     * through the UTF-16BE-with-BOM string form on odd ids, ASCII on even;
@@ -5756,6 +5812,7 @@ object Queries {
     "q_pdf_meta" -> qPdfMeta _,
     "q_pdf_encrypted" -> qPdfEncrypted _,
     "q_jpeg_phash" -> qJpegPhash _,
+    "q_cross_format_pairs" -> qCrossFormatPairs _,
     "q_py_findall" -> qPyFindall _
   )
 
@@ -5767,6 +5824,7 @@ object Queries {
     "q_pdf_meta" -> oPdfMeta,
     "q_pdf_encrypted" -> oPdfEncrypted,
     "q_jpeg_phash" -> oJpegPhash,
+    "q_cross_format_pairs" -> oCrossFormatPairs,
     "q_stats" -> oStats,
     "q_summary" -> oSummary,
     "q_needs_ocr" -> oNeedsOcr,

@@ -200,6 +200,8 @@ object Multimodal {
             dHashImage(graft.media.Png.decode(p))
           else if (decodePixels && graft.media.Jpeg.isJpeg(p))
             dHashImage(graft.media.Jpeg.decodeGray(p))
+          else if (decodePixels && graft.media.Gif.isGif(p))
+            dHashImage(graft.media.Gif.decodeGray(p))
           else {
             val cells = slotSums(p, 63)
             var hh = 0L
