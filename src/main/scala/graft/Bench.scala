@@ -69,6 +69,11 @@ object Bench {
     "q_shuffle", "q_indexable", "q_novelty", "q_neg_pairs",
     "q_phash", "q_phash_pairs", "q_quality_eval", "q_truncate", "q_host_rep",
     "q_wet_extract", "q_wat_extract", "q_pdf_xrefstream",
+    // q_jpeg_phash / q_cross_format_pairs are priced by their verification
+    // FIXTURE, not the operator: each doc synthesizes and ENCODES 1-3
+    // images (the encoder exists only to exercise the decoder); the
+    // operator under test — decode + dHash + banded join — is the smaller
+    // share. q_png_phash is the lean image-decode throughput sample.
     "q_png_phash", "q_png_phash_pairs", "q_pdf_meta", "q_pdf_encrypted", "q_jpeg_phash", "q_cross_format_pairs",
     // q_soft_dedup is excluded with the other iterative-CC compositions
     // (its cluster map is q_dedup_clusters' already-profiled shape; the
