@@ -1116,6 +1116,48 @@ object Pdf {
     }
   }
 
+  /** A /Subtype /Form XObject ready to tokenize: decoded content, its font
+    * map, and its own nested forms. Drawn with the identity matrix (the
+    * overwhelmingly common case; full CTM composition is out of subset —
+    * run ordering is by position, which identity preserves).
+    */
+  final case class XObjForm(content: String, fonts: Map[String, FontDecoder],
+                            forms: Map[String, XObjForm])
+
+  /** Resolve the /XObject entries of a resources dict into tokenizable
+    * forms (non-Form XObjects — images — are skipped; `Do` on them is a
+    * no-op for text). Depth-capped: forms may nest, real files do.
+    */
+  private def xobjForms(objs: mutable.Map[Int, PdfObj], resources: Option[String],
+                        dec: Option[PdfCrypt.Decryptor], depth: Int): Map[String, XObjForm] = {
+    if (depth <= 0) return Map.empty
+    resources match {
+      case None => Map.empty
+      case Some(res) =>
+        resolvedDictValue(objs, res, "/XObject") match {
+          case None => Map.empty
+          case Some(xd) =>
+            val m = FontEntryRx.matcher(xd)
+            val out = Map.newBuilder[String, XObjForm]
+            while (m.find()) {
+              objs.get(m.group(2).toInt).foreach { o =>
+                if (nameMatches(o.dict, "/Subtype", "Form") && o.stream.isDefined) {
+                  try {
+                    val content = new String(decodedStream(o, dec), Latin1)
+                    // a form's own /Resources wins; else the caller's scope
+                    val formRes = resolvedDictValue(objs, o.dict, "/Resources").orElse(resources)
+                    out += m.group(1) -> XObjForm(content,
+                      fontDecoders(objs, formRes, dec),
+                      xobjForms(objs, formRes, dec, depth - 1))
+                  } catch { case _: Exception => () } // damaged form: skip, keep the page
+                }
+              }
+            }
+            out.result()
+        }
+    }
+  }
+
   // ---------------------------------------------------------- page assembly
   private def buildPages(doc: DocObjs, dec: Option[PdfCrypt.Decryptor]): Vector[PdfPage] = {
     val objs = doc.objs
@@ -1140,8 +1182,10 @@ object Pdf {
     }
     walk(pagesNum, None, None, 0)
 
-    // pages overwhelmingly share one /Resources dict — build each font map once
+    // pages overwhelmingly share one /Resources dict — build each font and
+    // form map once
     val fontCache = mutable.Map.empty[String, Map[String, FontDecoder]]
+    val formCache = mutable.Map.empty[String, Map[String, XObjForm]]
     leaves.toVector.map { case (pd, mb, res) =>
       val contents = contentRefs(pd)
       if (contents.isEmpty) throw new java.io.IOException("page without /Contents")
@@ -1160,7 +1204,11 @@ object Pdf {
         case Some(r) => fontCache.getOrElseUpdate(r, fontDecoders(objs, res, dec))
         case None    => Map.empty[String, FontDecoder]
       }
-      val (runs, segs) = tokenizeContent(new String(data, Latin1), fonts)
+      val forms = res match {
+        case Some(r) => formCache.getOrElseUpdate(r, xobjForms(objs, res, dec, depth = 4))
+        case None    => Map.empty[String, XObjForm]
+      }
+      val (runs, segs) = tokenizeContent(new String(data, Latin1), fonts, forms)
       PdfPage(mb(2) - mb(0), mb(3) - mb(1), runs, segs)
     }
   }
@@ -1548,7 +1596,11 @@ object Pdf {
     tokenizeContent(content, Map.empty)
 
   def tokenizeContent(content: String,
-                      fonts: Map[String, FontDecoder]): (Vector[TextRun], Vector[Seg]) = {
+                      fonts: Map[String, FontDecoder]): (Vector[TextRun], Vector[Seg]) =
+    tokenizeContent(content, fonts, Map.empty)
+
+  def tokenizeContent(content: String, fonts: Map[String, FontDecoder],
+                      forms: Map[String, XObjForm]): (Vector[TextRun], Vector[Seg]) = {
     val runs = ArrayBuffer.empty[TextRun]
     val segs = ArrayBuffer.empty[Seg]
     var i = 0
@@ -1659,6 +1711,19 @@ object Pdf {
             pathX = v(0); pathY = v(1); hasPoint = true
             operands.clear()
           case "S" => hasPoint = false; operands.clear()
+          case "Do" =>
+            // paint an XObject: Form contents tokenize recursively with
+            // the form's own fonts/forms (image XObjects are a no-op)
+            operands.lastOption match {
+              case Some(name: String) if name.startsWith("/") =>
+                forms.get(name.substring(1)).foreach { f =>
+                  val (r2, s2) = tokenizeContent(f.content, f.fonts, f.forms)
+                  runs ++= r2
+                  segs ++= s2
+                }
+              case _ => ()
+            }
+            operands.clear()
           case "BI" =>
             // inline image: skip binary data through to a delimited EI
             val id = content.indexOf("ID", i)

@@ -238,6 +238,42 @@ class PdfFramingSpec extends AnyFunSuite {
     assert(Pdf.docInfo(Pdf.writePages(Seq(pageA), flate = false)).isEmpty)
   }
 
+  test("Form XObjects: Do paints nested form content with the form's own fonts") {
+    // page → Do /Fm1; Fm1 has its OWN /Resources (a /Differences font) and
+    // invokes a nested /Fm2; an image XObject Do must be a no-op
+    val fm2 = "BT /F1 10 Tf 1 0 0 1 50 700 Tm (nested form line) Tj ET\n"
+    val fm1 = "BT /F2 10 Tf 1 0 0 1 50 724 Tm (caf via form font) Tj ET\n/Fm2 Do\n"
+    val pageContent = "BT /F1 10 Tf 1 0 0 1 50 760 Tm (page text first) Tj ET\n/Fm1 Do\n/Im1 Do\n"
+    val helv = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val diffFont = "<< /Type /Font /Subtype /Type1 /BaseFont /T " +
+      "/Encoding << /Differences [128 /eacute] >> >>"
+    val objs = Vector(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> /XObject << /Fm1 6 0 R /Im1 9 0 R >> >> >>\nendobj\n",
+      s"4 0 obj\n<< /Length ${pageContent.length} >>\nstream\n$pageContent\nendstream\nendobj\n",
+      s"5 0 obj\n$helv\nendobj\n",
+      s"6 0 obj\n<< /Subtype /Form /Length ${fm1.length} " +
+        "/Resources << /Font << /F1 5 0 R /F2 7 0 R >> /XObject << /Fm2 8 0 R >> >> " +
+        s">>\nstream\n$fm1\nendstream\nendobj\n",
+      s"7 0 obj\n$diffFont\nendobj\n",
+      s"8 0 obj\n<< /Subtype /Form /Length ${fm2.length} >>\nstream\n$fm2\nendstream\nendobj\n",
+      "9 0 obj\n<< /Subtype /Image /Width 1 /Height 1 /Length 1 >>\nstream\nX\nendstream\nendobj\n")
+    val body = new StringBuilder("%PDF-1.4\n")
+    val offsets = objs.map { o => val off = body.length; body ++= o; off }
+    val xref = body.length
+    body ++= "xref\n0 1\n0000000000 65535 f \n"
+    objs.zip(offsets).foreach { case (o, off) =>
+      body ++= s"${o.takeWhile(_.isDigit)} 1\n" + f"$off%010d 00000 n \n"
+    }
+    body ++= s"trailer\n<< /Size 10 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n"
+    val pages = Pdf.parse(body.toString.getBytes(StandardCharsets.ISO_8859_1))
+    assert(pages.length == 1)
+    assert(Layout.pageText(pages.head.runs) ==
+      "page text first\ncafé via form font\nnested form line")
+  }
+
   test("corruption fuzz: random byte flips never hang or leak an Error from parse") {
     val rnd = new scala.util.Random(4242)
     val bases = Seq(
