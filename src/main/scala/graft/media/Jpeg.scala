@@ -249,6 +249,7 @@ object Jpeg {
     val dcTabs = new Array[Huff](4)
     val acTabs = new Array[Huff](4)
     var width = 0; var height = 0
+    var orientation = 1 // EXIF tag 0x0112; 1 = upright
     final case class Comp(id: Int, h: Int, v: Int, tq: Int, var td: Int = 0, var ta: Int = 0)
     var comps: Array[Comp] = null
     var restartInterval = 0
@@ -329,6 +330,33 @@ object Jpeg {
           }
           scanStart = pos + len
           parsing = false
+        case 0xE1 => // APP1: Exif orientation (phone photos store rotated)
+          val l = u16(pos)
+          if (l < 2) throw new java.io.IOException("bad segment length")
+          try {
+            val o = pos + 2
+            if (l >= 16 && b(o) == 'E' && b(o + 1) == 'x' && b(o + 2) == 'i' &&
+                b(o + 3) == 'f' && b(o + 4) == 0 && b(o + 5) == 0) {
+              val t = o + 6 // TIFF header
+              val little = b(t) == 'I' && b(t + 1) == 'I'
+              def tu16(p2: Int): Int = if (little) b(p2) | (b(p2 + 1) << 8) else (b(p2) << 8) | b(p2 + 1)
+              def tu32(p2: Int): Int =
+                if (little) b(p2) | (b(p2 + 1) << 8) | (b(p2 + 2) << 16) | (b(p2 + 3) << 24)
+                else (b(p2) << 24) | (b(p2 + 1) << 16) | (b(p2 + 2) << 8) | b(p2 + 3)
+              if (tu16(t + 2) == 42) {
+                val ifd = t + tu32(t + 4)
+                val n = tu16(ifd)
+                (0 until n).foreach { i =>
+                  val e = ifd + 2 + 12 * i
+                  if (tu16(e) == 0x0112 && tu16(e + 2) == 3) { // SHORT Orientation
+                    val v = tu16(e + 8)
+                    if (v >= 1 && v <= 8) orientation = v
+                  }
+                }
+              }
+            }
+          } catch { case _: java.io.IOException => () } // malformed Exif: ignore
+          pos += l
         case _ => // APPn/COM/anything with a length
           val l = u16(pos)
           if (l < 2) throw new java.io.IOException("bad segment length")
@@ -429,7 +457,39 @@ object Jpeg {
     (0 until height).foreach { y =>
       (0 until width).foreach(x => gray(y * width + x) = plane(y * lumaW + x))
     }
-    Png.Gray(width, height, gray)
+    normalizeOrientation(Png.Gray(width, height, gray), orientation)
+  }
+
+  /** Map a stored lattice to its upright display per EXIF orientation —
+    * the normalization that makes a rotated phone photo hash like its
+    * upright twin.
+    */
+  def normalizeOrientation(img: Png.Gray, orientation: Int): Png.Gray = {
+    if (orientation <= 1 || orientation > 8) return img
+    val w = img.width; val h = img.height
+    val swap = orientation >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Int](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val (ox, oy) = orientation match {
+          case 2 => (w - 1 - x, y)         // mirror horizontal
+          case 3 => (w - 1 - x, h - 1 - y) // rotate 180
+          case 4 => (x, h - 1 - y)         // mirror vertical
+          case 5 => (y, x)                 // transpose
+          case 6 => (y, h - 1 - x)         // rotate 90 CW to display
+          case 7 => (w - 1 - y, h - 1 - x) // transverse
+          case _ => (w - 1 - y, x)         // 8: rotate 270 CW to display
+        }
+        out(y * ow + x) = img(ox, oy)
+        x += 1
+      }
+      y += 1
+    }
+    Png.Gray(ow, oh, out)
   }
 
   // ----------------------------------------------------------------- encode
@@ -459,7 +519,7 @@ object Jpeg {
     * decoded luma, exercising the decoder's subsampled-chroma path.
     */
   def encodeGray(img: Png.Gray, quality: Int = 90, color420: Boolean = false,
-                 restartInterval: Int = 0): Array[Byte] = {
+                 restartInterval: Int = 0, orientation: Int = 1): Array[Byte] = {
     val qLuma = scaledQuant(StdQuantLuma, quality)
     val qChroma = scaledQuant(StdQuantChroma, quality)
     val out = new java.io.ByteArrayOutputStream()
@@ -467,6 +527,16 @@ object Jpeg {
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
 
     marker(0xD8) // SOI
+    if (orientation != 1) { // APP1 Exif with the orientation tag (big-endian TIFF)
+      val tiff = Array[Int](
+        'E', 'x', 'i', 'f', 0, 0,
+        'M', 'M', 0, 42, 0, 0, 0, 8, // big-endian, IFD0 at offset 8
+        0, 1, // one entry
+        0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, orientation, 0, 0, // SHORT, count 1
+        0, 0, 0, 0) // no next IFD
+      marker(0xE1); u16(2 + tiff.length)
+      tiff.foreach(v => out.write(v & 0xff))
+    }
     // DQT (luma, + chroma when color)
     def dqt(id: Int, t: Array[Int]): Unit = {
       marker(0xDB); u16(67); out.write(id)

@@ -1170,23 +1170,26 @@ object Pdf {
       })
       .getOrElse(throw new java.io.IOException("no /Pages"))
 
-    val leaves = ArrayBuffer.empty[(String, Vector[Double], Option[String])]
-    def walk(num: Int, mb: Option[Vector[Double]], res: Option[String], depth: Int): Unit = {
+    val leaves = ArrayBuffer.empty[(String, Vector[Double], Option[String], Int)]
+    def walk(num: Int, mb: Option[Vector[Double]], res: Option[String],
+             rot: Int, depth: Int): Unit = {
       if (depth > 64) throw new java.io.IOException("page tree too deep")
       val d = objs.getOrElse(num, throw new java.io.IOException(s"missing page obj $num")).dict
-      // /MediaBox and /Resources inherit down the page tree (ISO 32000-1 §7.7.3.4)
+      // /MediaBox, /Resources, and /Rotate inherit down the page tree
+      // (ISO 32000-1 §7.7.3.4)
       val mb2 = if (d.contains("/MediaBox")) Some(extractNums(d, "/MediaBox", 4)) else mb
       val res2 = resolvedDictValue(objs, d, "/Resources").orElse(res)
-      if (d.contains("/Kids")) refArray(d, "/Kids").foreach(walk(_, mb2, res2, depth + 1))
-      else leaves += ((d, mb2.getOrElse(Vector(0.0, 0.0, 0.0, 0.0)), res2))
+      val rot2 = extractSignedInt(d, "/Rotate").map(r => ((r % 360) + 360) % 360).getOrElse(rot)
+      if (d.contains("/Kids")) refArray(d, "/Kids").foreach(walk(_, mb2, res2, rot2, depth + 1))
+      else leaves += ((d, mb2.getOrElse(Vector(0.0, 0.0, 0.0, 0.0)), res2, rot2))
     }
-    walk(pagesNum, None, None, 0)
+    walk(pagesNum, None, None, 0, 0)
 
     // pages overwhelmingly share one /Resources dict — build each font and
     // form map once
     val fontCache = mutable.Map.empty[String, Map[String, FontDecoder]]
     val formCache = mutable.Map.empty[String, Map[String, XObjForm]]
-    leaves.toVector.map { case (pd, mb, res) =>
+    leaves.toVector.map { case (pd, mb, res, rot) =>
       val contents = contentRefs(pd)
       if (contents.isEmpty) throw new java.io.IOException("page without /Contents")
       val parts = contents.map { n =>
@@ -1208,8 +1211,27 @@ object Pdf {
         case Some(r) => formCache.getOrElseUpdate(r, xobjForms(objs, res, dec, depth = 4))
         case None    => Map.empty[String, XObjForm]
       }
-      val (runs, segs) = tokenizeContent(new String(data, Latin1), fonts, forms)
-      PdfPage(mb(2) - mb(0), mb(3) - mb(1), runs, segs)
+      val (runs0, segs0) = tokenizeContent(new String(data, Latin1), fonts, forms)
+      // /Rotate: reading order is the DISPLAYED order — map user-space
+      // coordinates into the rotated view so (y desc, x asc) layout
+      // ordering matches what a reader sees (pdfplumber does the same
+      // via its page transform). 90° steps only, per spec.
+      val w = mb(2) - mb(0); val h = mb(3) - mb(1)
+      def rx(x: Double, y: Double): (Double, Double) = rot match {
+        case 90  => (y, w - x)
+        case 180 => (w - x, h - y)
+        case 270 => (h - y, x)
+        case _   => (x, y)
+      }
+      val runs = if (rot == 0) runs0 else runs0.map { r =>
+        val (x2, y2) = rx(r.x, r.y); TextRun(x2, y2, r.text)
+      }
+      val segs = if (rot == 0) segs0 else segs0.map { sg =>
+        val (ax, ay) = rx(sg.x1, sg.y1); val (bx, by) = rx(sg.x2, sg.y2)
+        Seg(ax, ay, bx, by)
+      }
+      val (pw, ph) = if (rot == 90 || rot == 270) (h, w) else (w, h)
+      PdfPage(pw, ph, runs, segs)
     }
   }
 

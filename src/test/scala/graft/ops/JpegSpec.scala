@@ -95,6 +95,33 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("EXIF orientation: tagged files decode upright; rotated photo hashes like its twin") {
+    // geometric unit checks on a 2x1 strip [A=10, B=200]
+    val strip = Png.Gray(2, 1, Array(10, 200))
+    assert(Jpeg.normalizeOrientation(strip, 2).pixels.toSeq == Seq(200, 10)) // mirror-h
+    assert(Jpeg.normalizeOrientation(strip, 3).pixels.toSeq == Seq(200, 10)) // rot180
+    val o6 = Jpeg.normalizeOrientation(strip, 6) // rotate 90 CW: A on top
+    assert(o6.width == 1 && o6.height == 2 && o6.pixels.toSeq == Seq(10, 200))
+    val o8 = Jpeg.normalizeOrientation(strip, 8) // rotate 270 CW: B on top
+    assert(o8.pixels.toSeq == Seq(200, 10))
+    // tag processing ≡ explicit normalization, every orientation
+    val img = blockImage(4, 3, seed = 6)
+    val plain = Jpeg.decodeGray(Jpeg.encodeGray(img, quality = 90))
+    (2 to 8).foreach { o =>
+      val tagged = Jpeg.decodeGray(Jpeg.encodeGray(img, quality = 90, orientation = o))
+      val expected = Jpeg.normalizeOrientation(plain, o)
+      assert(tagged.width == expected.width && tagged.height == expected.height, s"o=$o")
+      assert(tagged.pixels.toSeq == expected.pixels.toSeq, s"o=$o")
+    }
+    // the near-dup story: a sideways-stored photo (orientation 6) hashes
+    // EXACTLY like its upright twin once the tag is honored
+    val upright = blockImage(9, 7, seed = 11)
+    val storedSideways = Jpeg.normalizeOrientation(upright, 8) // pre-rotate 270
+    val hashed = Jpeg.decodeGray(Jpeg.encodeGray(storedSideways, quality = 90, orientation = 6))
+    assert(Multimodal.dHashImage(hashed) == Multimodal.dHashImage(upright),
+      "orientation-normalized dHash diverged from the upright twin")
+  }
+
   test("out-of-subset and corrupt inputs fail with IOException, never hang or leak") {
     val good = Jpeg.encodeGray(blockImage(4, 3, 2), quality = 90)
     // progressive SOF2
