@@ -74,7 +74,7 @@ object Bench {
     // images (the encoder exists only to exercise the decoder); the
     // operator under test — decode + dHash + banded join — is the smaller
     // share. q_png_phash is the lean image-decode throughput sample.
-    "q_png_phash", "q_png_phash_pairs", "q_pdf_meta", "q_pdf_encrypted", "q_jpeg_phash", "q_cross_format_pairs",
+    "q_png_phash", "q_png_phash_pairs", "q_pdf_meta", "q_pdf_encrypted", "q_pdf_annots", "q_jpeg_phash", "q_cross_format_pairs",
     // q_soft_dedup is excluded with the other iterative-CC compositions
     // (its cluster map is q_dedup_clusters' already-profiled shape; the
     // weight join adds one |clusters|-row aggregate)

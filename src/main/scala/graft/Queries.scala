@@ -5636,6 +5636,47 @@ object Queries {
               ELSE ('0x' || substr(md5(full_text), 1, 15))::BIGINT END AS text_h
        FROM d ORDER BY doc_id"""
 
+  /** PDF annotation/form-field text as a driver row (r5): FreeText
+    * /Contents (UTF-16BE-forced on odd ids) + a filled Widget /V per doc,
+    * carried through rotating framings (ObjStm packs the annot dicts into
+    * the object stream) and RC4 encryption on every 4th doc — read back
+    * via `Pdf.annotations` and hash-pinned against a straight replay from
+    * the documents table.
+    */
+  private def qPdfAnnots(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pdf.Pdf
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val note = (if (id % 2 == 1) "№ " else "") + "note: " + text.take(20)
+        val field = s"v-${id % 100}"
+        val framing = (id % 3) match {
+          case 0 => Pdf.Framing.Classic
+          case 1 => Pdf.Framing.XrefStream
+          case _ => Pdf.Framing.ObjStm
+        }
+        val bytes = Pdf.writePages(Seq(Pdf.PageSpec(Seq((50.0, 760.0, "body")))),
+          flate = id % 2 == 0, framing = framing,
+          encrypt = if (id % 4 == 0) Some(Pdf.EncryptSpec()) else None,
+          annots = Seq(Seq("FreeText" -> note, "Widget" -> field)))
+        val got = Pdf.annotations(bytes)
+        (id, got.length,
+          got.map { case (p, st, tx) => s"$p/$st:$tx" }.mkString("\n"))
+      }
+      .toDF("doc_id", "n_annots", "ann_text")
+      .withColumn("ann_h", ph(col("ann_text")))
+      .select("doc_id", "n_annots", "ann_h")
+      .orderBy("doc_id")
+  }
+
+  private val oPdfAnnots =
+    """SELECT doc_id, 2 AS n_annots,
+         ('0x' || substr(md5(
+           '0/FreeText:' || CASE WHEN doc_id % 2 = 1 THEN '№ ' ELSE '' END ||
+           'note: ' || substr(text, 1, 20) || chr(10) ||
+           '0/Widget:v-' || CAST(doc_id % 100 AS VARCHAR)), 1, 15))::BIGINT AS ann_h
+       FROM documents ORDER BY doc_id"""
+
   // Oracle for qEntryDigest: the corpus row is recomputed live from the
   // documents table; the construction/standard rows are golden constants
   // pinned against the sf0.01 corpus the driver contract verifies at
@@ -5813,6 +5854,7 @@ object Queries {
     "q_pdf_encrypted" -> qPdfEncrypted _,
     "q_jpeg_phash" -> qJpegPhash _,
     "q_cross_format_pairs" -> qCrossFormatPairs _,
+    "q_pdf_annots" -> qPdfAnnots _,
     "q_py_findall" -> qPyFindall _
   )
 
@@ -5825,6 +5867,7 @@ object Queries {
     "q_pdf_encrypted" -> oPdfEncrypted,
     "q_jpeg_phash" -> oJpegPhash,
     "q_cross_format_pairs" -> oCrossFormatPairs,
+    "q_pdf_annots" -> oPdfAnnots,
     "q_stats" -> oStats,
     "q_summary" -> oSummary,
     "q_needs_ocr" -> oNeedsOcr,

@@ -132,7 +132,8 @@ object Pdf {
                  width: Double = 612.0, height: Double = 792.0,
                  framing: Framing = Framing.Classic,
                  info: Seq[(String, String)] = Nil,
-                 encrypt: Option[EncryptSpec] = None): Array[Byte] = {
+                 encrypt: Option[EncryptSpec] = None,
+                 annots: Seq[Seq[(String, String)]] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
@@ -145,14 +146,27 @@ object Pdf {
     val pagesDict =
       s"<< /Type /Pages /Kids [${pageObjNums.map(n => s"$n 0 R").mkString(" ")}] /Count $nPages >>"
     val fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    // per-page annotations (FreeText /Contents, Widget /V), objects right
+    // after the content streams; page i's annots are a contiguous block
+    val annotCounts: Seq[Int] = pages.indices.map(i => annots.lift(i).map(_.length).getOrElse(0))
+    val annotBase = 4 + 2 * nPages
+    val annotStart: Seq[Int] = annotCounts.scanLeft(annotBase)(_ + _)
+    val totalAnnots = annotCounts.sum
+    def annotDict(subtype: String, text: String): String = {
+      val key = if (subtype == "Widget") "/FT /Tx /V" else "/Contents"
+      s"<< /Type /Annot /Subtype /$subtype /Rect [0 0 10 10] $key ${infoString(text)} >>"
+    }
+    def annotRefsPart(i: Int): String =
+      if (annotCounts(i) == 0) ""
+      else " /Annots [" + (0 until annotCounts(i)).map(k => s"${annotStart(i) + k} 0 R").mkString(" ") + "]"
     def pageDict(i: Int) =
       s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $width $height] " +
-        s"/Contents ${contObjNums(i)} 0 R /Resources << /Font << /F1 3 0 R >> >> >>"
+        s"/Contents ${contObjNums(i)} 0 R${annotRefsPart(i)} /Resources << /Font << /F1 3 0 R >> >> >>"
     // document information dictionary (/Info in the trailer), optional
-    val infoNum: Option[Int] = if (info.nonEmpty) Some(4 + 2 * nPages) else None
+    val infoNum: Option[Int] = if (info.nonEmpty) Some(4 + 2 * nPages + totalAnnots) else None
     val infoCount = if (info.nonEmpty) 1 else 0
     // standard security handler state, optional: (objnum, cipher, dict, trailer extra)
-    val encNum: Option[Int] = encrypt.map(_ => 4 + 2 * nPages + infoCount)
+    val encNum: Option[Int] = encrypt.map(_ => 4 + 2 * nPages + totalAnnots + infoCount)
     val encState: Option[(Int, PdfCrypt.Decryptor, String, String)] = encrypt.map { es =>
       val md = java.security.MessageDigest.getInstance("MD5")
       pages.foreach(_.placements.foreach { case (x, y, t) =>
@@ -183,6 +197,16 @@ object Pdf {
     def encTrailerPart: String = encState.fold("")(_._4)
     def encipher(data: Array[Byte], num: Int): Array[Byte] =
       encState.fold(data) { case (_, d, _, _) => d.encrypt(data, num, 0) }
+    def annotObjDict(subtype: String, text: String, objNum: Int): String = {
+      val vs = encState match {
+        case Some((_, d, _, _)) =>
+          d.encrypt(infoRawBytes(text), objNum, 0)
+            .map(x => f"${x & 0xff}%02X").mkString("<", "", ">")
+        case None => infoString(text)
+      }
+      val key = if (subtype == "Widget") "/FT /Tx /V" else "/Contents"
+      s"<< /Type /Annot /Subtype /$subtype /Rect [0 0 10 10] $key $vs >>"
+    }
     def infoDict: String =
       "<< " + info.map { case (k, v) =>
         val vs = encState match {
@@ -255,6 +279,11 @@ object Pdf {
         obj(bytes(s"3 0 obj\n$fontDict\nendobj\n"))
         pages.indices.foreach(i => obj(bytes(s"${pageObjNums(i)} 0 obj\n${pageDict(i)}\nendobj\n")))
         pages.zipWithIndex.foreach { case (spec, i) => obj(streamObjBytes(contObjNums(i), spec)) }
+        pages.indices.foreach { i =>
+          annots.lift(i).getOrElse(Nil).zipWithIndex.foreach { case ((st, tx), k) =>
+            obj(bytes(s"${annotStart(i) + k} 0 obj\n${annotObjDict(st, tx, annotStart(i) + k)}\nendobj\n"))
+          }
+        }
         infoNum.foreach(n => obj(bytes(s"$n 0 obj\n$infoDict\nendobj\n")))
         encDictObjBytes.foreach(obj)
         val xrefPos = out.size()
@@ -276,9 +305,15 @@ object Pdf {
         pages.zipWithIndex.foreach { case (spec, i) =>
           obj(contObjNums(i), streamObjBytes(contObjNums(i), spec))
         }
+        pages.indices.foreach { i =>
+          annots.lift(i).getOrElse(Nil).zipWithIndex.foreach { case ((st, tx), k) =>
+            val n = annotStart(i) + k
+            obj(n, bytes(s"$n 0 obj\n${annotObjDict(st, tx, n)}\nendobj\n"))
+          }
+        }
         infoNum.foreach(n => obj(n, bytes(s"$n 0 obj\n$infoDict\nendobj\n")))
         encState.foreach { case (n, _, _, _) => obj(n, encDictObjBytes.get) }
-        val xrefNum = 4 + 2 * nPages + infoCount + encState.size
+        val xrefNum = 4 + 2 * nPages + totalAnnots + infoCount + encState.size
         val xrefPos = out.size()
         offsets(xrefNum) = xrefPos
         out.write(xrefStreamObj(xrefNum, size = xrefNum + 1, predicted,
@@ -299,12 +334,17 @@ object Pdf {
         val members: Vector[(Int, String)] =
           Vector(1 -> catalogDict, 2 -> pagesDict, 3 -> fontDict) ++
             pages.indices.map(i => pageObjNums(i) -> pageDict(i)) ++
+            pages.indices.flatMap { i =>
+              annots.lift(i).getOrElse(Nil).zipWithIndex.map { case ((st, tx), k) =>
+                (annotStart(i) + k) -> annotDict(st, tx) // in-stream: plain strings
+              }
+            } ++
             infoNum.map(n => n -> infoDictPlain)
         val bodies = members.map(_._2 + "\n")
         val memberOffsets = bodies.scanLeft(0)(_ + _.getBytes("UTF-8").length)
         val header = members.zip(memberOffsets).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
         val stmRaw = bytes(header ++ bodies.mkString)
-        val objStmNum = 4 + 2 * nPages + infoCount + encState.size
+        val objStmNum = 4 + 2 * nPages + totalAnnots + infoCount + encState.size
         val xrefNum = objStmNum + 1
         encState.foreach { case (n, _, _, _) => obj(n, encDictObjBytes.get) }
         val stmData = encipher(deflate(stmRaw), objStmNum)
@@ -741,6 +781,68 @@ object Pdf {
       java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(key) + """\s+(-?\d+)"""))
     val m = p.matcher(dict)
     if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  /** Annotation + form-field text: per page, the /Annots array's FreeText/
+    * Text /Contents strings and Widget field values (/V) — text a page's
+    * content stream never carries (sticky notes, filled forms). Returns
+    * (pageIndex 0-based, subtype, decoded text); strings decode like /Info
+    * (UTF-16BE BOM aware) and decrypt individually on encrypted documents
+    * (except ObjStm-resident annots, already covered by the stream).
+    */
+  def annotations(payload: Array[Byte]): Vector[(Int, String, String)] = {
+    val latin = new String(payload, Latin1)
+    val doc =
+      try loadByXref(payload, latin)
+      catch {
+        case e: EncryptedPdfException => throw e
+        case _: Exception => loadByScan(payload, latin)
+      }
+    val dec = doc.decryptor
+    val objs = doc.objs
+    val rootNum = doc.trailers.iterator.flatMap(t => refValue(t, "/Root")).nextOption()
+      .orElse(objs.collectFirst { case (n, o) if nameMatches(o.dict, "/Type", "Catalog") => n })
+    val pagesNum = rootNum.flatMap(objs.get).flatMap(o => refValue(o.dict, "/Pages"))
+      .orElse(objs.collectFirst {
+        case (n, o) if nameMatches(o.dict, "/Type", "Pages") && o.dict.contains("/Kids") => n
+      }).getOrElse(throw new java.io.IOException("no /Pages"))
+    val out = Vector.newBuilder[(Int, String, String)]
+    var pageIdx = 0
+    def walk(num: Int, depth: Int): Unit = {
+      if (depth > 64) throw new java.io.IOException("page tree too deep")
+      val d = objs.getOrElse(num, throw new java.io.IOException(s"missing page obj $num")).dict
+      if (d.contains("/Kids")) refArray(d, "/Kids").foreach(walk(_, depth + 1))
+      else {
+        refArray(d, "/Annots").foreach { an =>
+          objs.get(an).foreach { ao =>
+            if (nameMatches(ao.dict, "/Type", "Annot") || ao.dict.contains("/Subtype")) {
+              val subtype = {
+                val m = cachedPattern("Nsubtype",
+                  java.util.regex.Pattern.compile("""/Subtype\s*/([A-Za-z0-9]+)""")).matcher(ao.dict)
+                if (m.find()) m.group(1) else "Unknown"
+              }
+              val raw0 =
+                if (subtype == "Widget") infoValue(ao.dict, "/V")
+                else infoValue(ao.dict, "/Contents")
+              raw0.foreach { r0 =>
+                val r = dec match {
+                  case Some(dd) if !ao.fromObjStm =>
+                    val bs = new Array[Byte](r0.length)
+                    var i = 0
+                    while (i < r0.length) { bs(i) = r0.charAt(i).toByte; i += 1 }
+                    new String(dd.decrypt(bs, ao.num, ao.gen), Latin1)
+                  case _ => r0
+                }
+                out += ((pageIdx, subtype, decodeInfoString(r)))
+              }
+            }
+          }
+        }
+        pageIdx += 1
+      }
+    }
+    walk(pagesNum, 0)
+    out.result()
   }
 
   // ----------------------------------------------------- structure: by xref

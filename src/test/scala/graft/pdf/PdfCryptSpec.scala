@@ -82,6 +82,26 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(texts(broken) == plainTexts)
   }
 
+  test("annotations + form fields: FreeText /Contents and Widget /V across framings, plain and encrypted") {
+    val annots = Seq(
+      Seq("FreeText" -> "sticky note — première", "Widget" -> "field value 42"),
+      Seq("Text" -> "second page comment"))
+    for (framing <- Seq(Pdf.Framing.Classic, Pdf.Framing.XrefStream, Pdf.Framing.ObjStm);
+         enc <- Seq(None, Some(Pdf.EncryptSpec()))) {
+      val bytes = Pdf.writePages(doc, flate = true, framing = framing,
+        encrypt = enc, annots = annots)
+      val got = Pdf.annotations(bytes)
+      assert(got == Vector(
+        (0, "FreeText", "sticky note — première"),
+        (0, "Widget", "field value 42"),
+        (1, "Text", "second page comment")), s"framing=$framing enc=${enc.isDefined}")
+      // page text itself is unaffected by the annotation objects
+      assert(texts(bytes) == plainTexts, s"framing=$framing enc=${enc.isDefined}")
+    }
+    // no annotations → empty, not an error
+    assert(Pdf.annotations(Pdf.writePages(doc, flate = false)).isEmpty)
+  }
+
   test("RC4 known-answer vector") {
     // classic test vector: key "Key", plaintext "Plaintext"
     val out = PdfCrypt.rc4("Key".getBytes, "Plaintext".getBytes)
