@@ -1555,6 +1555,11 @@ object Queries {
   // replays the gradient bits; the pair oracle is brute-force all-pairs,
   // so the banding's exactness is what's verified. Exact-dup payloads in
   // the corpus guarantee hamming-0 rows exist.
+  // Role since r5: these rows pin the OPAQUE-payload arm of dHash56 (the
+  // fallback for payloads with no decodable codec). The REAL-pixel arm —
+  // actual PNG/JPEG/GIF decodes — is pinned by q_png_phash,
+  // q_png_phash_pairs, q_jpeg_phash, and q_cross_format_pairs, closing
+  // the r4 "perceptual in name only" caveat.
   private def qPhash(s: SparkSession, dir: String): DataFrame = {
     val media = docs(s, dir).select(col("doc_id").as("id"),
       col("text").cast("binary").as("payload"))
